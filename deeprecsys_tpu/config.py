@@ -1,0 +1,292 @@
+"""Configuration for models and serving.
+
+Reference equivalents: ``utils/utils.py:15-165`` (the ~60-flag argparse CLI
+with JSON config-file override) and ``models/configs/*.json``.
+
+Design differences from the reference (deliberate, TPU-first):
+
+- Typed dataclasses instead of a mutable argparse namespace threaded through
+  every process.
+- The DIN behavior-table expansion (reference ``utils/utils.py:132-149``)
+  runs *after* the JSON merge. In the reference it runs before, so the JSON's
+  ``user_behavior_tables`` only takes effect by accident of the default
+  ``model_type``; SURVEY.md §5 flags this ordering. We make it explicit.
+- Derived dimensions (``ln_top`` adjustment, interaction sizes) are computed
+  in one place with the exact per-model semantics of the reference
+  (``dlrm_s_caffe2.py:404-440``, ``wide_and_deep.py:345-350``,
+  ``multi_task_wnd.py:354-362``, ``ncf.py:384-388``, ``din.py:?``,
+  ``dien.py:426-434``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+MODEL_TYPES = ("dlrm", "wnd", "mtwnd", "ncf", "din", "dien")
+
+
+def _parse_dims(s: str | Sequence[int]) -> tuple[int, ...]:
+    if isinstance(s, str):
+        return tuple(int(x) for x in s.split("-") if x != "")
+    return tuple(int(x) for x in s)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture configuration for one recommendation model.
+
+    Field semantics mirror the reference CLI flags of the same name
+    (``utils/utils.py:22-35``).
+    """
+
+    model_type: str = "dlrm"
+    model_name: str = "dlrm"
+    # Embedding dimension shared by all tables (--arch_sparse_feature_size).
+    sparse_feature_size: int = 32
+    # Rows per embedding table (--arch_embedding_size, "-"-separated).
+    embedding_rows: tuple[int, ...] = (4, 3, 2)
+    # MLP tower layer sizes (--arch_mlp_bot / _top / _tasks).
+    mlp_bot: tuple[int, ...] = (4, 3, 2)
+    mlp_top: tuple[int, ...] = (4, 2, 1)
+    mlp_tasks: tuple[int, ...] = (4, 2, 1)
+    num_multi_tasks: int = 1
+    # DIEN GRU hidden size (--hidden_size).
+    hidden_size: int = 64
+    # "dot" | "cat" (--arch_interaction_op); DLRM only.
+    interaction_op: str = "dot"
+    interaction_itself: bool = False
+    # Pooling factor: ids per table per sample (--num_indices_per_lookup).
+    # All shipped reference configs use fixed pooling, which maps to a dense
+    # (B, T, L) index tensor — the static-shape form XLA wants.
+    num_indices_per_lookup: int = 1
+    # DIN: number of extra user-behavior table copies (--user_behavior_tables).
+    user_behavior_tables: int = 1000
+    # Parameter/compute dtypes (TPU-native addition; reference is f32-only).
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"
+    # Divide all table sizes by this factor (testing / memory-constrained runs).
+    table_scale: int = 1
+
+    def __post_init__(self):
+        if self.model_type not in MODEL_TYPES:
+            raise ValueError(f"unknown model_type {self.model_type!r}; expected one of {MODEL_TYPES}")
+        if self.interaction_op not in ("dot", "cat"):
+            raise ValueError(f"unknown interaction_op {self.interaction_op!r}")
+        if self.model_type == "ncf":
+            # Reference assertions: ncf.py:348-356.
+            if len(self.embedding_rows) != 4:
+                raise ValueError("NCF requires exactly 4 embedding tables")
+            if self.num_indices_per_lookup != 1:
+                raise ValueError("NCF requires 1 index per lookup")
+        if self.model_type in ("din", "dien") and len(self.embedding_rows) < 4:
+            # Reference assertions: din.py / dien.py:456.
+            raise ValueError(f"{self.model_type} requires >= 4 embedding tables")
+
+    # ------------------------------------------------------------------
+    # Derived dimensions
+    # ------------------------------------------------------------------
+
+    @property
+    def num_tables(self) -> int:
+        return len(self.embedding_rows)
+
+    @property
+    def scaled_rows(self) -> tuple[int, ...]:
+        if self.table_scale == 1:
+            return self.embedding_rows
+        return tuple(max(4, n // self.table_scale) for n in self.embedding_rows)
+
+    @property
+    def table_offsets(self) -> np.ndarray:
+        """Row offset of each table inside the fused (total_rows, d) array."""
+        return np.concatenate([[0], np.cumsum(self.scaled_rows)[:-1]]).astype(np.int32)
+
+    @property
+    def total_rows(self) -> int:
+        return int(np.sum(self.scaled_rows))
+
+    @property
+    def dense_dim(self) -> int:
+        """Width of the dense-feature input.
+
+        DLRM: first bottom-MLP dim (``dlrm_s_caffe2.py:432``). WnD/MT-WnD:
+        raw dense concat of width mlp_bot[0] (``wide_and_deep.py:345``,
+        asserts a single-element mlp_bot). NCF/DIN/DIEN take no dense input
+        (``ncf.py run_queues`` ignores fc; DIN/DIEN top input is sparse-only).
+        """
+        if self.model_type in ("dlrm", "wnd", "mtwnd"):
+            return self.mlp_bot[0]
+        return 0
+
+    @property
+    def num_fea(self) -> int:
+        return self.num_tables + 1
+
+    @property
+    def top_in_dim(self) -> int:
+        """First dim of the top MLP, per reference num_int computations."""
+        m = self.sparse_feature_size
+        if self.model_type == "dlrm":
+            # dlrm_s_caffe2.py:404-426
+            if self.interaction_op == "dot":
+                f = self.num_fea
+                pairs = (f * (f + 1)) // 2 if self.interaction_itself else (f * (f - 1)) // 2
+                return pairs + self.mlp_bot[-1]
+            return self.num_fea * self.mlp_bot[-1]
+        if self.model_type in ("wnd", "mtwnd"):
+            # wide_and_deep.py:345, multi_task_wnd.py:354
+            return self.num_tables * m + self.mlp_bot[0]
+        if self.model_type == "ncf":
+            # ncf.py:384
+            return 2 * m
+        if self.model_type == "din":
+            # din.py: top input = concat[profile, attention, ad, context]
+            return 4 * m
+        if self.model_type == "dien":
+            # dien.py:426: hidden + 3 * m_spa
+            return self.hidden_size + 3 * m
+        raise AssertionError(self.model_type)
+
+    @property
+    def ln_top(self) -> tuple[int, ...]:
+        return (self.top_in_dim,) + self.mlp_top
+
+    @property
+    def out_dim(self) -> int:
+        if self.model_type == "mtwnd":
+            return self.mlp_tasks[-1] * self.num_multi_tasks
+        if self.model_type == "ncf":
+            return self.mlp_top[-1]
+        return self.mlp_top[-1]
+
+    # DIN table-role helpers (din.py:295-300, dien.py:393-398).
+    @property
+    def behavior_table_ids(self) -> range:
+        return range(1, self.num_tables - 2)
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _expand_din_tables(rows: tuple[int, ...], user_behavior_tables: int) -> tuple[int, ...]:
+    """DIN behavior-table expansion (reference ``utils/utils.py:132-149``).
+
+    [profile, behavior, ad, ctx] -> [profile] + [behavior]*(n+1) + [ad, ctx].
+    The reference loop prepends ``n`` copies in front of the original
+    behavior table, yielding n+1 behavior tables total.
+    """
+    profile, behavior, rest = rows[0], rows[1], rows[2:]
+    return (profile,) + (behavior,) * (user_behavior_tables + 1) + rest
+
+
+def load_model_config(path: str | Path, table_scale: int = 1, **overrides) -> ModelConfig:
+    """Load a model config from a reference-format JSON file.
+
+    Accepts the exact key set of ``models/configs/*.json`` ("arch_mlp_bot",
+    "arch_embedding_size", ...). Unlike the reference, DIN expansion happens
+    *after* the JSON values are applied.
+    """
+    with open(path) as f:
+        raw = json.load(f)
+    return model_config_from_dict(raw, table_scale=table_scale, **overrides)
+
+
+def model_config_from_dict(raw: dict, table_scale: int = 1, **overrides) -> ModelConfig:
+    key_map = {
+        "arch_mlp_bot": ("mlp_bot", _parse_dims),
+        "arch_mlp_top": ("mlp_top", _parse_dims),
+        "arch_mlp_tasks": ("mlp_tasks", _parse_dims),
+        "arch_embedding_size": ("embedding_rows", _parse_dims),
+        "arch_sparse_feature_size": ("sparse_feature_size", int),
+        "arch_interaction_op": ("interaction_op", str),
+        "arch_interaction_itself": ("interaction_itself", bool),
+        "num_indices_per_lookup": ("num_indices_per_lookup", int),
+        "num_indices_per_lookup_fixed": (None, None),  # implied; dense (B,T,L)
+        "model_type": ("model_type", str),
+        "model_name": ("model_name", str),
+        "user_behavior_tables": ("user_behavior_tables", int),
+        "hidden_size": ("hidden_size", int),
+        "num_multi_tasks": ("num_multi_tasks", int),
+    }
+    kw: dict = {}
+    for key, val in raw.items():
+        if key not in key_map:
+            raise KeyError(f"unknown config key {key!r}")
+        field, conv = key_map[key]
+        if field is not None:
+            kw[field] = conv(val)
+    kw.update(overrides)
+    kw.setdefault("table_scale", table_scale)
+    if "table_scale" in overrides:
+        kw["table_scale"] = overrides["table_scale"]
+    cfg = ModelConfig(**kw)
+    if cfg.model_type == "din" and len(cfg.embedding_rows) == 4:
+        cfg = cfg.replace(
+            embedding_rows=_expand_din_tables(cfg.embedding_rows, cfg.user_behavior_tables)
+        )
+    return cfg
+
+
+# ----------------------------------------------------------------------
+# Serving configuration (reference: DeepRecSys/serving flags,
+# utils/utils.py:44-94)
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ServingConfig:
+    """Load-generation, engine and scheduler knobs.
+
+    Mirrors the reference serving flags; times are in milliseconds as in the
+    reference.
+    """
+
+    # Query stream (loadGenerator.py:14-43)
+    num_batches: int = 64
+    nepochs: int = 1
+    avg_arrival_rate_ms: float = 10.0   # Poisson inter-arrival mean (ms)
+    batch_size_distribution: str = "fixed"  # fixed|normal|lognormal|file
+    avg_mini_batch_size: float = 1.0
+    var_mini_batch_size: float = 1.0
+    max_mini_batch_size: int = 1024
+    batch_dist_file: str | None = None
+    sub_task_batch_size: int = 16
+
+    # Engines
+    inference_engines: int = 1
+    engine_backend: str = "tpu"  # tpu | cpu | sim
+    # Static-shape batch buckets compiled ahead of time; requests are padded
+    # up to the nearest bucket (TPU analog of the reference's pre-generate-
+    # at-max-then-slice, inferenceEngine.py:200-206).
+    batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+    # Tail-latency / scheduler (scheduler.py, utils.py:69-85)
+    target_latency_ms: float = 10.0
+    req_granularity: int = 64
+    tune_batch_qps: bool = False
+    tune_accel_qps: bool = False
+    batch_configs: tuple[int, ...] = (32, 64, 128, 256, 512, 1024)
+    accel_configs: tuple[int, ...] = (128, 256, 512)
+    stable_region: float = 0.10
+    min_arr_range: float = 1.0
+    max_arr_range: float = 100.0
+    arr_steps: int = 20
+    sched_timeout: int = 100
+
+    # Big-query offload (utils.py:90-94). On TPU the "accelerator" is the
+    # real big-batch TPU path; the reference's is a simulated GPU.
+    model_accel: bool = False
+    accel_request_size_thres: int = 1024
+
+    seed: int = 123
+    debug_mode: bool = False
+    log_file: str | None = None
+
+    def __post_init__(self):
+        if self.engine_backend not in ("tpu", "cpu", "sim"):
+            raise ValueError(f"unknown engine_backend {self.engine_backend!r}")

@@ -1,0 +1,144 @@
+"""Synthetic input/output data generation.
+
+Reference: ``data_generator/dlrm_data_caffe2.py`` (and its WnD clone).
+Random mode (:69-124): uniform dense features; per (table, sample) a group
+of ``num_indices_per_lookup`` UNIQUE indices, drawn by rejection resampling
+of the whole group (``np.unique`` + redraw loop). Synthetic mode (:152-227):
+per-table stack-distance trace replay via an LRU stack model (see
+``deeprecsys_tpu/data/trace.py``).
+
+TPU-native redesign: everything is vectorized to the fused (B, T, L) index
+layout in one shot — the reference's quadruple Python loop
+(batch x table x sample x redraw) is replaced by batched draws with a
+row-masked rejection loop. Indices within a group come out sorted+unique
+exactly like the reference (``np.unique`` sorts), which also improves
+gather locality on TPU.
+
+As in the reference, serving engines pre-generate batches at the maximum
+batch size and slice per request (``inferenceEngine.py:200-206``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from deeprecsys_tpu.config import ModelConfig
+from deeprecsys_tpu.models.base import Batch
+from deeprecsys_tpu.data import trace as trace_mod
+
+
+def _unique_index_groups(rng: np.random.Generator, size: int, rows: int, L: int) -> np.ndarray:
+    """Draw ``rows`` groups of ``L`` unique sorted indices in [0, size)."""
+    if L == 1:
+        return np.round(rng.random((rows, 1)) * (size - 1)).astype(np.int32)
+    if L > size:
+        raise ValueError(f"pooling factor {L} exceeds table size {size}")
+    if size <= 4 * L:
+        # Dense fallback: random permutation per row (rejection would thrash).
+        keys = rng.random((rows, size))
+        idx = np.argpartition(keys, L - 1, axis=1)[:, :L].astype(np.int32)
+        return np.sort(idx, axis=1)
+    # Group-level rejection resampling, whole rows redrawn on any duplicate
+    # (same semantics as the reference's while-loop, vectorized over rows).
+    idx = np.round(rng.random((rows, L)) * (size - 1)).astype(np.int32)
+    idx = np.sort(idx, axis=1)
+    for _ in range(64):
+        bad = (idx[:, 1:] == idx[:, :-1]).any(axis=1)
+        n_bad = int(bad.sum())
+        if n_bad == 0:
+            return idx
+        redraw = np.round(rng.random((n_bad, L)) * (size - 1)).astype(np.int32)
+        idx[bad] = np.sort(redraw, axis=1)
+    raise RuntimeError("rejection resampling failed to produce unique groups")
+
+
+class RecDataGenerator:
+    """Generates batches in the fused-table layout for one model config.
+
+    Reference interface parity: ``DLRMDataGenerator(args)`` with
+    ``generate_input_data()`` / ``generate_output_data()``
+    (``dlrm_data_caffe2.py:34-66``).
+    """
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        seed: int = 123,
+        data_generation: str = "random",
+        trace_file: str | None = None,
+        trace_enable_padding: bool = False,
+    ):
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+        self.data_generation = data_generation
+        self.trace_file = trace_file
+        self.trace_enable_padding = trace_enable_padding
+        if data_generation not in ("random", "synthetic"):
+            raise ValueError(f"unknown data_generation {data_generation!r}")
+        if data_generation == "synthetic" and trace_file is None:
+            raise ValueError("synthetic mode requires a trace (distribution) file")
+
+    # ------------------------------------------------------------------
+
+    def generate_batch(self, batch_size: int) -> Batch:
+        cfg = self.cfg
+        dense = None
+        if cfg.dense_dim:
+            dense = self.rng.random((batch_size, cfg.dense_dim), dtype=np.float32)
+        if self.data_generation == "random":
+            indices = self._random_indices(batch_size)
+        else:
+            indices = self._synthetic_indices(batch_size)
+        return Batch(dense=dense, indices=indices)
+
+    def generate_targets(self, batch_size: int, round_targets: bool = False) -> np.ndarray:
+        """Uniform targets (reference generate_random_output_data,
+        dlrm_data_caffe2.py:128-148)."""
+        t = self.rng.random((batch_size, self.cfg.out_dim), dtype=np.float32)
+        if round_targets:
+            t = np.round(t).astype(np.float32)
+        return t
+
+    def generate_batches(self, num_batches: int, batch_size: int) -> list[Batch]:
+        return [self.generate_batch(batch_size) for _ in range(num_batches)]
+
+    # ------------------------------------------------------------------
+
+    def _random_indices(self, batch_size: int) -> np.ndarray:
+        cfg = self.cfg
+        L = cfg.num_indices_per_lookup
+        out = np.empty((batch_size, cfg.num_tables, L), dtype=np.int32)
+        sizes = np.asarray(cfg.scaled_rows)
+        # Group identical-size tables into one batched draw (DIN has ~251
+        # same-size behavior tables; this collapses them to one call).
+        for size in np.unique(sizes):
+            cols = np.flatnonzero(sizes == size)
+            draws = _unique_index_groups(self.rng, int(size), batch_size * len(cols), L)
+            out[:, cols, :] = draws.reshape(batch_size, len(cols), L)
+        return out
+
+    def _synthetic_indices(self, batch_size: int) -> np.ndarray:
+        cfg = self.cfg
+        L = cfg.num_indices_per_lookup
+        out = np.empty((batch_size, cfg.num_tables, L), dtype=np.int32)
+        for t, size in enumerate(cfg.scaled_rows):
+            # Reference substitutes the table id into the trace-file name
+            # ("dist_emb_j.log".replace("j", str(i))), falling back to the
+            # same file for all tables when no placeholder is present.
+            path = self.trace_file.replace("@", str(t)) if "@" in self.trace_file else self.trace_file
+            line_accesses, list_sd, cumm_sd = trace_mod.read_dist_from_file(path)
+            for b in range(batch_size):
+                refs = trace_mod.trace_generate_lru(
+                    line_accesses, list_sd, cumm_sd, L, self.trace_enable_padding
+                )
+                group = np.unique(np.asarray(refs, dtype=np.int64))
+                if group.min(initial=0) < 0 or group.max(initial=0) >= size:
+                    group = np.mod(group, size)  # reference mod-guard (:207-215)
+                # Top up to fixed L if unique() shrank the group.
+                while group.size < L:
+                    extra = trace_mod.trace_generate_lru(
+                        line_accesses, list_sd, cumm_sd, L - group.size, self.trace_enable_padding
+                    )
+                    group = np.unique(np.concatenate([group, np.mod(np.asarray(extra, dtype=np.int64), size)]))
+                out[b, t, :] = np.sort(group[:L]).astype(np.int32)
+        return out

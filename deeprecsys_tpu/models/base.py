@@ -1,0 +1,78 @@
+"""Common model substrate.
+
+Every model family is a pair of pure functions over the same batch layout:
+
+    init(key, cfg)            -> params (pytree of jnp arrays)
+    apply(params, batch, cfg) -> scores (B, out_dim)
+
+with ``Batch = (dense (B, dense_dim) float or None, indices (B, T, L) int32)``.
+
+This replaces the reference's per-model Caffe2 graph-builder classes
+(``*_Wrapper`` / ``*_Net`` in ``models/*.py``): a static Caffe2 graph with
+BlobsQueue feeding maps naturally onto a jitted pure function whose inputs
+are pushed by the serving layer (see ``deeprecsys_tpu/serving/engine.py``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeprecsys_tpu.config import ModelConfig
+
+
+class Batch(NamedTuple):
+    """One inference batch in the fused-table layout (see ops/embedding.py)."""
+
+    dense: Optional[jax.Array]  # (B, dense_dim) float, or None
+    indices: jax.Array          # (B, T, L) int32, per-table-local ids
+
+
+class ModelFns(NamedTuple):
+    name: str
+    init: Callable[[jax.Array], dict]
+    apply: Callable[[dict, Batch], jax.Array]
+    cfg: ModelConfig
+
+
+def stacked_mlp_init(key: jax.Array, num: int, dims, dtype=jnp.float32) -> list[dict]:
+    """Init ``num`` independent same-shape MLPs as stacked (num, ...) arrays.
+
+    Used for DIN's per-behavior-table attention MLPs (the reference builds a
+    separate Caffe2 FC chain per table, ``din.py:246-285``) and MT-WnD's task
+    heads — stacking lets one einsum/vmap evaluate all of them on the MXU at
+    once instead of hundreds of small ops.
+    """
+    params = []
+    keys = jax.random.split(key, max(len(dims) - 1, 1))
+    for i in range(1, len(dims)):
+        n, m = dims[i - 1], dims[i]
+        kw, kb = jax.random.split(keys[i - 1])
+        w = jax.random.normal(kw, (num, n, m), dtype=jnp.float32) * jnp.sqrt(2.0 / (m + n))
+        b = jax.random.normal(kb, (num, m), dtype=jnp.float32) * jnp.sqrt(1.0 / m)
+        params.append({"w": w.astype(dtype), "b": b.astype(dtype)})
+    return params
+
+
+def stacked_mlp_apply(params, x: jax.Array, sigmoid_layer: int = -1) -> jax.Array:
+    """Apply stacked MLPs: x (B, num, n) -> (B, num, out).
+
+    ``sigmoid_layer`` follows the reference's 1-based convention
+    (see ops/mlp.py).
+    """
+    for i, layer in enumerate(params, start=1):
+        x = jnp.einsum("btn,tnm->btm", x, layer["w"], preferred_element_type=x.dtype)
+        x = x + layer["b"][None, :, :]
+        x = jax.nn.sigmoid(x) if i == sigmoid_layer else jax.nn.relu(x)
+    return x
+
+
+def compute_dtype_of(cfg: ModelConfig):
+    return jnp.dtype(cfg.compute_dtype)
+
+
+def param_dtype_of(cfg: ModelConfig):
+    return jnp.dtype(cfg.param_dtype)

@@ -1,0 +1,68 @@
+"""Deep Interest Evolution Network.
+
+Reference: ``models/dien.py``. Same 4 feature roles as DIN (:393-398). GRU
+unit (``create_gru_unit`` :308-380): behavior embeddings stacked time-major
+(T_b, B, m) (:315-319) -> Caffe2 ``BasicRNN`` #0 (tanh, forward-only,
+:336-344) -> per-step FC (H->H, axis=2) + Softmax(axis=2) + elementwise Sum
+with the RNN output (:346-356, an attention-style gate) -> ``BasicRNN`` #1
+(:370-378), keeping only the final hidden state. Top-MLP input =
+Concat[gru_hidden, profile, ad, context] = H + 3*m (:414-426), all-ReLU.
+
+TPU-native redesign: both RNNs are ``jax.lax.scan`` loops with the input
+projection hoisted into one large MXU matmul (ops/rnn.py); the per-step
+FC+softmax gate is a single batched matmul over the (T_b, B, H) tensor.
+``initial_h`` is zeros (the reference feeds zeros per request through a
+dedicated BlobsQueue, :156-194).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deeprecsys_tpu.config import ModelConfig
+from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of
+from deeprecsys_tpu.ops import (
+    embedding_bag,
+    init_fused_tables,
+    mlp_init,
+    mlp_apply,
+    basic_rnn_init,
+    basic_rnn_scan,
+)
+
+
+def init(key: jax.Array, cfg: ModelConfig) -> dict:
+    pdt = param_dtype_of(cfg)
+    m, H = cfg.sparse_feature_size, cfg.hidden_size
+    k_emb, k_r0, k_fc, k_r1, k_top = jax.random.split(key, 5)
+    # Gate FC init matches the reference's brew.fc defaults (Xavier-like);
+    # we reuse the MLP initializer.
+    return {
+        "tables": init_fused_tables(k_emb, cfg.scaled_rows, m, pdt),
+        "rnn0": basic_rnn_init(k_r0, m, H, pdt),
+        "gate_fc": mlp_init(k_fc, (H, H), pdt)[0],
+        "rnn1": basic_rnn_init(k_r1, H, H, pdt),
+        "top": mlp_init(k_top, cfg.ln_top, pdt),  # (H + 3m,) + mlp_top
+    }
+
+
+def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
+    cdt = compute_dtype_of(cfg)
+    offsets = jnp.asarray(cfg.table_offsets)
+    emb = embedding_bag(params["tables"], offsets, batch.indices, compute_dtype=cdt)  # (B, T, m)
+    T = cfg.num_tables
+    profile = emb[:, 0, :]
+    behavior = emb[:, 1 : T - 2, :]  # (B, T_b, m)
+    ad = emb[:, T - 2, :]
+    ctx = emb[:, T - 1, :]
+
+    seq = jnp.transpose(behavior, (1, 0, 2))  # time-major (T_b, B, m)
+    out0, _ = basic_rnn_scan(params["rnn0"], seq)  # (T_b, B, H)
+    gate = jnp.dot(out0, params["gate_fc"]["w"], preferred_element_type=out0.dtype)
+    gate = jax.nn.softmax(gate + params["gate_fc"]["b"], axis=2)
+    gated = out0 + gate  # reference brew.sum of rnn_0 output and softmax gate
+    _, last = basic_rnn_scan(params["rnn1"], gated)  # (B, H)
+
+    z = jnp.concatenate([last, profile, ad, ctx], axis=1)  # (B, H + 3m)
+    return mlp_apply(params["top"], z)  # all-ReLU

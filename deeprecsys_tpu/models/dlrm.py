@@ -1,0 +1,52 @@
+"""DLRM (covers RMC1/RMC2/RMC3 via configs).
+
+Reference: ``models/dlrm_s_caffe2.py`` — bottom MLP over dense features,
+per-table SparseLengthsSum pooled lookups, dot/cat feature interaction
+(``create_interactions``, :331-363), top MLP ending in Sigmoid
+(``sigmoid_top = ln_top.size - 1``, :473).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deeprecsys_tpu.config import ModelConfig
+from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of
+from deeprecsys_tpu.ops import (
+    embedding_bag,
+    init_fused_tables,
+    mlp_init,
+    mlp_apply,
+    dot_interaction,
+    cat_interaction,
+)
+
+
+def init(key: jax.Array, cfg: ModelConfig) -> dict:
+    pdt = param_dtype_of(cfg)
+    k_emb, k_bot, k_top = jax.random.split(key, 3)
+    ln_bot = cfg.mlp_bot
+    assert ln_bot[-1] == cfg.sparse_feature_size, (
+        f"bottom-MLP out dim {ln_bot[-1]} must equal sparse feature size "
+        f"{cfg.sparse_feature_size} (reference check dlrm_s_caffe2.py:436-438)"
+    )
+    return {
+        "tables": init_fused_tables(k_emb, cfg.scaled_rows, cfg.sparse_feature_size, pdt),
+        "bot": mlp_init(k_bot, ln_bot, pdt),
+        "top": mlp_init(k_top, cfg.ln_top, pdt),
+    }
+
+
+def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
+    cdt = compute_dtype_of(cfg)
+    offsets = jnp.asarray(cfg.table_offsets)
+    x = batch.dense.astype(cdt)
+    dense_out = mlp_apply(params["bot"], x)  # all-ReLU (sigmoid_bot = -1)
+    emb_out = embedding_bag(params["tables"], offsets, batch.indices, compute_dtype=cdt)
+    if cfg.interaction_op == "dot":
+        z = dot_interaction(dense_out, emb_out, self_interaction=cfg.interaction_itself)
+    else:
+        z = cat_interaction(dense_out, emb_out)
+    # Sigmoid on the final top layer (reference sigmoid_top).
+    return mlp_apply(params["top"], z, sigmoid_layer=len(cfg.ln_top) - 1)

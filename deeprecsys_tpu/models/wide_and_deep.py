@@ -1,0 +1,37 @@
+"""Wide & Deep.
+
+Reference: ``models/wide_and_deep.py`` — no bottom MLP (dense features of
+width ``mlp_bot[0]`` are concatenated raw with all pooled embeddings,
+``create_interactions`` :271-280, ``num_int = num_tables*m + mlp_bot[0]``
+:345), then a top MLP ending in Sigmoid (:383).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from deeprecsys_tpu.config import ModelConfig
+from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of
+from deeprecsys_tpu.ops import embedding_bag, init_fused_tables, mlp_init, mlp_apply, cat_interaction
+import jax.numpy as jnp
+
+
+def init(key: jax.Array, cfg: ModelConfig) -> dict:
+    pdt = param_dtype_of(cfg)
+    assert len(cfg.mlp_bot) == 1, (
+        "WnD takes raw dense features; mlp_bot must be a single width "
+        "(reference check wide_and_deep.py:307-313)"
+    )
+    k_emb, k_top = jax.random.split(key)
+    return {
+        "tables": init_fused_tables(k_emb, cfg.scaled_rows, cfg.sparse_feature_size, pdt),
+        "top": mlp_init(k_top, cfg.ln_top, pdt),
+    }
+
+
+def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
+    cdt = compute_dtype_of(cfg)
+    offsets = jnp.asarray(cfg.table_offsets)
+    emb_out = embedding_bag(params["tables"], offsets, batch.indices, compute_dtype=cdt)
+    z = cat_interaction(batch.dense.astype(cdt), emb_out)
+    return mlp_apply(params["top"], z, sigmoid_layer=len(cfg.ln_top) - 1)

@@ -1,0 +1,74 @@
+"""Fused multi-table pooled embedding lookup.
+
+Reference equivalent: per-table Caffe2 ``SparseLengthsSum``
+(``dlrm_s_caffe2.py:319-325`` and clones in every model file) — one C++
+gather-sum op per table, parallelized with ``async_dag`` inter-op scheduling
+and ``max_num_tasks`` intra-op threads.
+
+TPU-native redesign: all of a model's tables live in ONE ``(total_rows, d)``
+array with per-table row offsets, and the whole model's sparse lookup is a
+SINGLE fused gather + sum over the pooling axis:
+
+    indices (B, T, L) int32  --(+offsets)-->  rows (B*T*L, d)  --sum L-->  (B, T, d)
+
+Why this shape:
+- All eight shipped reference configs use a *fixed* pooling factor
+  (``num_indices_per_lookup_fixed: true``), so the ragged CSR form of
+  SparseLengthsSum collapses to a dense (B, T, L) index tensor — the
+  static-shape form XLA compiles well.
+- One gather instead of T (up to 254 for DIN) keeps the HLO small and gives
+  XLA one large HBM-bandwidth-bound op to software-pipeline, instead of
+  hundreds of tiny ones.
+- The fused array is also the unit of model-parallel sharding: rows are
+  sharded over the mesh "model" axis (see ``deeprecsys_tpu/parallel``).
+
+A Pallas double-buffered gather kernel for this op lives in
+``deeprecsys_tpu/ops/pallas/embedding_kernel.py``; this module is the XLA
+path and the numerics reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_fused_tables(key: jax.Array, table_rows, dim: int, dtype=jnp.float32) -> jax.Array:
+    """Initialize the fused embedding array for a list of table sizes.
+
+    Matches the reference per-table init distribution
+    U(-sqrt(1/n), sqrt(1/n)) (``dlrm_s_caffe2.py:295-300``): one uniform
+    draw over the fused array, scaled per-row by its table's bound.
+    """
+    table_rows = np.asarray(table_rows, dtype=np.int64)
+    total = int(table_rows.sum())
+    scales = np.repeat(np.sqrt(1.0 / table_rows), table_rows).astype(np.float32)
+    u = jax.random.uniform(key, (total, dim), dtype=jnp.float32, minval=-1.0, maxval=1.0)
+    return (u * scales[:, None]).astype(dtype)
+
+
+def embedding_bag(
+    table: jax.Array,
+    offsets: jax.Array,
+    indices: jax.Array,
+    *,
+    compute_dtype=None,
+) -> jax.Array:
+    """Pooled multi-table lookup.
+
+    Args:
+      table: fused ``(total_rows, d)`` embedding array.
+      offsets: ``(T,)`` int32 row offset of each table.
+      indices: ``(B, T, L)`` int32 per-table-local ids.
+
+    Returns:
+      ``(B, T, d)`` pooled (summed over L) embeddings, in ``compute_dtype``
+      (defaults to the table dtype).
+    """
+    B, T, L = indices.shape
+    flat = (indices + offsets[None, :, None]).reshape(-1)
+    rows = jnp.take(table, flat, axis=0, indices_are_sorted=False, unique_indices=False)
+    if compute_dtype is not None:
+        rows = rows.astype(compute_dtype)
+    return rows.reshape(B, T, L, -1).sum(axis=2)

@@ -1,0 +1,52 @@
+"""Scanned basic RNN for DIEN.
+
+Reference equivalent: Caffe2 ``rnn_cell.BasicRNN`` (forward-only, tanh) used
+twice in DIEN's GRU unit (``dien.py:336-344,370-378``):
+
+    h_t = tanh(x_t @ i2h_w^T + i2h_b + h_{t-1} @ gates_t_w^T + gates_t_b)
+
+TPU-native redesign: ``jax.lax.scan`` over a time-major (T, B, in) tensor.
+The input projection for ALL timesteps is hoisted out of the scan as one
+large MXU matmul ((T*B, in) @ (in, H)); only the small recurrent matmul
+stays inside the scan body.
+
+Init matches the reference's plain ``np.random.randn`` for RNN weights
+(``dien.py:320-328``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def basic_rnn_init(key: jax.Array, input_size: int, hidden_size: int, dtype=jnp.float32) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "i2h_w": jax.random.normal(k1, (input_size, hidden_size), dtype=jnp.float32).astype(dtype),
+        "i2h_b": jax.random.normal(k2, (hidden_size,), dtype=jnp.float32).astype(dtype),
+        "h2h_w": jax.random.normal(k3, (hidden_size, hidden_size), dtype=jnp.float32).astype(dtype),
+        "h2h_b": jax.random.normal(k4, (hidden_size,), dtype=jnp.float32).astype(dtype),
+    }
+
+
+def basic_rnn_scan(params: dict, xs: jax.Array, h0: jax.Array | None = None):
+    """Run the RNN over time-major ``xs`` of shape (T, B, in).
+
+    Returns ``(all_hidden (T, B, H), last_hidden (B, H))`` — the same pair
+    Caffe2's BasicRNN exposes.
+    """
+    T, B, _ = xs.shape
+    H = params["h2h_w"].shape[0]
+    if h0 is None:
+        h0 = jnp.zeros((B, H), dtype=xs.dtype)
+    # Hoisted input projection: one big matmul instead of T small ones.
+    xproj = jnp.dot(xs.reshape(T * B, -1), params["i2h_w"], preferred_element_type=xs.dtype)
+    xproj = (xproj + params["i2h_b"]).reshape(T, B, H)
+
+    def step(h, xp):
+        h = jnp.tanh(xp + jnp.dot(h, params["h2h_w"], preferred_element_type=h.dtype) + params["h2h_b"])
+        return h, h
+
+    last, all_h = jax.lax.scan(step, h0, xproj)
+    return all_h, last

@@ -1,0 +1,96 @@
+import numpy as np
+import pytest
+
+from deeprecsys_tpu import zoo
+from deeprecsys_tpu.data import RecDataGenerator
+from deeprecsys_tpu.data import trace as trace_mod
+
+
+def test_random_indices_unique_sorted_in_range():
+    cfg = zoo.get_config("rm1", table_scale=1000)  # L=80, tables of 4000
+    gen = RecDataGenerator(cfg, seed=0)
+    batch = gen.generate_batch(16)
+    idx = batch.indices
+    assert idx.shape == (16, 8, 80)
+    assert idx.dtype == np.int32
+    for t, n in enumerate(cfg.scaled_rows):
+        assert idx[:, t, :].min() >= 0
+        assert idx[:, t, :].max() < n
+    # Unique + sorted within each pooling group (reference np.unique semantics).
+    d = np.diff(idx, axis=2)
+    assert (d > 0).all()
+
+
+def test_dense_features_only_for_dense_models():
+    dense_cfg = zoo.get_config("rm1", table_scale=1000)
+    assert RecDataGenerator(dense_cfg, 0).generate_batch(2).dense.shape == (2, 128)
+    for name in ("ncf", "din", "dien"):
+        cfg = zoo.get_config(name, table_scale=1000)
+        assert RecDataGenerator(cfg, 0).generate_batch(2).dense is None
+
+
+def test_small_table_fallback():
+    cfg = zoo.get_config("rm2", table_scale=10000)  # 50-row tables, L=120 > size
+    with pytest.raises(ValueError):
+        RecDataGenerator(cfg, 0).generate_batch(2)
+    cfg2 = zoo.get_config("rm2", table_scale=2000)  # 250-row tables, L=120: dense fallback
+    batch = RecDataGenerator(cfg2, 0).generate_batch(4)
+    d = np.diff(batch.indices, axis=2)
+    assert (d > 0).all()
+
+
+def test_targets():
+    cfg = zoo.get_config("rm1", table_scale=1000)
+    gen = RecDataGenerator(cfg, seed=0)
+    t = gen.generate_targets(8)
+    assert t.shape == (8, 1)
+    assert ((t >= 0) & (t < 1)).all()
+    tr = gen.generate_targets(8, round_targets=True)
+    assert set(np.unique(tr)) <= {0.0, 1.0}
+
+
+def test_generator_reproducible():
+    cfg = zoo.get_config("ncf", table_scale=100)
+    a = RecDataGenerator(cfg, seed=5).generate_batch(4)
+    b = RecDataGenerator(cfg, seed=5).generate_batch(4)
+    np.testing.assert_array_equal(a.indices, b.indices)
+    c = RecDataGenerator(cfg, seed=6).generate_batch(4)
+    assert not np.array_equal(a.indices, c.indices)
+
+
+# ----------------------------------------------------------------------
+# Stack-distance trace model (data_generator/trace_*.py parity)
+# ----------------------------------------------------------------------
+
+
+def test_trace_profile_simple():
+    # a b a c b: distances 0,0,2,0,3 ; uniques a,b,c
+    lines, sds = trace_mod.trace_profile([1, 2, 1, 3, 2])
+    assert lines == [1, 2, 3]
+    assert sds == [0, 0, 2, 0, 3]
+
+
+def test_trace_roundtrip_through_file(tmp_path):
+    line_accesses, vals, cdf = trace_mod.synthesize_zipf_distribution(200, num_samples=2000)
+    p = tmp_path / "dist.txt"
+    trace_mod.write_dist_file(p, line_accesses, vals, cdf)
+    la, sd, cs = trace_mod.read_dist_from_file(p)
+    assert la == [int(x) for x in line_accesses]
+    assert sd == [int(v) for v in vals]
+    assert len(cs) == len(cdf)
+    refs = trace_mod.trace_generate_lru(la, sd, cs, 50, rng=np.random.default_rng(0))
+    assert len(refs) == 50
+    assert all(r in set(la) | set(refs) for r in refs)
+
+
+def test_synthetic_generation_mode(tmp_path):
+    cfg = zoo.get_config("ncf", table_scale=100)
+    line_accesses, vals, cdf = trace_mod.synthesize_zipf_distribution(64, num_samples=4000)
+    p = tmp_path / "dist.txt"
+    trace_mod.write_dist_file(p, line_accesses, vals, cdf)
+    gen = RecDataGenerator(cfg, seed=0, data_generation="synthetic", trace_file=str(p))
+    batch = gen.generate_batch(4)
+    assert batch.indices.shape == (4, 4, 1)
+    for t, n in enumerate(cfg.scaled_rows):
+        assert batch.indices[:, t, :].max() < n
+        assert batch.indices[:, t, :].min() >= 0

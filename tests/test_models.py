@@ -1,0 +1,104 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeprecsys_tpu import zoo
+from deeprecsys_tpu.data import RecDataGenerator
+from deeprecsys_tpu.models import get_model
+
+SCALE = 2000  # shrink tables for CPU tests; architecture dims unchanged
+
+
+@pytest.fixture(scope="module", params=zoo.MODEL_NAMES)
+def model_and_batch(request):
+    cfg = zoo.get_config(request.param, table_scale=SCALE)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    gen = RecDataGenerator(cfg, seed=7)
+    batch = gen.generate_batch(4)
+    return cfg, model, params, batch
+
+
+def test_forward_shape_and_finite(model_and_batch):
+    cfg, model, params, batch = model_and_batch
+    out = model.apply(params, batch)
+    assert out.shape == (4, cfg.out_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_forward_deterministic_and_jittable(model_and_batch):
+    cfg, model, params, batch = model_and_batch
+    jit_apply = jax.jit(model.apply)
+    a = np.asarray(jit_apply(params, batch))
+    b = np.asarray(jit_apply(params, batch))
+    c = np.asarray(model.apply(params, batch))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
+
+
+def test_batch_independence(model_and_batch):
+    # Row i of the output depends only on row i of the inputs — catches
+    # accidental cross-batch mixing in the fused layouts.
+    cfg, model, params, batch = model_and_batch
+    out_full = np.asarray(model.apply(params, batch))
+    sub = type(batch)(
+        dense=None if batch.dense is None else batch.dense[:2],
+        indices=batch.indices[:2],
+    )
+    out_sub = np.asarray(model.apply(params, sub))
+    np.testing.assert_allclose(out_full[:2], out_sub, rtol=1e-4, atol=1e-5)
+
+
+def test_sigmoid_output_ranges():
+    # DLRM / WnD / MT-WnD end in sigmoid; outputs must be in (0, 1).
+    for name in ("rm1", "wnd", "mtwnd"):
+        cfg = zoo.get_config(name, table_scale=SCALE)
+        model = get_model(cfg)
+        params = model.init(jax.random.PRNGKey(1))
+        batch = RecDataGenerator(cfg, seed=3).generate_batch(3)
+        out = np.asarray(model.apply(params, batch))
+        assert ((out > 0) & (out < 1)).all(), name
+
+
+def test_mtwnd_output_is_tasks_times_head():
+    cfg = zoo.get_config("mtwnd", table_scale=SCALE)
+    assert cfg.out_dim == cfg.num_multi_tasks * cfg.mlp_tasks[-1]
+
+
+def test_dlrm_dot_variant_runs():
+    cfg = zoo.get_config("rm1", table_scale=SCALE).replace(interaction_op="dot")
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = RecDataGenerator(cfg, seed=7).generate_batch(4)
+    out = model.apply(params, batch)
+    assert out.shape == (4, 1)
+
+
+def test_din_attention_depends_on_behavior_tables():
+    cfg = zoo.get_config("din", table_scale=SCALE)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    gen = RecDataGenerator(cfg, seed=7)
+    batch = gen.generate_batch(2)
+    out1 = np.asarray(model.apply(params, batch))
+    # Perturb all behavior-table indices -> output must change. (A single
+    # table can legitimately be insensitive: the din config's attention MLP
+    # is a 1-wide ReLU bottleneck, [3m]->[1]->[m], which is dead for ~half
+    # of random inits.)
+    idx = np.array(batch.indices)
+    for t in cfg.behavior_table_ids:
+        idx[:, t, :] = (idx[:, t, :] + 1) % cfg.scaled_rows[t]
+    out2 = np.asarray(model.apply(params, type(batch)(batch.dense, jnp.asarray(idx))))
+    assert not np.allclose(out1, out2)
+
+
+def test_bf16_compute_path():
+    cfg = zoo.get_config("rm1", table_scale=SCALE).replace(
+        param_dtype="bfloat16", compute_dtype="bfloat16"
+    )
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = RecDataGenerator(cfg, seed=7).generate_batch(4)
+    out = np.asarray(model.apply(params, batch).astype(jnp.float32))
+    assert np.isfinite(out).all()

@@ -1,0 +1,109 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeprecsys_tpu.ops import (
+    embedding_bag,
+    init_fused_tables,
+    mlp_init,
+    mlp_apply,
+    dot_interaction,
+    cat_interaction,
+    basic_rnn_init,
+    basic_rnn_scan,
+)
+
+
+def test_embedding_bag_matches_naive():
+    rng = np.random.default_rng(0)
+    table_rows = [50, 30, 20]
+    d, B, L = 8, 4, 3
+    table = rng.normal(size=(100, d)).astype(np.float32)
+    offsets = np.array([0, 50, 80], dtype=np.int32)
+    indices = np.stack(
+        [np.stack([rng.integers(0, n, size=L) for n in table_rows]) for _ in range(B)]
+    ).astype(np.int32)
+    out = embedding_bag(jnp.asarray(table), jnp.asarray(offsets), jnp.asarray(indices))
+    # Naive per-table SparseLengthsSum semantics.
+    expected = np.zeros((B, 3, d), dtype=np.float32)
+    for b in range(B):
+        for t in range(3):
+            for l in range(L):
+                expected[b, t] += table[offsets[t] + indices[b, t, l]]
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6)
+
+
+def test_init_fused_tables_scale_per_table():
+    key = jax.random.PRNGKey(0)
+    rows = [10, 1000]
+    t = np.asarray(init_fused_tables(key, rows, 16))
+    assert t.shape == (1010, 16)
+    # Each table's values bounded by sqrt(1/n) (reference init dist).
+    assert np.abs(t[:10]).max() <= np.sqrt(1 / 10) + 1e-6
+    assert np.abs(t[10:]).max() <= np.sqrt(1 / 1000) + 1e-6
+    # And the bigger table is genuinely tighter.
+    assert np.abs(t[10:]).max() < np.abs(t[:10]).max()
+
+
+def test_mlp_shapes_and_sigmoid():
+    key = jax.random.PRNGKey(1)
+    params = mlp_init(key, (12, 8, 4))
+    x = jax.random.normal(jax.random.PRNGKey(2), (5, 12))
+    y_relu = mlp_apply(params, x)
+    assert y_relu.shape == (5, 4)
+    assert np.all(np.asarray(y_relu) >= 0)
+    y_sig = mlp_apply(params, x, sigmoid_layer=2)
+    assert np.all((np.asarray(y_sig) > 0) & (np.asarray(y_sig) < 1))
+    # Sigmoid only at the chosen layer: layer-1 output still ReLU.
+    np.testing.assert_allclose(np.asarray(y_relu)[0, 0], np.asarray(mlp_apply(params, x))[0, 0])
+
+
+def test_dot_interaction_matches_naive():
+    rng = np.random.default_rng(3)
+    B, T, d = 3, 4, 8
+    dense = rng.normal(size=(B, d)).astype(np.float32)
+    emb = rng.normal(size=(B, T, d)).astype(np.float32)
+    out = np.asarray(dot_interaction(jnp.asarray(dense), jnp.asarray(emb)))
+    F = T + 1
+    feats = np.concatenate([dense[:, None], emb], axis=1)
+    z = np.einsum("bfd,bgd->bfg", feats, feats)
+    pairs = [(i, j) for i in range(F) for j in range(i)]
+    expected = np.concatenate([dense, np.stack([z[:, i, j] for i, j in pairs], axis=1)], axis=1)
+    assert out.shape == (B, d + F * (F - 1) // 2)
+    np.testing.assert_allclose(out, expected, rtol=1e-5)
+
+
+def test_dot_interaction_itself_includes_diag():
+    B, T, d = 2, 2, 4
+    dense = np.ones((B, d), dtype=np.float32)
+    emb = np.ones((B, T, d), dtype=np.float32)
+    out = dot_interaction(jnp.asarray(dense), jnp.asarray(emb), self_interaction=True)
+    F = T + 1
+    assert out.shape == (B, d + F * (F + 1) // 2)
+
+
+def test_cat_interaction():
+    dense = jnp.ones((2, 3))
+    emb = jnp.arange(2 * 4 * 5, dtype=jnp.float32).reshape(2, 4, 5)
+    out = cat_interaction(dense, emb)
+    assert out.shape == (2, 3 + 20)
+    np.testing.assert_allclose(np.asarray(out[:, :3]), 1.0)
+    out2 = cat_interaction(None, emb)
+    assert out2.shape == (2, 20)
+
+
+def test_basic_rnn_matches_loop():
+    key = jax.random.PRNGKey(4)
+    T, B, In, H = 5, 3, 6, 7
+    params = basic_rnn_init(key, In, H)
+    xs = jax.random.normal(jax.random.PRNGKey(5), (T, B, In))
+    all_h, last = basic_rnn_scan(params, xs)
+    assert all_h.shape == (T, B, H)
+    # Naive loop.
+    p = {k: np.asarray(v) for k, v in params.items()}
+    h = np.zeros((B, H), dtype=np.float32)
+    for t in range(T):
+        h = np.tanh(np.asarray(xs[t]) @ p["i2h_w"] + p["i2h_b"] + h @ p["h2h_w"] + p["h2h_b"])
+    np.testing.assert_allclose(np.asarray(last), h, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(all_h[-1]), h, rtol=1e-5, atol=1e-6)
