@@ -1,0 +1,225 @@
+"""Inference engines.
+
+Reference: ``inferenceEngine.py`` — one OS process per engine, two threads:
+the main thread pops ``ServiceRequest``s and feeds pre-generated data
+sliced to the request's batch size through Caffe2 BlobsQueues
+(:191-215), while a daemon thread blocks inside the static graph on
+``DequeueBlobs`` and stamps ``inference_end_time`` when the net finishes
+(:26-59). ``accelInferenceEngine.py`` is a simulator: latency-table lookup
++ ``time.sleep`` (:58-64).
+
+TPU-native redesign (the chip is a single shared device, so engines are
+threads in one process, not processes):
+
+- ``ComputeEngine`` keeps a jitted forward per static BATCH BUCKET
+  (power-of-two-ish ladder). XLA needs static shapes, so a request of size
+  s runs at bucket ceil(s): the TPU analog of the reference's
+  "pre-generate at max size then slice" (inferenceEngine.py:200-206).
+  All buckets are compiled during warm-up, before the engine signals ready.
+- Two-stage pipeline per engine, mirroring the reference's feed/run thread
+  split: the request thread slices + dispatches (JAX dispatch is async and
+  returns immediately), a completion thread blocks on the result and
+  stamps ``inference_end_time``. Device compute of request k overlaps host
+  work of request k+1.
+- ``SimEngine`` consumes whole queries and sleeps per a ``LatencyModel``
+  (the reference's accel-simulator pattern) — used for serving-layer tests
+  without hardware.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+
+import jax
+import numpy as np
+
+from deeprecsys_tpu.config import ModelConfig, ServingConfig
+from deeprecsys_tpu.data import RecDataGenerator
+from deeprecsys_tpu.models import get_model
+from deeprecsys_tpu.models.base import Batch
+from deeprecsys_tpu.serving.latency_model import LatencyModel
+from deeprecsys_tpu.serving.packets import ServiceRequest, ServiceResponse
+
+_SENTINEL = None
+
+
+def pick_bucket(buckets, batch_size: int) -> int:
+    """Smallest compiled bucket >= batch_size (last bucket caps)."""
+    for b in buckets:
+        if b >= batch_size:
+            return b
+    return buckets[-1]
+
+
+class ComputeEngine(threading.Thread):
+    """A real (TPU or CPU-backend) inference engine thread."""
+
+    def __init__(
+        self,
+        engine_id: int,
+        model_cfg: ModelConfig,
+        serving_cfg: ServingConfig,
+        request_q: "queue.Queue",
+        response_q: "queue.Queue",
+        ready_q: "queue.Queue",
+        device=None,
+        params=None,
+        seed: int = 0,
+    ):
+        super().__init__(name=f"engine-{engine_id}", daemon=True)
+        self.engine_id = engine_id
+        self.model_cfg = model_cfg
+        self.serving_cfg = serving_cfg
+        self.request_q = request_q
+        self.response_q = response_q
+        self.ready_q = ready_q
+        self.device = device if device is not None else jax.devices()[0]
+        self.params = params
+        self.seed = seed
+        self.buckets = tuple(
+            b for b in sorted(serving_cfg.batch_buckets) if b <= serving_cfg.max_mini_batch_size
+        ) or (serving_cfg.max_mini_batch_size,)
+        self._jitted: dict[int, callable] = {}
+        self._host_data: dict[int, Batch] = {}
+        self._pending: "queue.Queue" = queue.Queue()
+        self.error: Exception | None = None
+
+    # -- setup ---------------------------------------------------------
+
+    def _setup(self):
+        model = get_model(self.model_cfg)
+        if self.params is None:
+            with jax.default_device(self.device):
+                self.params = jax.device_put(
+                    model.init(jax.random.PRNGKey(self.seed)), self.device
+                )
+        # Pre-generate one max-size batch; per-bucket host slices feed each
+        # request (reference: pre-generate then slice, inferenceEngine.py:200-206).
+        gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17)
+        full = gen.generate_batch(max(self.buckets))
+        apply_fn = jax.jit(model.apply, device=self.device)
+        for b in self.buckets:
+            sliced = Batch(
+                dense=None if full.dense is None else full.dense[:b],
+                indices=full.indices[:b],
+            )
+            self._host_data[b] = sliced
+            self._jitted[b] = apply_fn
+            # Warm-up compile for this bucket shape.
+            apply_fn(self.params, self._device_batch(sliced)).block_until_ready()
+
+    def _device_batch(self, host_batch: Batch) -> Batch:
+        dense = None if host_batch.dense is None else jax.device_put(host_batch.dense, self.device)
+        return Batch(dense=dense, indices=jax.device_put(host_batch.indices, self.device))
+
+    # -- run loop ------------------------------------------------------
+
+    def run(self):
+        try:
+            self._setup()
+        except Exception as e:  # surface engine failures instead of hanging
+            self.error = e
+            self.ready_q.put(e)
+            self.response_q.put(_SENTINEL)
+            return
+        self.ready_q.put(self.engine_id)
+
+        completer = threading.Thread(target=self._completion_loop, daemon=True)
+        completer.start()
+        while True:
+            request = self.request_q.get()
+            if request is _SENTINEL:
+                self._pending.put(_SENTINEL)
+                break
+            queue_start = time.time()
+            bucket = pick_bucket(self.buckets, request.batch_size)
+            host = self._host_data[bucket]
+            # Fresh host->device transfer each request: honest serving cost
+            # (the reference re-feeds host blobs through BlobsQueues too).
+            dev_batch = self._device_batch(host)
+            out = self._jitted[bucket](self.params, dev_batch)
+            queue_end = time.time()
+            self._pending.put((request, out, queue_start, queue_end))
+        completer.join()
+        self.response_q.put(_SENTINEL)
+
+    def _completion_loop(self):
+        while True:
+            item = self._pending.get()
+            if item is _SENTINEL:
+                return
+            request, out, queue_start, queue_end = item
+            out.block_until_ready()
+            self.response_q.put(
+                ServiceResponse(
+                    consumer_id=self.engine_id,
+                    epoch=request.epoch,
+                    batch_id=request.batch_id,
+                    batch_size=request.batch_size,
+                    arrival_time=request.arrival_time,
+                    queue_start_time=queue_start,
+                    queue_end_time=queue_end,
+                    inference_end_time=time.time(),
+                    out_batch_size=request.batch_size,
+                    sub_id=request.sub_id,
+                    total_sub_batches=request.total_sub_batches,
+                    exp_packet=request.exp_packet,
+                )
+            )
+
+
+class SimEngine(threading.Thread):
+    """Latency-model engine: sleeps instead of computing.
+
+    Reference: ``accelInferenceEngine.py`` — validates the model name,
+    loads characterization data, and per request sleeps
+    ``predict_time(model, batch)`` (:44-84). Used here both as the
+    serving-test fake and as the "simulated accelerator" parity path.
+    """
+
+    def __init__(
+        self,
+        engine_id: int,
+        model_cfg: ModelConfig,
+        serving_cfg: ServingConfig,
+        request_q: "queue.Queue",
+        response_q: "queue.Queue",
+        ready_q: "queue.Queue",
+        latency_model: LatencyModel,
+    ):
+        super().__init__(name=f"sim-engine-{engine_id}", daemon=True)
+        self.engine_id = engine_id
+        self.request_q = request_q
+        self.response_q = response_q
+        self.ready_q = ready_q
+        self.latency_model = latency_model
+
+    def run(self):
+        self.ready_q.put(self.engine_id)
+        while True:
+            request = self.request_q.get()
+            if request is _SENTINEL:
+                break
+            queue_start = time.time()
+            eval_ms = self.latency_model.predict_ms(request.batch_size)
+            time.sleep(eval_ms / 1000.0)
+            now = time.time()
+            self.response_q.put(
+                ServiceResponse(
+                    consumer_id=self.engine_id,
+                    epoch=request.epoch,
+                    batch_id=request.batch_id,
+                    batch_size=request.batch_size,
+                    arrival_time=request.arrival_time,
+                    queue_start_time=queue_start,
+                    queue_end_time=now,
+                    inference_end_time=now,
+                    out_batch_size=request.batch_size,
+                    sub_id=request.sub_id,
+                    total_sub_batches=request.total_sub_batches,
+                    exp_packet=request.exp_packet,
+                )
+            )
+        self.response_q.put(_SENTINEL)

@@ -1,0 +1,152 @@
+"""End-to-end serving orchestration.
+
+Reference: ``DeepRecSys.py:21-185`` — queue creation, process spawning,
+the response aggregation loop with windowed-p95 feedback, and the final
+QPS / p95 / p99 report.
+
+TPU-native: engines are threads sharing the chip (see engine.py); queues
+are ``queue.Queue``; everything else keeps the reference's dataflow —
+request queue (bounded 1024), accel queue (bounded 32), pid (latency
+feedback) queue, one response queue, readiness barrier queue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import time
+
+import jax
+
+from deeprecsys_tpu.config import ModelConfig, ServingConfig
+from deeprecsys_tpu.serving.engine import ComputeEngine, SimEngine
+from deeprecsys_tpu.serving.latency_model import LatencyModel
+from deeprecsys_tpu.serving.load_generator import LoadGenerator
+from deeprecsys_tpu.serving.metrics import ResponseAggregator
+
+
+@dataclasses.dataclass
+class ServingResult:
+    measured_qps: float
+    p50_ms: float
+    p95_ms: float
+    p99_ms: float
+    num_responses: int
+    cpu_requests: int
+    cpu_sub_requests: int
+    accel_requests: int
+    optimal_sub_batch: int | None
+    optimal_accel_thres: int | None
+    wall_s: float
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def run_serving(
+    model_cfg: ModelConfig,
+    serving_cfg: ServingConfig,
+    latency_model: LatencyModel | None = None,
+    accel_latency_model: LatencyModel | None = None,
+    settle_s: float = 3.0,
+    params=None,
+    log_responses: bool = False,
+) -> ServingResult:
+    """Run the full serving stack and return measured QPS / tail latency.
+
+    Engine backends (serving_cfg.engine_backend):
+      - "tpu": ComputeEngine on jax.devices()[0]
+      - "cpu": ComputeEngine on the host CPU backend
+      - "sim": SimEngine driven by ``latency_model`` (required)
+
+    With ``model_accel`` set, one extra engine consumes whole big queries:
+    a SimEngine with ``accel_latency_model`` if given (reference parity:
+    simulated accelerator), else a ComputeEngine on the TPU (the real
+    big-batch path).
+    """
+    cfg = serving_cfg
+    request_q: queue.Queue = queue.Queue(maxsize=1024)
+    accel_request_q: queue.Queue = queue.Queue(maxsize=32)
+    pid_q: queue.Queue = queue.Queue()
+    response_q: queue.Queue = queue.Queue()
+    ready_q: queue.Queue = queue.Queue()
+
+    def _device_for_backend():
+        if cfg.engine_backend == "cpu":
+            cpus = [d for d in jax.devices("cpu")]
+            return cpus[0]
+        return jax.devices()[0]
+
+    engines = []
+    for i in range(cfg.inference_engines):
+        if cfg.engine_backend == "sim":
+            if latency_model is None:
+                raise ValueError("sim backend requires a latency_model")
+            engines.append(SimEngine(i, model_cfg, cfg, request_q, response_q, ready_q, latency_model))
+        else:
+            engines.append(
+                ComputeEngine(i, model_cfg, cfg, request_q, response_q, ready_q,
+                              device=_device_for_backend(), params=params, seed=cfg.seed + i)
+            )
+    total_engines = cfg.inference_engines
+    if cfg.model_accel:
+        aid = total_engines
+        if accel_latency_model is not None:
+            engines.append(SimEngine(aid, model_cfg, cfg, accel_request_q, response_q, ready_q,
+                                     accel_latency_model))
+        else:
+            engines.append(
+                ComputeEngine(aid, model_cfg, cfg, accel_request_q, response_q, ready_q,
+                              device=jax.devices()[0], params=params, seed=cfg.seed + aid)
+            )
+        total_engines += 1
+
+    loadgen = LoadGenerator(cfg, request_q, accel_request_q, pid_q, ready_q, settle_s=settle_s)
+
+    t0 = time.time()
+    for e in engines:
+        e.start()
+    loadgen.start()
+
+    agg = ResponseAggregator(cfg.req_granularity)
+    finished = 0
+    while finished < total_engines:
+        response = response_q.get()
+        if response is None:
+            finished += 1
+            continue
+        windowed_p95 = agg.add(response)
+        if windowed_p95 is not None:
+            pid_q.put(windowed_p95)
+
+    loadgen.join()
+    for e in engines:
+        e.join()
+    if loadgen.error is not None:
+        raise RuntimeError("load generator failed") from loadgen.error
+    wall = time.time() - t0
+
+    if log_responses and cfg.log_file:
+        import os
+        d = os.path.dirname(cfg.log_file)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(cfg.log_file, "w") as f:
+            for r in agg.responses:
+                f.write(str(dataclasses.asdict(r)) + "\n")
+
+    sub_opt = loadgen.cpu_scheduler.optimal_config if cfg.tune_batch_qps else None
+    accel_opt = loadgen.accel_scheduler.optimal_config if cfg.tune_accel_qps else None
+    return ServingResult(
+        measured_qps=agg.measured_qps(),
+        p50_ms=agg.tail_latency_ms(50),
+        p95_ms=agg.tail_latency_ms(95),
+        p99_ms=agg.tail_latency_ms(99),
+        num_responses=len(agg.responses),
+        cpu_requests=loadgen.cpu_requests,
+        cpu_sub_requests=loadgen.cpu_sub_requests,
+        accel_requests=loadgen.accel_requests,
+        optimal_sub_batch=sub_opt,
+        optimal_accel_thres=accel_opt,
+        wall_s=wall,
+    )

@@ -1,0 +1,158 @@
+import queue
+
+import numpy as np
+import pytest
+
+from deeprecsys_tpu import zoo
+from deeprecsys_tpu.config import ServingConfig
+from deeprecsys_tpu.serving.engine import pick_bucket
+from deeprecsys_tpu.serving.latency_model import LatencyModel
+from deeprecsys_tpu.serving.load_generator import model_batch_sizes, partition_query
+from deeprecsys_tpu.serving.metrics import ResponseAggregator
+from deeprecsys_tpu.serving.packets import ServiceResponse
+from deeprecsys_tpu.serving.orchestrator import run_serving
+
+SCALE = 5000
+
+
+def test_partition_query():
+    assert partition_query(100, 32) == [32, 32, 32, 4]
+    assert partition_query(16, 32) == [16]
+    assert partition_query(64, 64) == [64]
+
+
+def test_pick_bucket():
+    buckets = (1, 2, 4, 8, 16)
+    assert pick_bucket(buckets, 1) == 1
+    assert pick_bucket(buckets, 3) == 4
+    assert pick_bucket(buckets, 16) == 16
+    assert pick_bucket(buckets, 100) == 16  # capped
+
+
+def test_batch_size_distributions():
+    rng = np.random.default_rng(0)
+    cfg = ServingConfig(num_batches=500, batch_size_distribution="normal",
+                        avg_mini_batch_size=165, var_mini_batch_size=16,
+                        max_mini_batch_size=1024)
+    sizes = model_batch_sizes(cfg, rng)
+    assert sizes.shape == (500,)
+    assert sizes.min() >= 1 and sizes.max() <= 1024
+    assert 150 < sizes.mean() < 180
+    cfg2 = ServingConfig(num_batches=100, batch_size_distribution="fixed",
+                         avg_mini_batch_size=7)
+    assert (model_batch_sizes(cfg2, rng) == 7).all()
+    cfg3 = ServingConfig(num_batches=2000, batch_size_distribution="lognormal",
+                         avg_mini_batch_size=5.1, var_mini_batch_size=0.2,
+                         max_mini_batch_size=1024)
+    s3 = model_batch_sizes(cfg3, rng)
+    assert 120 < np.median(s3) < 220  # exp(5.1) ~ 164
+
+
+def test_latency_model_interpolation():
+    m = LatencyModel([1, 4, 16, 64], [1.0, 2.0, 4.0, 8.0])
+    assert m.predict_ms(4) == pytest.approx(2.0)
+    assert m.predict_ms(1) == pytest.approx(1.0)
+    # log4 midpoint of [4, 16] is 8 -> halfway between 2 and 4 ms.
+    assert m.predict_ms(8) == pytest.approx(3.0)
+    # extrapolation continues last log-slope: 64->256 doubles again
+    assert m.predict_ms(256) == pytest.approx(12.0)
+    d = m.to_json()
+    m2 = LatencyModel.from_json(d)
+    assert m2.predict_ms(8) == pytest.approx(3.0)
+
+
+def test_response_aggregator_joins_sub_batches():
+    agg = ResponseAggregator(req_granularity=2)
+    def resp(batch_id, sub_id, total, arr, inf, exp=False):
+        return ServiceResponse(epoch=0, batch_id=batch_id, sub_id=sub_id,
+                               total_sub_batches=total, arrival_time=arr,
+                               inference_end_time=inf, exp_packet=exp)
+    assert agg.add(resp(0, 0, 2, arr=10.0, inf=10.5)) is None
+    p = agg.add(resp(0, 1, 2, arr=10.01, inf=10.7))
+    assert p is None  # first completed query, window boundary at 2
+    assert agg.latencies == [pytest.approx(0.7)]  # max(inf) - min(arr)
+    p = agg.add(resp(1, 0, 1, arr=11.0, inf=11.2))
+    assert p is not None  # second completion crosses granularity 2
+    assert agg.final_latencies == [pytest.approx(0.7), pytest.approx(0.2)]
+
+
+def test_aggregator_excludes_exp_packets_from_final():
+    agg = ResponseAggregator(req_granularity=64)
+    agg.add(ServiceResponse(epoch=0, batch_id=0, sub_id=0, total_sub_batches=1,
+                            arrival_time=0.0, inference_end_time=1.0, exp_packet=True))
+    assert agg.latencies and not agg.final_latencies
+
+
+def test_end_to_end_sim_serving():
+    """Full stack with the sleep-based fake engine (the reference's own
+    accel-simulator pattern) — no hardware needed."""
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(
+        num_batches=40, nepochs=2, inference_engines=2, engine_backend="sim",
+        avg_arrival_rate_ms=1.0, batch_size_distribution="fixed",
+        avg_mini_batch_size=64, max_mini_batch_size=256,
+        sub_task_batch_size=32, req_granularity=8, seed=1,
+    )
+    lm = LatencyModel([1, 64, 256], [0.2, 0.5, 1.0])
+    res = run_serving(model_cfg, cfg, latency_model=lm, settle_s=0.01)
+    # 40 batches x 2 epochs, each split into 2 sub-batches of 32.
+    assert res.cpu_requests == 80
+    assert res.cpu_sub_requests == 160
+    assert res.num_responses == 160
+    assert res.measured_qps > 0
+    assert res.p95_ms >= 0.5  # at least one sub-batch sleep
+
+
+def test_end_to_end_sim_with_accel_offload():
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(
+        num_batches=30, nepochs=1, inference_engines=1, engine_backend="sim",
+        avg_arrival_rate_ms=1.0, batch_size_distribution="normal",
+        avg_mini_batch_size=100, var_mini_batch_size=60, max_mini_batch_size=512,
+        sub_task_batch_size=64, req_granularity=8, seed=3,
+        model_accel=True, accel_request_size_thres=128,
+    )
+    lm = LatencyModel([1, 512], [0.2, 0.5])
+    accel_lm = LatencyModel([1, 512], [0.05, 0.1])
+    res = run_serving(model_cfg, cfg, latency_model=lm, accel_latency_model=accel_lm,
+                      settle_s=0.01)
+    assert res.accel_requests > 0
+    assert res.cpu_requests > 0
+    assert res.cpu_requests + res.accel_requests == 30
+
+
+def test_end_to_end_compute_cpu_engine():
+    """Real jitted model through the serving stack on the CPU backend."""
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(
+        num_batches=16, nepochs=1, inference_engines=1, engine_backend="cpu",
+        avg_arrival_rate_ms=0.5, batch_size_distribution="fixed",
+        avg_mini_batch_size=24, max_mini_batch_size=64,
+        batch_buckets=(8, 16, 32, 64), sub_task_batch_size=16,
+        req_granularity=4, seed=5,
+    )
+    res = run_serving(model_cfg, cfg, settle_s=0.01)
+    assert res.cpu_requests == 16
+    assert res.cpu_sub_requests == 32  # 24 -> [16, 8]
+    assert res.num_responses == 32
+    assert res.measured_qps > 0
+    assert np.isfinite(res.p95_ms)
+
+
+def test_scheduler_tunes_in_sim_loop():
+    """tune_batch_qps end-to-end: the hill climber must converge and pick a
+    sub-batch config, after which non-exp traffic flows."""
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(
+        num_batches=64, nepochs=1, inference_engines=2, engine_backend="sim",
+        avg_arrival_rate_ms=1.0, batch_size_distribution="fixed",
+        avg_mini_batch_size=128, max_mini_batch_size=256,
+        sub_task_batch_size=64, req_granularity=8, seed=7,
+        tune_batch_qps=True, batch_configs=(32, 64, 128),
+        arr_steps=5, sched_timeout=4, target_latency_ms=5.0,
+        min_arr_range=0.5, max_arr_range=8.0,
+    )
+    lm = LatencyModel([1, 32, 256], [0.1, 0.3, 1.2])
+    res = run_serving(model_cfg, cfg, latency_model=lm, settle_s=0.01)
+    assert res.optimal_sub_batch in (32, 64, 128)
+    assert res.measured_qps > 0
