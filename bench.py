@@ -1,0 +1,138 @@
+"""Benchmark: all eight model families, TPU vs. self-measured CPU baseline.
+
+The reference publishes no absolute numbers (BASELINE.md), so the baseline
+is self-measured: the same models, same synthetic data, run on the host CPU
+backend in float32 (the reference's engines are f32 CPU Caffe2). The TPU
+path runs bfloat16 params/compute.
+
+Prints ONE JSON line:
+  metric      : inference throughput, geometric mean over the 8 models
+  value       : geomean samples/s on TPU at batch 512
+  unit        : samples/s
+  vs_baseline : geomean TPU-vs-CPU speedup (>= 2.0 meets the BASELINE.md
+                north-star "2x reference CPU QPS" bar)
+
+The CPU baseline is cached in benchmarks/cpu_baseline.json (regenerate with
+--cpu-baseline). Per-model details go to benchmarks/last_bench.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).parent
+BASELINE_PATH = ROOT / "benchmarks" / "cpu_baseline.json"
+DETAIL_PATH = ROOT / "benchmarks" / "last_bench.json"
+
+MODELS = ("rm1", "rm2", "rm3", "wnd", "mtwnd", "ncf", "din", "dien")
+
+
+def measure_model(name: str, device, batch_size: int, table_scale: int,
+                  param_dtype: str, warmup: int = 3, iters: int = 10) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+
+    cfg = zoo.get_config(name, table_scale=table_scale,
+                         param_dtype=param_dtype, compute_dtype=param_dtype)
+    model = get_model(cfg)
+    with jax.default_device(device):
+        params = jax.device_put(model.init(jax.random.PRNGKey(0)), device)
+        gen = RecDataGenerator(cfg, seed=0)
+        host = gen.generate_batch(batch_size)
+        batch = Batch(
+            dense=None if host.dense is None else jax.device_put(jnp.asarray(host.dense), device),
+            indices=jax.device_put(jnp.asarray(host.indices), device),
+        )
+        fn = jax.jit(model.apply, device=device)
+        t_c0 = time.perf_counter()
+        fn(params, batch).block_until_ready()
+        compile_s = time.perf_counter() - t_c0
+        for _ in range(warmup):
+            fn(params, batch).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(params, batch)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+    # free the big tables before the next model
+    del params, batch
+    return {
+        "model": name,
+        "batch": batch_size,
+        "latency_ms": dt * 1000.0,
+        "samples_per_s": batch_size / dt,
+        "compile_s": compile_s,
+    }
+
+
+def run_suite(device, batch_size, table_scale, param_dtype, iters) -> dict:
+    results = {}
+    for name in MODELS:
+        r = measure_model(name, device, batch_size, table_scale, param_dtype, iters=iters)
+        results[name] = r
+        print(f"# {name}: {r['samples_per_s']:.0f} samples/s "
+              f"({r['latency_ms']:.2f} ms @ b={batch_size})", flush=True)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--table-scale", type=int, default=8,
+                    help="divide table rows (8 => rm1 500k-row tables)")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--cpu-baseline", action="store_true",
+                    help="(re)measure the CPU f32 baseline and cache it")
+    args = ap.parse_args()
+
+    import jax
+
+    tpu_devices = [d for d in jax.devices() if d.platform != "cpu"]
+    device = tpu_devices[0] if tpu_devices else jax.devices()[0]
+    print(f"# benchmark device: {device}", flush=True)
+
+    if args.cpu_baseline or not BASELINE_PATH.exists():
+        cpu = jax.devices("cpu")[0]
+        print("# measuring CPU f32 baseline...", flush=True)
+        cpu_results = run_suite(cpu, args.batch, args.table_scale, "float32", iters=3)
+        BASELINE_PATH.parent.mkdir(exist_ok=True)
+        BASELINE_PATH.write_text(json.dumps(
+            {"batch": args.batch, "table_scale": args.table_scale, "results": cpu_results},
+            indent=2))
+    baseline = json.loads(BASELINE_PATH.read_text())
+
+    results = run_suite(device, args.batch, args.table_scale, "bfloat16", iters=args.iters)
+
+    speedups = []
+    for name in MODELS:
+        base = baseline["results"].get(name)
+        if base and base["samples_per_s"] > 0:
+            speedups.append(results[name]["samples_per_s"] / base["samples_per_s"])
+    geomean_tput = float(np.exp(np.mean([np.log(results[m]["samples_per_s"]) for m in MODELS])))
+    geomean_speedup = float(np.exp(np.mean(np.log(speedups)))) if speedups else float("nan")
+
+    DETAIL_PATH.parent.mkdir(exist_ok=True)
+    DETAIL_PATH.write_text(json.dumps(
+        {"device": str(device), "tpu": results, "cpu_baseline": baseline,
+         "geomean_samples_per_s": geomean_tput, "geomean_speedup": geomean_speedup},
+        indent=2))
+
+    print(json.dumps({
+        "metric": "geomean inference throughput, 8 models, batch 512 (TPU bf16)",
+        "value": round(geomean_tput, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(geomean_speedup, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,8 +33,11 @@ def _unique_index_groups(rng: np.random.Generator, size: int, rows: int, L: int)
         return np.round(rng.random((rows, 1)) * (size - 1)).astype(np.int32)
     if L > size:
         raise ValueError(f"pooling factor {L} exceeds table size {size}")
-    if size <= 4 * L:
-        # Dense fallback: random permutation per row (rejection would thrash).
+    if L * (L - 1) >= size:
+        # Dense fallback: random partial permutation per row. Rejection
+        # would thrash here — by the birthday bound the whole-group success
+        # probability is ~exp(-L(L-1)/2n). Only reachable for scaled-down
+        # tables; production sizes never hit it (e.g. rm1: 80*79 << 4M).
         keys = rng.random((rows, size))
         idx = np.argpartition(keys, L - 1, axis=1)[:, :L].astype(np.int32)
         return np.sort(idx, axis=1)

@@ -1,0 +1,193 @@
+"""Parameter sharding and multi-chip execution.
+
+Design (SURVEY.md §2.3 "TPU-native mapping"):
+
+- Embedding tables are the memory giants (rm1: ~4 GB f32), so the fused
+  (total_rows, d) array is ROW-SHARDED over the mesh "model" axis: chip k
+  owns rows [k*R/M, (k+1)*R/M). A lookup computes masked partial pooled
+  sums from locally-owned rows and combines them with ONE ``psum`` over
+  ICI. Communication volume is (B_local, T, d) — independent of the pooling
+  factor L, which makes row-sharding the right choice for the heavy-pooling
+  models (rm1 L=80, rm2 L=120: up to 120x fewer bytes than exchanging raw
+  rows).
+- MLP towers are tiny by comparison and stay replicated; the batch is
+  sharded over the "data" axis. This is classic DLRM hybrid parallelism
+  (model-parallel embeddings + data-parallel MLPs) expressed as shardings
+  on one jitted function, with XLA inserting the collectives.
+
+Reference contrast: the reference's only intra-op parallelism is CPU
+thread pools on SparseLengthsSum/FC (``max_num_tasks``,
+``utils/utils.py:31-33``) and its only scale-out is N replicated processes
+on one host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deeprecsys_tpu.config import ModelConfig
+from deeprecsys_tpu.models.base import Batch
+
+
+# ----------------------------------------------------------------------
+# Parameter / batch shardings
+# ----------------------------------------------------------------------
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedShardings for a model's params: fused tables row-sharded over
+    "model", everything else replicated."""
+    def spec_for(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if "tables" in keys:
+            return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def batch_shardings(mesh: Mesh, has_dense: bool):
+    dense = NamedSharding(mesh, P("data", None)) if has_dense else None
+    idx = NamedSharding(mesh, P("data", None, None))
+    return Batch(dense=dense, indices=idx)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place params per ``param_shardings`` (host->device with layout)."""
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+# ----------------------------------------------------------------------
+# Row-sharded embedding lookup (shard_map building block)
+# ----------------------------------------------------------------------
+
+
+def sharded_embedding_bag(
+    table: jax.Array,
+    offsets: jax.Array,
+    indices: jax.Array,
+    mesh: Mesh,
+    total_rows: int,
+    *,
+    compute_dtype=None,
+) -> jax.Array:
+    """Pooled lookup with the table row-sharded over mesh axis "model" and
+    the batch sharded over "data".
+
+    Each chip gathers the indexed rows it owns (others contribute zeros)
+    and a single ``psum`` over "model" completes the pooled sums. Returns
+    (B, T, d) sharded over "data", replicated over "model".
+    """
+    from jax import shard_map
+
+    n_model = mesh.shape["model"]
+    assert total_rows % n_model == 0, (
+        f"total rows {total_rows} must divide over model axis {n_model}; "
+        "pad the last table (see pad_rows_for_mesh)"
+    )
+    rows_per_shard = total_rows // n_model
+
+    def local_fn(table_shard, offsets_rep, idx_local):
+        # table_shard: (rows_per_shard, d); idx_local: (B_loc, T, L) global-per-table
+        shard_id = jax.lax.axis_index("model")
+        row_start = shard_id * rows_per_shard
+        gidx = idx_local + offsets_rep[None, :, None]  # fused global row ids
+        lidx = gidx - row_start
+        valid = (lidx >= 0) & (lidx < rows_per_shard)
+        safe = jnp.where(valid, lidx, 0)
+        B, T, L = idx_local.shape
+        rows = jnp.take(table_shard, safe.reshape(-1), axis=0)
+        if compute_dtype is not None:
+            rows = rows.astype(compute_dtype)
+        rows = rows.reshape(B, T, L, -1)
+        rows = jnp.where(valid[..., None], rows, jnp.zeros((), rows.dtype))
+        pooled = rows.sum(axis=2)
+        return jax.lax.psum(pooled, "model")
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("model", None), P(), P("data", None, None)),
+        out_specs=P("data", None, None),
+    )(table, offsets, indices)
+
+
+def pad_rows_for_mesh(cfg: ModelConfig, n_model: int) -> int:
+    """Rows of padding needed so the fused table divides over the model axis."""
+    r = cfg.total_rows % n_model
+    return 0 if r == 0 else n_model - r
+
+
+# ----------------------------------------------------------------------
+# Jitted sharded apply / train step
+# ----------------------------------------------------------------------
+
+
+def sharded_apply(model_apply: Callable, params, mesh: Mesh, has_dense: bool):
+    """jit ``model_apply`` with hybrid shardings; XLA inserts collectives.
+
+    The replicated-table gather inside the model becomes a partitioned
+    gather under GSPMD; for explicit control of the collective pattern use
+    ``sharded_embedding_bag`` (models pick it up automatically when run
+    under ``parallel.api`` — see make_sharded_model).
+    """
+    in_shardings = (
+        param_shardings(params, mesh),
+        batch_shardings(mesh, has_dense),
+    )
+    out_sharding = NamedSharding(mesh, P("data", None))
+    return jax.jit(model_apply, in_shardings=in_shardings, out_shardings=out_sharding)
+
+
+def bce_loss(scores: jax.Array, targets: jax.Array) -> jax.Array:
+    """Binary cross-entropy on sigmoid scores (reference --loss_function
+    bce; training exists in the reference flags but is unused — we provide
+    a full training path as a first-class capability)."""
+    eps = 1e-7
+    s = jnp.clip(scores.astype(jnp.float32), eps, 1.0 - eps)
+    t = targets.astype(jnp.float32)
+    return -jnp.mean(t * jnp.log(s) + (1.0 - t) * jnp.log(1.0 - s))
+
+
+def mse_loss(scores: jax.Array, targets: jax.Array) -> jax.Array:
+    return jnp.mean((scores.astype(jnp.float32) - targets.astype(jnp.float32)) ** 2)
+
+
+def make_train_step(model_apply: Callable, mesh: Mesh, has_dense: bool,
+                    learning_rate: float = 0.01, loss: str = "mse"):
+    """Build a jitted SGD train step with hybrid shardings.
+
+    Gradients of the fused-table gather are scatter-adds that stay local to
+    each row shard; MLP grads are psum'd across "data" by XLA automatically.
+    """
+    loss_fn = {"mse": mse_loss, "bce": bce_loss}[loss]
+
+    def step(params, batch: Batch, targets):
+        def objective(p):
+            return loss_fn(model_apply(p, batch), targets)
+
+        l, grads = jax.value_and_grad(objective)(params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: (p - learning_rate * g.astype(p.dtype)).astype(p.dtype), params, grads
+        )
+        return new_params, l
+
+    def shardings_for(params):
+        ps = param_shardings(params, mesh)
+        return (
+            ps,
+            batch_shardings(mesh, has_dense),
+            NamedSharding(mesh, P("data", None)),
+        ), (ps, NamedSharding(mesh, P()))
+
+    def jitted(params):
+        in_sh, out_sh = shardings_for(params)
+        return jax.jit(step, in_shardings=in_sh, out_shardings=out_sh)
+
+    return jitted

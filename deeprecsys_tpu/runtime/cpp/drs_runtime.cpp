@@ -1,0 +1,159 @@
+// Native runtime support for DeepRecSys-TPU serving.
+//
+// Reference contrast: the reference's inter-process fabric is Python
+// multiprocessing.Queue (pickle + pipe + locks) and its sub-5.5 ms pacing
+// is a Python busy-wait holding the GIL (loadGenerator.py:57-64). Both are
+// measurable serving overheads. This module provides:
+//
+//   1. A lock-free MPMC shared-memory ring queue for fixed-64-byte packets
+//      (ServiceRequest/ServiceResponse are plain ints/floats/bools, so
+//      they map onto POD slots with no serialization at all).
+//      Design: classic Vyukov bounded MPMC queue — per-slot sequence
+//      numbers; producers/consumers claim slots with a CAS on head/tail.
+//      Works intra-process (threads) and across fork'd processes when the
+//      buffer lives in a shared mmap.
+//
+//   2. precise_sleep_ns: clock_nanosleep for the bulk + short spin tail,
+//      called through ctypes (which drops the GIL) so pacing no longer
+//      starves engine threads.
+//
+// Build: g++ -O2 -shared -fPIC -std=c++17 (see runtime/native.py).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <ctime>
+#include <new>
+
+namespace {
+
+constexpr uint64_t kMagic = 0x44525351554555ULL;  // "DRSQUEU"
+
+struct Slot {
+  std::atomic<uint64_t> seq;
+  unsigned char payload[64];
+};
+
+struct RingHeader {
+  uint64_t magic;
+  uint64_t capacity;       // power of two
+  uint64_t mask;
+  alignas(64) std::atomic<uint64_t> head;  // next enqueue ticket
+  alignas(64) std::atomic<uint64_t> tail;  // next dequeue ticket
+  alignas(64) Slot slots[];                // capacity slots
+};
+
+}  // namespace
+
+extern "C" {
+
+// Bytes needed for a ring of `capacity` (must be power of two) slots.
+uint64_t drs_ring_bytes(uint64_t capacity) {
+  return sizeof(RingHeader) + capacity * sizeof(Slot);
+}
+
+// Initialize a ring in caller-provided (shared) memory.
+int drs_ring_init(void* mem, uint64_t capacity) {
+  if (capacity == 0 || (capacity & (capacity - 1)) != 0) return -1;
+  auto* h = new (mem) RingHeader();
+  h->magic = kMagic;
+  h->capacity = capacity;
+  h->mask = capacity - 1;
+  h->head.store(0, std::memory_order_relaxed);
+  h->tail.store(0, std::memory_order_relaxed);
+  for (uint64_t i = 0; i < capacity; ++i) {
+    h->slots[i].seq.store(i, std::memory_order_relaxed);
+  }
+  std::atomic_thread_fence(std::memory_order_seq_cst);
+  return 0;
+}
+
+// Non-blocking enqueue of one 64-byte payload. 0 on success, -1 if full.
+int drs_ring_push(void* mem, const void* payload) {
+  auto* h = static_cast<RingHeader*>(mem);
+  uint64_t pos = h->head.load(std::memory_order_relaxed);
+  for (;;) {
+    Slot& s = h->slots[pos & h->mask];
+    uint64_t seq = s.seq.load(std::memory_order_acquire);
+    intptr_t dif = (intptr_t)seq - (intptr_t)pos;
+    if (dif == 0) {
+      if (h->head.compare_exchange_weak(pos, pos + 1, std::memory_order_relaxed)) {
+        std::memcpy(s.payload, payload, 64);
+        s.seq.store(pos + 1, std::memory_order_release);
+        return 0;
+      }
+    } else if (dif < 0) {
+      return -1;  // full
+    } else {
+      pos = h->head.load(std::memory_order_relaxed);
+    }
+  }
+}
+
+// Non-blocking dequeue. 0 on success, -1 if empty.
+int drs_ring_pop(void* mem, void* payload_out) {
+  auto* h = static_cast<RingHeader*>(mem);
+  uint64_t pos = h->tail.load(std::memory_order_relaxed);
+  for (;;) {
+    Slot& s = h->slots[pos & h->mask];
+    uint64_t seq = s.seq.load(std::memory_order_acquire);
+    intptr_t dif = (intptr_t)seq - (intptr_t)(pos + 1);
+    if (dif == 0) {
+      if (h->tail.compare_exchange_weak(pos, pos + 1, std::memory_order_relaxed)) {
+        std::memcpy(payload_out, s.payload, 64);
+        s.seq.store(pos + h->capacity, std::memory_order_release);
+        return 0;
+      }
+    } else if (dif < 0) {
+      return -1;  // empty
+    } else {
+      pos = h->tail.load(std::memory_order_relaxed);
+    }
+  }
+}
+
+// Blocking pop with timeout (ns). Spin + sched_yield escalation.
+// Returns 0 on success, -1 on timeout.
+int drs_ring_pop_wait(void* mem, void* payload_out, int64_t timeout_ns) {
+  struct timespec start, now;
+  clock_gettime(CLOCK_MONOTONIC, &start);
+  int spins = 0;
+  for (;;) {
+    if (drs_ring_pop(mem, payload_out) == 0) return 0;
+    if (++spins > 64) {
+      struct timespec ts = {0, 50000};  // 50 us
+      nanosleep(&ts, nullptr);
+    }
+    clock_gettime(CLOCK_MONOTONIC, &now);
+    int64_t elapsed = (int64_t)(now.tv_sec - start.tv_sec) * 1000000000LL +
+                      (now.tv_nsec - start.tv_nsec);
+    if (timeout_ns >= 0 && elapsed > timeout_ns) return -1;
+  }
+}
+
+uint64_t drs_ring_approx_size(void* mem) {
+  auto* h = static_cast<RingHeader*>(mem);
+  uint64_t head = h->head.load(std::memory_order_relaxed);
+  uint64_t tail = h->tail.load(std::memory_order_relaxed);
+  return head >= tail ? head - tail : 0;
+}
+
+// Precise sleep: clock_nanosleep for all but the last `spin_ns`, then spin.
+// Called via ctypes => GIL is released for the whole duration.
+void drs_precise_sleep_ns(int64_t total_ns, int64_t spin_ns) {
+  struct timespec start, now;
+  clock_gettime(CLOCK_MONOTONIC, &start);
+  int64_t coarse = total_ns - spin_ns;
+  if (coarse > 0) {
+    struct timespec ts = {(time_t)(coarse / 1000000000LL), (long)(coarse % 1000000000LL)};
+    nanosleep(&ts, nullptr);
+  }
+  for (;;) {
+    clock_gettime(CLOCK_MONOTONIC, &now);
+    int64_t elapsed = (int64_t)(now.tv_sec - start.tv_sec) * 1000000000LL +
+                      (now.tv_nsec - start.tv_nsec);
+    if (elapsed >= total_ns) return;
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,85 @@
+"""ctypes bindings + on-demand build of the native runtime.
+
+The .so is compiled once with g++ into ``~/.cache/deeprecsys_tpu`` (or
+``DRS_NATIVE_CACHE``) keyed by a source hash, so the repo needs no build
+step. Falls back cleanly: callers use ``native_available()`` and degrade to
+pure-Python equivalents (queue.Queue / time.sleep spin).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+_SRC = Path(__file__).parent / "cpp" / "drs_runtime.cpp"
+_lib = None
+_build_error: str | None = None
+
+
+def _cache_dir() -> Path:
+    d = os.environ.get("DRS_NATIVE_CACHE")
+    if d:
+        return Path(d)
+    return Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")) / "deeprecsys_tpu"
+
+
+def _build() -> Path:
+    src = _SRC.read_text()
+    tag = hashlib.sha256(src.encode()).hexdigest()[:16]
+    out = _cache_dir() / f"drs_runtime_{tag}.so"
+    if out.exists():
+        return out
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tmp = out.with_suffix(".so.tmp")
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(tmp)],
+        check=True, capture_output=True,
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def get_lib():
+    global _lib, _build_error
+    if _lib is not None:
+        return _lib
+    if _build_error is not None:
+        raise RuntimeError(f"native runtime unavailable: {_build_error}")
+    try:
+        path = _build()
+        lib = ctypes.CDLL(str(path))
+    except Exception as e:  # g++ missing, sandbox, etc.
+        _build_error = str(e)
+        raise RuntimeError(f"native runtime unavailable: {e}") from e
+    lib.drs_ring_bytes.restype = ctypes.c_uint64
+    lib.drs_ring_bytes.argtypes = [ctypes.c_uint64]
+    lib.drs_ring_init.restype = ctypes.c_int
+    lib.drs_ring_init.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.drs_ring_push.restype = ctypes.c_int
+    lib.drs_ring_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.drs_ring_pop.restype = ctypes.c_int
+    lib.drs_ring_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.drs_ring_pop_wait.restype = ctypes.c_int
+    lib.drs_ring_pop_wait.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.drs_ring_approx_size.restype = ctypes.c_uint64
+    lib.drs_ring_approx_size.argtypes = [ctypes.c_void_p]
+    lib.drs_precise_sleep_ns.restype = None
+    lib.drs_precise_sleep_ns.argtypes = [ctypes.c_int64, ctypes.c_int64]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    try:
+        get_lib()
+        return True
+    except RuntimeError:
+        return False
+
+
+def precise_sleep_ns(total_ns: int, spin_ns: int = 200_000):
+    """GIL-releasing precise sleep (nanosleep bulk + spin tail)."""
+    get_lib().drs_precise_sleep_ns(total_ns, spin_ns)

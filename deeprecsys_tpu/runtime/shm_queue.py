@@ -1,0 +1,131 @@
+"""Zero-copy packet queue over the native MPMC ring.
+
+Packets (ServiceRequest/ServiceResponse) serialize into one fixed 64-byte
+POD slot — no pickling. The ring lives either in a private buffer (thread
+mode) or a ``multiprocessing.shared_memory`` segment (process mode), so the
+same queue type serves both the reference's thread handoffs
+(``inferenceEngine.py:68-69``) and its process-level queues
+(``DeepRecSys.py:44-51``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+import time
+
+from deeprecsys_tpu.runtime import native
+from deeprecsys_tpu.serving.packets import ServiceRequest, ServiceResponse
+
+# kind: 0=request, 1=response, 2=sentinel(None)
+_FMT = "<BB7i4d"  # kind, exp, [consumer,epoch,batch,bsz,sub,total,out], 4 times
+assert struct.calcsize(_FMT) <= 64
+
+_K_REQUEST, _K_RESPONSE, _K_SENTINEL = 0, 1, 2
+
+
+def pack_packet(obj) -> bytes:
+    if obj is None:
+        return struct.pack(_FMT, _K_SENTINEL, 0, 0, 0, 0, 0, 0, 0, 0, 0.0, 0.0, 0.0, 0.0)
+    if isinstance(obj, ServiceRequest):
+        return struct.pack(
+            _FMT, _K_REQUEST, int(obj.exp_packet), 0, obj.epoch, obj.batch_id,
+            obj.batch_size, obj.sub_id, obj.total_sub_batches, 0,
+            obj.arrival_time, 0.0, 0.0, 0.0,
+        )
+    if isinstance(obj, ServiceResponse):
+        return struct.pack(
+            _FMT, _K_RESPONSE, int(obj.exp_packet), obj.consumer_id, obj.epoch,
+            obj.batch_id, obj.batch_size, obj.sub_id, obj.total_sub_batches,
+            obj.out_batch_size, obj.arrival_time, obj.queue_start_time,
+            obj.queue_end_time, obj.inference_end_time,
+        )
+    raise TypeError(f"cannot pack {type(obj)}")
+
+
+def unpack_packet(buf: bytes):
+    (kind, exp, consumer, epoch, batch_id, bsz, sub, total, out,
+     arr, qs, qe, inf) = struct.unpack_from(_FMT, buf)
+    if kind == _K_SENTINEL:
+        return None
+    if kind == _K_REQUEST:
+        return ServiceRequest(batch_id=batch_id, epoch=epoch, batch_size=bsz,
+                              arrival_time=arr, sub_id=sub, total_sub_batches=total,
+                              exp_packet=bool(exp))
+    return ServiceResponse(consumer_id=consumer, epoch=epoch, batch_id=batch_id,
+                           batch_size=bsz, arrival_time=arr, queue_start_time=qs,
+                           queue_end_time=qe, inference_end_time=inf,
+                           out_batch_size=out, sub_id=sub, total_sub_batches=total,
+                           exp_packet=bool(exp))
+
+
+class Empty(Exception):
+    pass
+
+
+class ShmRingQueue:
+    """queue.Queue-compatible subset backed by the native MPMC ring."""
+
+    def __init__(self, capacity: int = 1024, shm_name: str | None = None, create: bool = True):
+        self._lib = native.get_lib()
+        cap = 1
+        while cap < capacity:
+            cap *= 2
+        self.capacity = cap
+        nbytes = int(self._lib.drs_ring_bytes(cap))
+        self._shm = None
+        if shm_name is None:
+            self._buf = ctypes.create_string_buffer(nbytes)
+            self._mem = ctypes.cast(self._buf, ctypes.c_void_p)
+            self._lib.drs_ring_init(self._mem, cap)
+        else:
+            from multiprocessing import shared_memory
+
+            if create:
+                self._shm = shared_memory.SharedMemory(name=shm_name, create=True, size=nbytes)
+            else:
+                self._shm = shared_memory.SharedMemory(name=shm_name)
+            self._mem = ctypes.c_void_p(
+                ctypes.addressof(ctypes.c_char.from_buffer(self._shm.buf))
+            )
+            if create:
+                self._lib.drs_ring_init(self._mem, cap)
+        self.name = shm_name
+
+    # -- queue.Queue subset -------------------------------------------
+
+    def put(self, obj, timeout: float | None = None):
+        data = pack_packet(obj)
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            if self._lib.drs_ring_push(self._mem, data) == 0:
+                return
+            if deadline is not None and time.monotonic() > deadline:
+                raise TimeoutError("ring full")
+            time.sleep(0.00005)
+
+    def get(self, timeout: float | None = None):
+        out = ctypes.create_string_buffer(64)
+        t_ns = -1 if timeout is None else int(timeout * 1e9)
+        rc = self._lib.drs_ring_pop_wait(self._mem, out, t_ns)
+        if rc != 0:
+            raise Empty()
+        return unpack_packet(out.raw)
+
+    def get_nowait(self):
+        out = ctypes.create_string_buffer(64)
+        if self._lib.drs_ring_pop(self._mem, out) != 0:
+            raise Empty()
+        return unpack_packet(out.raw)
+
+    def qsize(self) -> int:
+        return int(self._lib.drs_ring_approx_size(self._mem))
+
+    def close(self):
+        if self._shm is not None:
+            self._mem = None
+            self._shm.close()
+
+    def unlink(self):
+        if self._shm is not None:
+            self._shm.unlink()

@@ -53,10 +53,27 @@ def partition_query(batch_size: int, sub_task_batch_size: int) -> list[int]:
     return out
 
 
+try:  # native pacer: nanosleep + spin tail, GIL released for the duration
+    from deeprecsys_tpu.runtime import native as _native
+
+    _NATIVE_SLEEP = _native.native_available()
+except Exception:  # pragma: no cover - build environment without g++
+    _NATIVE_SLEEP = False
+
+
 def precise_sleep(seconds: float):
-    """Sleep with sub-ms precision: OS sleep above 5.5 ms, busy-wait below
-    (loadGenerator.py:57-64 uses the same threshold)."""
-    if seconds > 0.0055:
+    """Sleep with sub-ms precision.
+
+    Preferred path: the native pacer (runtime/cpp), which releases the GIL
+    so pacing never starves engine threads. Fallback mirrors the reference
+    (loadGenerator.py:57-64): OS sleep above 5.5 ms, GIL-holding busy-wait
+    below.
+    """
+    if seconds <= 0:
+        return
+    if _NATIVE_SLEEP:
+        _native.precise_sleep_ns(int(seconds * 1e9))
+    elif seconds > 0.0055:
         time.sleep(seconds)
     else:
         start = time.perf_counter()

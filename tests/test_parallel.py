@@ -1,0 +1,98 @@
+"""Sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4 strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeprecsys_tpu import zoo
+from deeprecsys_tpu.data import RecDataGenerator
+from deeprecsys_tpu.models import get_model
+from deeprecsys_tpu.models.base import Batch
+from deeprecsys_tpu.ops import embedding_bag
+from deeprecsys_tpu.parallel import (
+    make_mesh,
+    shard_params,
+    sharded_apply,
+    sharded_embedding_bag,
+    make_train_step,
+)
+
+SCALE = 5000
+
+
+def test_make_mesh_shapes():
+    m = make_mesh()
+    assert m.shape["data"] == 8 and m.shape["model"] == 1
+    m2 = make_mesh(data=4, model=2)
+    assert m2.shape == {"data": 4, "model": 2}
+    m3 = make_mesh(model=4)
+    assert m3.shape == {"data": 2, "model": 4}
+    with pytest.raises(ValueError):
+        make_mesh(data=3, model=3)
+
+
+def test_sharded_embedding_bag_matches_single_device():
+    mesh = make_mesh(data=2, model=4)
+    rng = np.random.default_rng(0)
+    d, B, T, L = 16, 8, 3, 5
+    table_rows = [40, 32, 24]  # total 96, divisible by 4
+    total = sum(table_rows)
+    table = rng.normal(size=(total, d)).astype(np.float32)
+    offsets = np.array([0, 40, 72], dtype=np.int32)
+    indices = np.stack(
+        [np.stack([rng.integers(0, n, size=L) for n in table_rows]) for _ in range(B)]
+    ).astype(np.int32)
+
+    expected = embedding_bag(jnp.asarray(table), jnp.asarray(offsets), jnp.asarray(indices))
+    got = sharded_embedding_bag(
+        jnp.asarray(table), jnp.asarray(offsets), jnp.asarray(indices), mesh, total
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_embedding_bag_requires_divisibility():
+    mesh = make_mesh(data=2, model=4)
+    table = jnp.zeros((10, 8))
+    with pytest.raises(AssertionError):
+        sharded_embedding_bag(table, jnp.zeros(1, jnp.int32), jnp.zeros((2, 1, 1), jnp.int32), mesh, 10)
+
+
+@pytest.mark.parametrize("name", ["rm1", "ncf", "din", "dien"])
+def test_sharded_apply_matches_single_device(name):
+    cfg = zoo.get_config(name, table_scale=SCALE)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = RecDataGenerator(cfg, seed=1).generate_batch(8)
+
+    single = np.asarray(model.apply(params, batch))
+
+    mesh = make_mesh(data=4, model=2)
+    sp = shard_params(params, mesh)
+    fn = sharded_apply(model.apply, params, mesh, has_dense=batch.dense is not None)
+    dev_batch = Batch(
+        dense=None if batch.dense is None else jnp.asarray(batch.dense),
+        indices=jnp.asarray(batch.indices),
+    )
+    out = np.asarray(fn(sp, dev_batch))
+    np.testing.assert_allclose(out, single, rtol=2e-4, atol=2e-5)
+
+
+def test_train_step_runs_and_reduces_loss():
+    cfg = zoo.get_config("rm1", table_scale=SCALE)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(data=2, model=4)
+    sp = shard_params(params, mesh)
+    gen = RecDataGenerator(cfg, seed=2)
+    batch = gen.generate_batch(16)
+    targets = jnp.asarray(gen.generate_targets(16, round_targets=True))
+    step = make_train_step(model.apply, mesh, has_dense=True, learning_rate=0.1, loss="bce")(sp)
+    dev_batch = Batch(dense=jnp.asarray(batch.dense), indices=jnp.asarray(batch.indices))
+    p, l0 = step(sp, dev_batch, targets)
+    losses = [float(l0)]
+    for _ in range(5):
+        p, l = step(p, dev_batch, targets)
+        losses.append(float(l))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # same batch: loss must drop

@@ -1,0 +1,108 @@
+"""Native runtime: ring queue correctness (threads + processes) and pacer."""
+
+import multiprocessing as mp
+import threading
+import time
+
+import pytest
+
+from deeprecsys_tpu.runtime import native
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="native runtime not built (no g++?)"
+)
+
+from deeprecsys_tpu.runtime.shm_queue import ShmRingQueue, Empty, pack_packet, unpack_packet
+from deeprecsys_tpu.serving.packets import ServiceRequest, ServiceResponse
+
+
+def test_pack_roundtrip():
+    req = ServiceRequest(batch_id=7, epoch=2, batch_size=128, arrival_time=123.456,
+                         sub_id=3, total_sub_batches=5, exp_packet=True)
+    r2 = unpack_packet(pack_packet(req))
+    assert r2 == req
+    resp = ServiceResponse(consumer_id=4, epoch=1, batch_id=9, batch_size=64,
+                           arrival_time=1.5, queue_start_time=1.6, queue_end_time=1.7,
+                           inference_end_time=1.8, out_batch_size=64, sub_id=0,
+                           total_sub_batches=2, exp_packet=False)
+    assert unpack_packet(pack_packet(resp)) == resp
+    assert unpack_packet(pack_packet(None)) is None
+
+
+def test_fifo_and_empty():
+    q = ShmRingQueue(capacity=8)
+    with pytest.raises(Empty):
+        q.get_nowait()
+    for i in range(5):
+        q.put(ServiceRequest(batch_id=i))
+    assert q.qsize() == 5
+    got = [q.get(timeout=1.0).batch_id for _ in range(5)]
+    assert got == [0, 1, 2, 3, 4]
+    with pytest.raises(Empty):
+        q.get(timeout=0.01)
+
+
+def test_threaded_producers_consumers():
+    q = ShmRingQueue(capacity=256)
+    N, P, C = 2000, 4, 4
+    seen = []
+    lock = threading.Lock()
+
+    def producer(base):
+        for i in range(N // P):
+            q.put(ServiceRequest(batch_id=base + i))
+
+    def consumer():
+        while True:
+            try:
+                item = q.get(timeout=1.0)
+            except Empty:
+                return
+            if item is None:
+                return
+            with lock:
+                seen.append(item.batch_id)
+
+    ps = [threading.Thread(target=producer, args=(k * 100000,)) for k in range(P)]
+    cs = [threading.Thread(target=consumer) for _ in range(C)]
+    for t in ps + cs:
+        t.start()
+    for t in ps:
+        t.join()
+    for _ in range(C):
+        q.put(None)
+    for t in cs:
+        t.join()
+    assert len(seen) == N
+    assert len(set(seen)) == N  # no duplicates, no losses
+
+
+def _child_proc(name, n):
+    from deeprecsys_tpu.runtime.shm_queue import ShmRingQueue
+
+    q = ShmRingQueue(capacity=64, shm_name=name, create=False)
+    for i in range(n):
+        q.put(ServiceRequest(batch_id=1000 + i))
+    q.close()
+
+
+def test_cross_process_shared_memory():
+    name = f"drs_test_{time.time_ns() % 100000}"
+    q = ShmRingQueue(capacity=64, shm_name=name, create=True)
+    try:
+        ctx = mp.get_context("spawn")
+        p = ctx.Process(target=_child_proc, args=(name, 10))
+        p.start()
+        got = sorted(q.get(timeout=10.0).batch_id for _ in range(10))
+        p.join()
+        assert got == list(range(1000, 1010))
+    finally:
+        q.close()
+        q.unlink()
+
+
+def test_precise_sleep():
+    t0 = time.perf_counter()
+    native.precise_sleep_ns(2_000_000)  # 2 ms
+    dt = time.perf_counter() - t0
+    assert 0.0019 < dt < 0.01
