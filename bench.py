@@ -5,6 +5,12 @@ is self-measured: the same models, same synthetic data, run on the host CPU
 backend in float32 (the reference's engines are f32 CPU Caffe2). The TPU
 path runs bfloat16 params/compute.
 
+Timing methodology: ``utils/timing.time_jitted_chain`` — K data-dependent
+iterations inside one compiled fori_loop ended by a scalar readback. This
+is required for honesty on relayed PJRT backends where block_until_ready
+is not a true fence (see utils/timing.py), and it also removes per-call
+dispatch overhead on any backend.
+
 Prints ONE JSON line:
   metric      : inference throughput, geometric mean over the 8 models
   value       : geomean samples/s on TPU at batch 512
@@ -20,7 +26,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 from pathlib import Path
 
 import numpy as np
@@ -33,54 +38,52 @@ MODELS = ("rm1", "rm2", "rm3", "wnd", "mtwnd", "ncf", "din", "dien")
 
 
 def measure_model(name: str, device, batch_size: int, table_scale: int,
-                  param_dtype: str, warmup: int = 3, iters: int = 10) -> dict:
+                  param_dtype: str, iters: int, trials: int = 3) -> dict:
     import jax
     import jax.numpy as jnp
     from deeprecsys_tpu import zoo
     from deeprecsys_tpu.data import RecDataGenerator
     from deeprecsys_tpu.models import get_model
     from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.utils.timing import time_jitted_chain
 
     cfg = zoo.get_config(name, table_scale=table_scale,
                          param_dtype=param_dtype, compute_dtype=param_dtype)
     model = get_model(cfg)
     with jax.default_device(device):
         params = jax.device_put(model.init(jax.random.PRNGKey(0)), device)
-        gen = RecDataGenerator(cfg, seed=0)
-        host = gen.generate_batch(batch_size)
-        batch = Batch(
-            dense=None if host.dense is None else jax.device_put(jnp.asarray(host.dense), device),
-            indices=jax.device_put(jnp.asarray(host.indices), device),
+        host = RecDataGenerator(cfg, seed=0).generate_batch(batch_size)
+        dense = None if host.dense is None else jax.device_put(jnp.asarray(host.dense), device)
+        indices = jax.device_put(jnp.asarray(host.indices), device)
+        rows = jnp.asarray(np.asarray(cfg.scaled_rows, dtype=np.int32))[None, :, None]
+
+        def step(i, carry, params, dense, indices):
+            # Perturb inputs with the loop index: no loop-invariant hoisting.
+            idx = (indices + i) % rows
+            d = None if dense is None else dense + jnp.float32(i).astype(dense.dtype) * 1e-6
+            out = model.apply(params, Batch(dense=d, indices=idx))
+            return carry + jnp.sum(out.astype(jnp.float32))
+
+        ms = time_jitted_chain(
+            step, jnp.zeros((), jnp.float32), params, dense, indices,
+            iters=iters, trials=trials, device=device,
         )
-        fn = jax.jit(model.apply, device=device)
-        t_c0 = time.perf_counter()
-        fn(params, batch).block_until_ready()
-        compile_s = time.perf_counter() - t_c0
-        for _ in range(warmup):
-            fn(params, batch).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(params, batch)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
-    # free the big tables before the next model
-    del params, batch
+    del params, dense, indices
     return {
         "model": name,
         "batch": batch_size,
-        "latency_ms": dt * 1000.0,
-        "samples_per_s": batch_size / dt,
-        "compile_s": compile_s,
+        "latency_ms": ms,
+        "samples_per_s": batch_size / (ms / 1000.0),
     }
 
 
 def run_suite(device, batch_size, table_scale, param_dtype, iters) -> dict:
     results = {}
     for name in MODELS:
-        r = measure_model(name, device, batch_size, table_scale, param_dtype, iters=iters)
+        r = measure_model(name, device, batch_size, table_scale, param_dtype, iters)
         results[name] = r
         print(f"# {name}: {r['samples_per_s']:.0f} samples/s "
-              f"({r['latency_ms']:.2f} ms @ b={batch_size})", flush=True)
+              f"({r['latency_ms']:.3f} ms @ b={batch_size})", flush=True)
     return results
 
 
@@ -89,7 +92,7 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--table-scale", type=int, default=8,
                     help="divide table rows (8 => rm1 500k-row tables)")
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=32, help="chained iterations per trial")
     ap.add_argument("--cpu-baseline", action="store_true",
                     help="(re)measure the CPU f32 baseline and cache it")
     args = ap.parse_args()
@@ -103,7 +106,7 @@ def main():
     if args.cpu_baseline or not BASELINE_PATH.exists():
         cpu = jax.devices("cpu")[0]
         print("# measuring CPU f32 baseline...", flush=True)
-        cpu_results = run_suite(cpu, args.batch, args.table_scale, "float32", iters=3)
+        cpu_results = run_suite(cpu, args.batch, args.table_scale, "float32", iters=4)
         BASELINE_PATH.parent.mkdir(exist_ok=True)
         BASELINE_PATH.write_text(json.dumps(
             {"batch": args.batch, "table_scale": args.table_scale, "results": cpu_results},

@@ -1,0 +1,102 @@
+"""Batch-size sweeps: characterization + TPU-vs-CPU speedup.
+
+Reference parity:
+- ``accelerator/generate_data.py``: sweep each model at batch 4^0..4^5 on
+  the accelerator to produce the latency lookup tables that the simulated
+  accel engine interpolates. Here the sweep produces ``LatencyModel`` JSON
+  files under ``benchmarks/characterization/`` for our TPU and CPU paths —
+  consumed by the SimEngine and by the offload scheduler studies.
+- ``experiments/speedup/sweep_rt.py``: per-model accelerator-over-CPU
+  speedup vs. batch size.
+
+Usage:
+    python -m deeprecsys_tpu.experiments.sweep --models rm1 ncf --table-scale 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+DEFAULT_BATCHES = (1, 4, 16, 64, 256, 1024)  # 4^0..4^5 ladder of the reference
+
+
+def sweep_model(name: str, device, batch_sizes, table_scale: int, param_dtype: str,
+                iters: int = 8) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+
+    cfg = zoo.get_config(name, table_scale=table_scale,
+                         param_dtype=param_dtype, compute_dtype=param_dtype)
+    model = get_model(cfg)
+    with jax.default_device(device):
+        params = jax.device_put(model.init(jax.random.PRNGKey(0)), device)
+        fn = jax.jit(model.apply, device=device)
+        gen = RecDataGenerator(cfg, seed=0)
+        lat_ms = []
+        for b in batch_sizes:
+            host = gen.generate_batch(b)
+            batch = Batch(
+                dense=None if host.dense is None else jax.device_put(jnp.asarray(host.dense), device),
+                indices=jax.device_put(jnp.asarray(host.indices), device),
+            )
+            fn(params, batch).block_until_ready()
+            for _ in range(2):
+                fn(params, batch).block_until_ready()
+            t0 = time.perf_counter()
+            outs = [fn(params, batch) for _ in range(iters)]
+            jax.block_until_ready(outs)
+            lat_ms.append((time.perf_counter() - t0) / iters * 1000.0)
+    del params
+    return {"model": name, "batch_sizes": list(batch_sizes), "latencies_ms": lat_ms,
+            "dtype": param_dtype, "device": str(device), "table_scale": table_scale}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", nargs="+",
+                    default=["rm1", "rm2", "rm3", "wnd", "mtwnd", "ncf", "din", "dien"])
+    ap.add_argument("--batches", nargs="+", type=int, default=list(DEFAULT_BATCHES))
+    ap.add_argument("--table-scale", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true", help="also sweep the CPU backend")
+    ap.add_argument("--out-dir", default="benchmarks/characterization")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tpu_devices = [d for d in jax.devices() if d.platform != "cpu"]
+    accel = tpu_devices[0] if tpu_devices else jax.devices()[0]
+
+    speedup_table = {}
+    for name in args.models:
+        r = sweep_model(name, accel, args.batches, args.table_scale, "bfloat16")
+        (out_dir / f"tpu_{name}.json").write_text(json.dumps(
+            {"batch_sizes": r["batch_sizes"], "latencies_ms": r["latencies_ms"], "base": 4.0}))
+        print(f"tpu {name}: " + " ".join(f"{b}:{l:.2f}ms" for b, l in
+                                         zip(r["batch_sizes"], r["latencies_ms"])), flush=True)
+        if args.cpu:
+            c = sweep_model(name, jax.devices("cpu")[0], args.batches, args.table_scale,
+                            "float32", iters=3)
+            (out_dir / f"cpu_{name}.json").write_text(json.dumps(
+                {"batch_sizes": c["batch_sizes"], "latencies_ms": c["latencies_ms"], "base": 4.0}))
+            speedup_table[name] = [cl / tl for cl, tl in
+                                   zip(c["latencies_ms"], r["latencies_ms"])]
+            print(f"speedup {name}: " + " ".join(
+                f"{b}:{s:.1f}x" for b, s in zip(args.batches, speedup_table[name])), flush=True)
+    if speedup_table:
+        (out_dir / "speedup.json").write_text(json.dumps(
+            {"batches": args.batches, "speedup": speedup_table}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

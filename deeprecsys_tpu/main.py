@@ -1,0 +1,183 @@
+"""Command-line entry point.
+
+Reference: ``DeepRecSys.py`` + ``utils/utils.py cli()`` — parse flags, then
+either (a) ``--queue``: run the full serving stack (load generator +
+engines + aggregator + optional DeepRecSched tuning) and report measured
+QPS / p95 / p99, or (b) standalone: run the model in a characterization
+loop printing per-batch data-load / compute times (the ``***`` lines that
+the reference's experiment scripts parse; we emit the same three totals).
+
+Examples:
+  python -m deeprecsys_tpu.main --model rm1 --num_batches 32 --mini_batch_size 64
+  python -m deeprecsys_tpu.main --model ncf --queue --inference_engines 2 \\
+      --batch_size_distribution normal --avg_mini_batch_size 165 \\
+      --var_mini_batch_size 16 --max_mini_batch_size 1024 \\
+      --avg_arrival_rate 5 --target_latency 25 --tune_batch_qps
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from deeprecsys_tpu import zoo
+from deeprecsys_tpu.config import ModelConfig, ServingConfig, load_model_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DeepRecSys-TPU")
+    # Model selection (reference: --model_name/--config_file)
+    p.add_argument("--model", type=str, default="rm1",
+                   help=f"zoo model name {zoo.MODEL_NAMES} or path to a reference-format JSON")
+    p.add_argument("--table_scale", type=int, default=1,
+                   help="divide embedding-table rows (memory-constrained runs)")
+    p.add_argument("--param_dtype", type=str, default="float32")
+    p.add_argument("--compute_dtype", type=str, default=None)
+
+    # Standalone characterization (reference: inferenceEngine standalone mode)
+    p.add_argument("--num_batches", type=int, default=16)
+    p.add_argument("--mini_batch_size", type=int, default=64)
+    p.add_argument("--nepochs", type=int, default=1)
+
+    # Serving mode (reference: --queue)
+    p.add_argument("--queue", action="store_true")
+    p.add_argument("--inference_engines", type=int, default=1)
+    p.add_argument("--engine_backend", type=str, default="tpu", choices=("tpu", "cpu", "sim"))
+    p.add_argument("--avg_arrival_rate", type=float, default=10.0, help="ms")
+    p.add_argument("--target_latency", type=float, default=25.0, help="ms (p95 SLA)")
+    p.add_argument("--batch_size_distribution", type=str, default="fixed")
+    p.add_argument("--avg_mini_batch_size", type=float, default=64)
+    p.add_argument("--var_mini_batch_size", type=float, default=1)
+    p.add_argument("--max_mini_batch_size", type=int, default=1024)
+    p.add_argument("--batch_dist_file", type=str, default=None)
+    p.add_argument("--sub_task_batch_size", type=int, default=64)
+    p.add_argument("--req_granularity", type=int, default=64)
+    p.add_argument("--tune_batch_qps", action="store_true")
+    p.add_argument("--tune_accel_qps", action="store_true")
+    p.add_argument("--batch_configs", type=str, default="32-64-128-256-512-1024")
+    p.add_argument("--accel_configs", type=str, default="128-256-512")
+    p.add_argument("--stable_region", type=float, default=0.10)
+    p.add_argument("--min_arr_range", type=float, default=1.0)
+    p.add_argument("--max_arr_range", type=float, default=100.0)
+    p.add_argument("--arr_steps", type=int, default=20)
+    p.add_argument("--sched_timeout", type=int, default=100)
+    p.add_argument("--model_accel", action="store_true",
+                   help="add a big-batch offload engine (TPU path)")
+    p.add_argument("--accel_request_size_thres", type=int, default=1024)
+    p.add_argument("--numpy_rand_seed", type=int, default=123)
+    p.add_argument("--log_file", type=str, default=None)
+    p.add_argument("--debug_mode", action="store_true")
+    return p
+
+
+def model_config_from_args(args) -> ModelConfig:
+    overrides = {"param_dtype": args.param_dtype}
+    if args.compute_dtype:
+        overrides["compute_dtype"] = args.compute_dtype
+    elif args.param_dtype:
+        overrides["compute_dtype"] = args.param_dtype
+    if args.model in zoo.MODEL_NAMES:
+        return zoo.get_config(args.model, table_scale=args.table_scale, **overrides)
+    return load_model_config(args.model, table_scale=args.table_scale, **overrides)
+
+
+def serving_config_from_args(args) -> ServingConfig:
+    def dims(s):
+        return tuple(int(x) for x in s.split("-"))
+
+    return ServingConfig(
+        num_batches=args.num_batches,
+        nepochs=args.nepochs,
+        avg_arrival_rate_ms=args.avg_arrival_rate,
+        batch_size_distribution=args.batch_size_distribution,
+        avg_mini_batch_size=args.avg_mini_batch_size,
+        var_mini_batch_size=args.var_mini_batch_size,
+        max_mini_batch_size=args.max_mini_batch_size,
+        batch_dist_file=args.batch_dist_file,
+        sub_task_batch_size=args.sub_task_batch_size,
+        inference_engines=args.inference_engines,
+        engine_backend=args.engine_backend,
+        target_latency_ms=args.target_latency,
+        req_granularity=args.req_granularity,
+        tune_batch_qps=args.tune_batch_qps,
+        tune_accel_qps=args.tune_accel_qps,
+        batch_configs=dims(args.batch_configs),
+        accel_configs=dims(args.accel_configs),
+        stable_region=args.stable_region,
+        min_arr_range=args.min_arr_range,
+        max_arr_range=args.max_arr_range,
+        arr_steps=args.arr_steps,
+        sched_timeout=args.sched_timeout,
+        model_accel=args.model_accel,
+        accel_request_size_thres=args.accel_request_size_thres,
+        seed=args.numpy_rand_seed,
+        log_file=args.log_file,
+        debug_mode=args.debug_mode,
+    )
+
+
+def run_standalone(model_cfg: ModelConfig, args) -> dict:
+    """Characterization loop (reference inferenceEngine.py:137-173 and each
+    model's __main__): separates data-generation time from device compute
+    and prints the same three totals the reference's sweeps parse."""
+    import jax
+    import jax.numpy as jnp
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+
+    model = get_model(model_cfg)
+    params = model.init(jax.random.PRNGKey(args.numpy_rand_seed))
+    gen = RecDataGenerator(model_cfg, seed=args.numpy_rand_seed)
+    fn = jax.jit(model.apply)
+
+    t_load = 0.0
+    t0 = time.perf_counter()
+    batches = [gen.generate_batch(args.mini_batch_size) for _ in range(args.num_batches)]
+    t_load = time.perf_counter() - t0
+
+    # Warm-up compile excluded from the computation total.
+    dev = [Batch(dense=None if b.dense is None else jnp.asarray(b.dense),
+                 indices=jnp.asarray(b.indices)) for b in batches]
+    fn(params, dev[0]).block_until_ready()
+
+    t_comp = 0.0
+    t0 = time.perf_counter()
+    for _ in range(args.nepochs):
+        outs = [fn(params, b) for b in dev]
+        jax.block_until_ready(outs)
+    t_comp = time.perf_counter() - t0
+
+    total_ms = (t_load + t_comp) * 1000.0
+    print(f"Total data loading time: *** {t_load * 1000.0:.3f} ms")
+    print(f"Total computation time: *** {t_comp * 1000.0:.3f} ms")
+    print(f"Total execution time: *** {total_ms:.3f} ms")
+    n = args.nepochs * args.num_batches * args.mini_batch_size
+    print(f"Throughput: {n / (t_load + t_comp):.1f} samples/s")
+    sys.stdout.flush()
+    return {"load_ms": t_load * 1000, "compute_ms": t_comp * 1000, "total_ms": total_ms}
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    model_cfg = model_config_from_args(args)
+    print(f"[deeprecsys_tpu] model={model_cfg.model_name} type={model_cfg.model_type} "
+          f"tables={model_cfg.num_tables} rows={model_cfg.total_rows} "
+          f"L={model_cfg.num_indices_per_lookup}")
+    if args.queue:
+        from deeprecsys_tpu.serving import run_serving
+
+        serving_cfg = serving_config_from_args(args)
+        res = run_serving(model_cfg, serving_cfg, log_responses=args.log_file is not None)
+        print("Measured QPS: ", res.measured_qps)
+        print("Measured p95 tail-latency: ", res.p95_ms, " ms")
+        print("Measured p99 tail-latency: ", res.p99_ms, " ms")
+        print(json.dumps(res.to_dict()))
+        return res
+    return run_standalone(model_cfg, args)
+
+
+if __name__ == "__main__":
+    main()
