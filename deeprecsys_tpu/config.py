@@ -259,7 +259,10 @@ class ServingConfig:
 
     # Engines
     inference_engines: int = 1
-    engine_backend: str = "tpu"  # tpu | cpu | sim
+    # tpu: engine threads sharing the chip; cpu: threads on the host
+    # backend; cpu-mp: one OS process per engine over native shm rings
+    # (reference parity: DeepRecSys.py:62-78); sim: latency-model sleep.
+    engine_backend: str = "tpu"
     # Static-shape batch buckets compiled ahead of time; requests are padded
     # up to the nearest bucket (TPU analog of the reference's pre-generate-
     # at-max-then-slice, inferenceEngine.py:200-206).
@@ -288,5 +291,5 @@ class ServingConfig:
     log_file: str | None = None
 
     def __post_init__(self):
-        if self.engine_backend not in ("tpu", "cpu", "sim"):
+        if self.engine_backend not in ("tpu", "cpu", "cpu-mp", "sim"):
             raise ValueError(f"unknown engine_backend {self.engine_backend!r}")

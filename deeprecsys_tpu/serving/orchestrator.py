@@ -65,11 +65,18 @@ def run_serving(
     big-batch path).
     """
     cfg = serving_cfg
-    request_q: queue.Queue = queue.Queue(maxsize=1024)
     accel_request_q: queue.Queue = queue.Queue(maxsize=32)
     pid_q: queue.Queue = queue.Queue()
-    response_q: queue.Queue = queue.Queue()
-    ready_q: queue.Queue = queue.Queue()
+    cleanup = None
+    procs: list = []
+    if cfg.engine_backend == "cpu-mp":
+        from deeprecsys_tpu.serving.process_engine import spawn_process_engines
+
+        request_q, response_q, ready_q, procs, cleanup = spawn_process_engines(model_cfg, cfg)
+    else:
+        request_q = queue.Queue(maxsize=1024)
+        response_q = queue.Queue()
+        ready_q = queue.Queue()
 
     def _device_for_backend():
         if cfg.engine_backend == "cpu":
@@ -79,6 +86,8 @@ def run_serving(
 
     engines = []
     for i in range(cfg.inference_engines):
+        if cfg.engine_backend == "cpu-mp":
+            break  # engine processes already spawned
         if cfg.engine_backend == "sim":
             if latency_model is None:
                 raise ValueError("sim backend requires a latency_model")
@@ -122,6 +131,8 @@ def run_serving(
     loadgen.join()
     for e in engines:
         e.join()
+    if cleanup is not None:
+        cleanup()
     if loadgen.error is not None:
         raise RuntimeError("load generator failed") from loadgen.error
     wall = time.time() - t0

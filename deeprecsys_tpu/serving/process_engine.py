@@ -1,0 +1,108 @@
+"""Multi-process CPU engines over shared-memory rings.
+
+Reference parity: the reference's canonical configuration runs 32 CPU
+inference-engine OS processes around multiprocessing queues
+(``DeepRecSys.py:62-78``, ``run_DeepRecSys.sh``). Here each engine process
+reuses the exact ``ComputeEngine`` serving loop (engine.py) — a Thread
+object run synchronously in the child — wired to ``ShmRingQueue``s: the
+native lock-free rings carry the same 64-byte packets with no pickling.
+
+Engines force the JAX CPU backend in-child (one process per core is the
+CPU-engine model; the TPU path stays in the parent process).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import time
+
+from deeprecsys_tpu.config import ModelConfig, ServingConfig
+
+
+def _engine_child(engine_id: int, model_cfg: ModelConfig, serving_cfg: ServingConfig,
+                  req_name: str, resp_name: str, ready_name: str, capacity: int):
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    from deeprecsys_tpu.runtime.shm_queue import ShmRingQueue
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+
+    request_q = ShmRingQueue(capacity, shm_name=req_name, create=False)
+    response_q = ShmRingQueue(capacity, shm_name=resp_name, create=False)
+    ready_q = _ReadySender(ShmRingQueue(64, shm_name=ready_name, create=False))
+    engine = ComputeEngine(
+        engine_id, model_cfg, serving_cfg, request_q, response_q, ready_q,
+        device=jax.devices("cpu")[0], seed=serving_cfg.seed + engine_id,
+    )
+    engine.run()  # run the serving loop synchronously in this process
+
+
+class _ReadySender:
+    """Adapts the ready-barrier protocol onto the packet ring: readiness is
+    a ServiceRequest with batch_id = engine_id; setup failure is
+    batch_id = -(engine_id+1)."""
+
+    def __init__(self, ring):
+        self.ring = ring
+
+    def put(self, item):
+        from deeprecsys_tpu.serving.packets import ServiceRequest
+
+        if isinstance(item, Exception):
+            self.ring.put(ServiceRequest(batch_id=-1))
+        else:
+            self.ring.put(ServiceRequest(batch_id=int(item)))
+
+
+class _ReadyReceiver:
+    """queue.Queue-like view for the load generator's barrier."""
+
+    def __init__(self, ring):
+        self.ring = ring
+
+    def put(self, item):  # local (in-parent) engines can also signal here
+        _ReadySender(self.ring).put(item)
+
+    def get(self, timeout=None):
+        pkt = self.ring.get(timeout=timeout)
+        if pkt is not None and pkt.batch_id < 0:
+            return RuntimeError("engine process failed during setup")
+        return pkt.batch_id if pkt is not None else None
+
+
+def spawn_process_engines(model_cfg: ModelConfig, cfg: ServingConfig, capacity: int = 1024):
+    """Create shm rings + N engine processes. Returns
+    (request_q, response_q, ready_receiver, processes, cleanup_fn)."""
+    from deeprecsys_tpu.runtime.shm_queue import ShmRingQueue
+
+    tag = f"drs{time.time_ns() % 1_000_000_000}"
+    req_name, resp_name, ready_name = f"{tag}_req", f"{tag}_resp", f"{tag}_rdy"
+    request_q = ShmRingQueue(capacity, shm_name=req_name, create=True)
+    response_q = ShmRingQueue(capacity, shm_name=resp_name, create=True)
+    ready_ring = ShmRingQueue(64, shm_name=ready_name, create=True)
+    ready = _ReadyReceiver(ready_ring)
+
+    ctx = mp.get_context("spawn")
+    procs = []
+    for i in range(cfg.inference_engines):
+        p = ctx.Process(
+            target=_engine_child,
+            args=(i, model_cfg, cfg, req_name, resp_name, ready_name, capacity),
+            daemon=True,
+        )
+        p.start()
+        procs.append(p)
+
+    def cleanup():
+        for p in procs:
+            p.join(timeout=10)
+            if p.is_alive():
+                p.terminate()
+        for q in (request_q, response_q, ready_ring):
+            q.close()
+            q.unlink()
+
+    return request_q, response_q, ready, procs, cleanup
