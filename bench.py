@@ -39,47 +39,66 @@ MODELS = ("rm1", "rm2", "rm3", "wnd", "mtwnd", "ncf", "din", "dien")
 
 def measure_model(name: str, device, batch_size: int, table_scale: int,
                   param_dtype: str, iters: int, trials: int = 3) -> dict:
+    """One SELF-CONTAINED jitted program per model: param init + K chained
+    data-dependent forward iterations + scalar readback. On relayed
+    backends every eagerly-dispatched op costs a slow round trip and every
+    distinct program a remote compile, so the entire measurement must be a
+    single program (see utils/timing.py for the fencing rationale)."""
+    import time as _time
+
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from deeprecsys_tpu import zoo
     from deeprecsys_tpu.data import RecDataGenerator
     from deeprecsys_tpu.models import get_model
     from deeprecsys_tpu.models.base import Batch
-    from deeprecsys_tpu.utils.timing import time_jitted_chain
+    from deeprecsys_tpu.utils.timing import roundtrip_floor_ms
 
     cfg = zoo.get_config(name, table_scale=table_scale,
                          param_dtype=param_dtype, compute_dtype=param_dtype)
     model = get_model(cfg)
-    with jax.default_device(device):
-        params = jax.device_put(model.init(jax.random.PRNGKey(0)), device)
-        host = RecDataGenerator(cfg, seed=0).generate_batch(batch_size)
-        dense = None if host.dense is None else jax.device_put(jnp.asarray(host.dense), device)
-        indices = jax.device_put(jnp.asarray(host.indices), device)
-        rows = jnp.asarray(np.asarray(cfg.scaled_rows, dtype=np.int32))[None, :, None]
+    host = RecDataGenerator(cfg, seed=0).generate_batch(batch_size)
+    rows_np = np.asarray(cfg.scaled_rows, dtype=np.int32)[None, :, None]
 
-        def step(i, carry, params, dense, indices):
-            # Perturb inputs with the loop index: no loop-invariant hoisting.
+    def program(seed, dense, indices):
+        params = model.init(jax.random.PRNGKey(seed))
+        rows = jnp.asarray(rows_np)
+
+        def body(i, c):
             idx = (indices + i) % rows
             d = None if dense is None else dense + jnp.float32(i).astype(dense.dtype) * 1e-6
             out = model.apply(params, Batch(dense=d, indices=idx))
-            return carry + jnp.sum(out.astype(jnp.float32))
+            return c + jnp.sum(out.astype(jnp.float32))
 
-        ms = time_jitted_chain(
-            step, jnp.zeros((), jnp.float32), params, dense, indices,
-            iters=iters, trials=trials, device=device,
-        )
-    del params, dense, indices
+        return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    fn = jax.jit(program, device=device)
+    dense = None if host.dense is None else jax.device_put(jnp.asarray(host.dense), device)
+    indices = jax.device_put(jnp.asarray(host.indices), device)
+    t0 = _time.perf_counter()
+    float(fn(0, dense, indices))  # compile + warm
+    compile_s = _time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(trials):
+        t0 = _time.perf_counter()
+        float(fn(0, dense, indices))
+        best = min(best, _time.perf_counter() - t0)
+    floor_s = roundtrip_floor_ms(device) / 1000.0
+    ms = max(best - floor_s, 1e-9) / iters * 1000.0
+    del dense, indices
     return {
         "model": name,
         "batch": batch_size,
         "latency_ms": ms,
         "samples_per_s": batch_size / (ms / 1000.0),
+        "compile_s": compile_s,
     }
 
 
-def run_suite(device, batch_size, table_scale, param_dtype, iters) -> dict:
+def run_suite(device, batch_size, table_scale, param_dtype, iters, models=MODELS) -> dict:
     results = {}
-    for name in MODELS:
+    for name in models:
         r = measure_model(name, device, batch_size, table_scale, param_dtype, iters)
         results[name] = r
         print(f"# {name}: {r['samples_per_s']:.0f} samples/s "
@@ -92,9 +111,11 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--table-scale", type=int, default=8,
                     help="divide table rows (8 => rm1 500k-row tables)")
-    ap.add_argument("--iters", type=int, default=32, help="chained iterations per trial")
+    ap.add_argument("--iters", type=int, default=64, help="chained iterations per trial")
     ap.add_argument("--cpu-baseline", action="store_true",
                     help="(re)measure the CPU f32 baseline and cache it")
+    ap.add_argument("--models", nargs="+", default=list(MODELS),
+                    help="subset of models (cache-warming partial runs)")
     args = ap.parse_args()
 
     import jax
@@ -113,14 +134,16 @@ def main():
             indent=2))
     baseline = json.loads(BASELINE_PATH.read_text())
 
-    results = run_suite(device, args.batch, args.table_scale, "bfloat16", iters=args.iters)
+    models = tuple(args.models)
+    results = run_suite(device, args.batch, args.table_scale, "bfloat16",
+                        iters=args.iters, models=models)
 
     speedups = []
-    for name in MODELS:
+    for name in models:
         base = baseline["results"].get(name)
         if base and base["samples_per_s"] > 0:
             speedups.append(results[name]["samples_per_s"] / base["samples_per_s"])
-    geomean_tput = float(np.exp(np.mean([np.log(results[m]["samples_per_s"]) for m in MODELS])))
+    geomean_tput = float(np.exp(np.mean([np.log(results[m]["samples_per_s"]) for m in models])))
     geomean_speedup = float(np.exp(np.mean(np.log(speedups)))) if speedups else float("nan")
 
     DETAIL_PATH.parent.mkdir(exist_ok=True)
