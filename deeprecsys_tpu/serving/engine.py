@@ -151,7 +151,11 @@ class ComputeEngine(threading.Thread):
             if item is _SENTINEL:
                 return
             request, out, queue_start, queue_end = item
-            out.block_until_ready()
+            # Transfer the scores to host: a response is only complete when
+            # the client could read it (the reference FetchBlobs the output
+            # too, inferenceEngine.py:52-58). Also the only honest fence on
+            # relayed backends where block_until_ready can ack early.
+            scores = np.asarray(out)
             self.response_q.put(
                 ServiceResponse(
                     consumer_id=self.engine_id,
@@ -162,7 +166,7 @@ class ComputeEngine(threading.Thread):
                     queue_start_time=queue_start,
                     queue_end_time=queue_end,
                     inference_end_time=time.time(),
-                    out_batch_size=request.batch_size,
+                    out_batch_size=int(scores.shape[0]),
                     sub_id=request.sub_id,
                     total_sub_batches=request.total_sub_batches,
                     exp_packet=request.exp_packet,
