@@ -1,0 +1,96 @@
+"""Scheduler study: DeepRecSched convergence across seeds and modes.
+
+Reference: ``experiments/scheduling/run_Scheduler.sh`` — 6 seeds x
+{CPU-only batch tuning, CPU+accel dual tuning} over batch_configs
+512..32 and accel_configs 96..512, comparing the tuned operating points.
+
+Runs on the sim backend by default (latency models for the two paths), so
+the study is hardware-independent and fast; pass --backend cpu/cpu-mp/tpu
+to study real engines.
+
+Usage:
+    python -m deeprecsys_tpu.experiments.scheduling_study --seeds 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from deeprecsys_tpu import zoo
+from deeprecsys_tpu.config import ServingConfig
+from deeprecsys_tpu.serving import run_serving
+from deeprecsys_tpu.serving.latency_model import LatencyModel
+
+
+def run_study(model_name: str, seeds: int, tune_accel: bool, backend: str,
+              table_scale: int, quick: bool) -> list[dict]:
+    results = []
+    for seed in range(seeds):
+        cfg = ServingConfig(
+            num_batches=64 if quick else 256,
+            nepochs=1,
+            inference_engines=2,
+            engine_backend=backend,
+            avg_arrival_rate_ms=2.0,
+            batch_size_distribution="normal",
+            avg_mini_batch_size=165.0,
+            var_mini_batch_size=16.0,
+            max_mini_batch_size=1024,
+            sub_task_batch_size=64,
+            req_granularity=16 if quick else 64,
+            target_latency_ms=25.0,
+            tune_batch_qps=True,
+            tune_accel_qps=tune_accel,
+            model_accel=tune_accel,
+            batch_configs=(512, 256, 128, 64, 32),
+            accel_configs=(96, 128, 192, 256, 384, 512),
+            arr_steps=6 if quick else 20,
+            sched_timeout=8 if quick else 64,
+            min_arr_range=0.5,
+            max_arr_range=16.0,
+            seed=seed,
+        )
+        model_cfg = zoo.get_config(model_name, table_scale=table_scale)
+        lm = accel_lm = None
+        if backend == "sim":
+            # CPU path: linear-ish in batch; accel path: flat until large.
+            lm = LatencyModel([1, 32, 256, 1024], [0.3, 0.8, 4.0, 15.0])
+            accel_lm = LatencyModel([1, 1024], [1.0, 2.0])
+        res = run_serving(model_cfg, cfg, latency_model=lm,
+                          accel_latency_model=accel_lm, settle_s=0.05)
+        results.append({
+            "seed": seed,
+            "tune_accel": tune_accel,
+            "optimal_sub_batch": res.optimal_sub_batch,
+            "optimal_accel_thres": res.optimal_accel_thres,
+            "qps": res.measured_qps,
+            "p95_ms": res.p95_ms,
+        })
+        print(f"seed={seed} accel={tune_accel}: sub_batch={res.optimal_sub_batch} "
+              f"accel_thres={res.optimal_accel_thres} qps={res.measured_qps:.0f} "
+              f"p95={res.p95_ms:.1f}ms", flush=True)
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="ncf")
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--backend", default="sim")
+    ap.add_argument("--table-scale", type=int, default=1000)
+    ap.add_argument("--full", action="store_true", help="reference-scale run")
+    ap.add_argument("--out", default="benchmarks/scheduling_study.json")
+    args = ap.parse_args(argv)
+    rows = []
+    rows += run_study(args.model, args.seeds, False, args.backend, args.table_scale,
+                      quick=not args.full)
+    rows += run_study(args.model, args.seeds, True, args.backend, args.table_scale,
+                      quick=not args.full)
+    Path(args.out).parent.mkdir(exist_ok=True)
+    Path(args.out).write_text(json.dumps(rows, indent=2))
+
+
+if __name__ == "__main__":
+    main()

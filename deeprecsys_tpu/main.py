@@ -44,7 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     # Serving mode (reference: --queue)
     p.add_argument("--queue", action="store_true")
     p.add_argument("--inference_engines", type=int, default=1)
-    p.add_argument("--engine_backend", type=str, default="tpu", choices=("tpu", "cpu", "sim"))
+    p.add_argument("--engine_backend", type=str, default="tpu",
+                   choices=("tpu", "cpu", "cpu-mp", "sim"))
     p.add_argument("--avg_arrival_rate", type=float, default=10.0, help="ms")
     p.add_argument("--target_latency", type=float, default=25.0, help="ms (p95 SLA)")
     p.add_argument("--batch_size_distribution", type=str, default="fixed")
