@@ -1,0 +1,71 @@
+"""CLI interface tests (main.py — the DeepRecSys.py analog)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from deeprecsys_tpu.main import build_parser, model_config_from_args, serving_config_from_args, main
+
+
+def parse(argv):
+    return build_parser().parse_args(argv)
+
+
+def test_model_selection_zoo_and_json(tmp_path):
+    args = parse(["--model", "rm2", "--table_scale", "100"])
+    cfg = model_config_from_args(args)
+    assert cfg.model_name == "rm2" and cfg.table_scale == 100
+
+    j = {
+        "arch_mlp_bot": "8-4",
+        "arch_mlp_top": "16-1",
+        "arch_embedding_size": "50-60",
+        "arch_sparse_feature_size": 4,
+        "num_indices_per_lookup": 2,
+        "arch_interaction_op": "cat",
+        "model_type": "dlrm",
+        "model_name": "custom",
+    }
+    p = tmp_path / "custom.json"
+    p.write_text(json.dumps(j))
+    cfg2 = model_config_from_args(parse(["--model", str(p)]))
+    assert cfg2.model_name == "custom" and cfg2.embedding_rows == (50, 60)
+
+
+def test_serving_config_mapping():
+    args = parse([
+        "--queue", "--inference_engines", "3", "--engine_backend", "sim",
+        "--batch_configs", "16-32-64", "--tune_batch_qps",
+        "--avg_arrival_rate", "2.5", "--target_latency", "30",
+    ])
+    cfg = serving_config_from_args(args)
+    assert cfg.inference_engines == 3
+    assert cfg.batch_configs == (16, 32, 64)
+    assert cfg.tune_batch_qps
+    assert cfg.avg_arrival_rate_ms == 2.5
+    assert cfg.target_latency_ms == 30
+
+
+def test_standalone_run_prints_reference_totals(capsys):
+    res = main(["--model", "ncf", "--table_scale", "1000",
+                "--num_batches", "2", "--mini_batch_size", "4"])
+    out = capsys.readouterr().out
+    assert "Total data loading time: ***" in out
+    assert "Total computation time: ***" in out
+    assert "Total execution time: ***" in out
+    assert res["total_ms"] > 0
+
+
+def test_queue_run_end_to_end(capsys):
+    res = main([
+        "--model", "ncf", "--table_scale", "1000", "--queue",
+        "--engine_backend", "cpu", "--num_batches", "6",
+        "--batch_size_distribution", "fixed", "--avg_mini_batch_size", "8",
+        "--max_mini_batch_size", "16", "--sub_task_batch_size", "8",
+        "--avg_arrival_rate", "1", "--req_granularity", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "Measured QPS:" in out
+    assert res.cpu_requests == 6
+    assert np.isfinite(res.p95_ms)
