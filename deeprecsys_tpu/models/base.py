@@ -63,10 +63,12 @@ def stacked_mlp_apply(params, x: jax.Array, sigmoid_layer: int = -1) -> jax.Arra
     ``sigmoid_layer`` follows the reference's 1-based convention
     (see ops/mlp.py).
     """
+    out_dtype = x.dtype
     for i, layer in enumerate(params, start=1):
-        x = jnp.einsum("btn,tnm->btm", x, layer["w"], preferred_element_type=x.dtype)
-        x = x + layer["b"][None, :, :]
-        x = jax.nn.sigmoid(x) if i == sigmoid_layer else jax.nn.relu(x)
+        y = jnp.einsum("btn,tnm->btm", x, layer["w"], preferred_element_type=jnp.float32)
+        y = y + layer["b"][None, :, :].astype(jnp.float32)
+        y = jax.nn.sigmoid(y) if i == sigmoid_layer else jax.nn.relu(y)
+        x = y.astype(out_dtype)
     return x
 
 

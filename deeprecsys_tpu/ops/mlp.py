@@ -37,10 +37,13 @@ def mlp_apply(params, x: jax.Array, sigmoid_layer: int = -1) -> jax.Array:
     (``create_mlp``'s ``i == sigmoid_layer``; ``sigmoid_top = ln.size - 1``
     selects the final layer). -1 means all-ReLU.
     """
+    out_dtype = x.dtype
     for i, layer in enumerate(params, start=1):
-        x = jnp.dot(x, layer["w"], preferred_element_type=x.dtype) + layer["b"]
-        if i == sigmoid_layer:
-            x = jax.nn.sigmoid(x)
-        else:
-            x = jax.nn.relu(x)
+        # MXU accumulation in f32 regardless of storage dtype; downcast at
+        # the layer boundary (standard bf16 practice — keeps ranking
+        # fidelity, costs nothing: XLA fuses the epilogue).
+        y = jnp.dot(x, layer["w"], preferred_element_type=jnp.float32)
+        y = y + layer["b"].astype(jnp.float32)
+        y = jax.nn.sigmoid(y) if i == sigmoid_layer else jax.nn.relu(y)
+        x = y.astype(out_dtype)
     return x

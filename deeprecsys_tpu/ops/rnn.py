@@ -38,14 +38,17 @@ def basic_rnn_scan(params: dict, xs: jax.Array, h0: jax.Array | None = None):
     """
     T, B, _ = xs.shape
     H = params["h2h_w"].shape[0]
+    out_dtype = xs.dtype
     if h0 is None:
-        h0 = jnp.zeros((B, H), dtype=xs.dtype)
+        h0 = jnp.zeros((B, H), dtype=out_dtype)
     # Hoisted input projection: one big matmul instead of T small ones.
-    xproj = jnp.dot(xs.reshape(T * B, -1), params["i2h_w"], preferred_element_type=xs.dtype)
-    xproj = (xproj + params["i2h_b"]).reshape(T, B, H)
+    # f32 accumulation throughout; hidden state stored in the input dtype.
+    xproj = jnp.dot(xs.reshape(T * B, -1), params["i2h_w"], preferred_element_type=jnp.float32)
+    xproj = (xproj + params["i2h_b"].astype(jnp.float32)).reshape(T, B, H)
 
     def step(h, xp):
-        h = jnp.tanh(xp + jnp.dot(h, params["h2h_w"], preferred_element_type=h.dtype) + params["h2h_b"])
+        z = xp + jnp.dot(h, params["h2h_w"], preferred_element_type=jnp.float32)
+        h = jnp.tanh(z + params["h2h_b"].astype(jnp.float32)).astype(out_dtype)
         return h, h
 
     last, all_h = jax.lax.scan(step, h0, xproj)

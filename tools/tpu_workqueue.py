@@ -1,0 +1,193 @@
+"""Resumable serial TPU work queue.
+
+Background-task windows are limited to ~10 min, and each distinct program
+costs ~3-6 min of remote compile (cached server-side afterwards). This
+driver executes a fixed list of TPU jobs strictly serially, recording
+completion in benchmarks/tpu_work_done.json so repeated invocations resume
+where they left off.
+
+Jobs:
+  warm:<model>      — compile+measure the bench program for one model
+  gather:<variant>  — gather-strategy microbenchmarks (see below)
+
+Usage: python tools/tpu_workqueue.py [max_jobs]
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+STATE = Path(__file__).parent.parent / "benchmarks" / "tpu_work_done.json"
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+# ----------------------------------------------------------------------
+
+
+def job_warm(model):
+    import jax
+    import bench
+
+    tpu = [d for d in jax.devices() if d.platform != "cpu"]
+    device = tpu[0] if tpu else jax.devices()[0]
+    r = bench.measure_model(model, device, 512, 8, "bfloat16", iters=64)
+    log(f"warm {model}: {r['latency_ms']:.3f} ms/iter, compile {r['compile_s']:.0f}s")
+    return r
+
+
+def _chain_readback(fn, *args, iters, trials=2):
+    """fn must be a jitted self-contained chain returning a scalar."""
+    t0 = time.perf_counter()
+    float(fn(*args))
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    from deeprecsys_tpu.utils.timing import roundtrip_floor_ms
+
+    floor = roundtrip_floor_ms() / 1000.0
+    return max(best - floor, 1e-9) / iters * 1000.0, compile_s
+
+
+def job_gather(variant):
+    """Gather strategies at the rm2-like operating point:
+    ~2M lookups of 128-byte rows (d=64 bf16) from a 4M-row table."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    N = 512 * 32 * 120           # lookups per iteration
+    R, D = 4_000_000, 64         # base table
+    ITERS = 8
+    idx_host = np.random.default_rng(0).integers(0, R, size=(N,), dtype=np.int32)
+    useful_bytes = N * D * 2
+
+    if variant == "take128":
+        @jax.jit
+        def prog(idx):
+            table = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.bfloat16)
+            def body(i, c):
+                ii = (idx + i) % R
+                return c + jnp.sum(jnp.take(table, ii, axis=0).astype(jnp.float32))
+            return lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+        ms, cs = _chain_readback(prog, jnp.asarray(idx_host), iters=ITERS)
+
+    elif variant == "take128_sorted":
+        idx_host.sort()
+        @jax.jit
+        def prog(idx):
+            table = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.bfloat16)
+            def body(i, c):
+                ii = (idx + i) % R
+                return c + jnp.sum(jnp.take(table, ii, axis=0,
+                                            indices_are_sorted=True).astype(jnp.float32))
+            return lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+        ms, cs = _chain_readback(prog, jnp.asarray(idx_host), iters=ITERS)
+
+    elif variant == "take1k":
+        # Same lookup count, 8x wider rows (512 dim bf16 = 1 KB).
+        R8 = R // 8
+        @jax.jit
+        def prog(idx):
+            table = jax.random.normal(jax.random.PRNGKey(0), (R8, 8 * D), jnp.bfloat16)
+            def body(i, c):
+                ii = (idx + i) % R8
+                return c + jnp.sum(jnp.take(table, ii, axis=0).astype(jnp.float32))
+            return lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+        ms, cs = _chain_readback(prog, jnp.asarray(idx_host), iters=ITERS)
+        useful = N * 8 * D * 2
+        log(f"gather {variant}: {ms:.2f} ms/iter, {useful/ms*1e3/1e9:.1f} GB/s fetched, "
+            f"{N/ms*1e3/1e6:.0f} Mrows/s, compile {cs:.0f}s")
+        return {"variant": variant, "ms": ms, "mrows_s": N / ms * 1e3 / 1e6}
+
+    elif variant == "fatrow":
+        # Fetch 1KB fat rows (8 logical rows), select the wanted 128B slice
+        # with an on-chip one-hot contraction. 8x HBM traffic, but wide DMAs.
+        R8 = R // 8
+        @jax.jit
+        def prog(idx):
+            table = jax.random.normal(jax.random.PRNGKey(0), (R8, 8, D), jnp.bfloat16)
+            def body(i, c):
+                ii = (idx + i) % R
+                fat = jnp.take(table, ii // 8, axis=0)          # (N, 8, D)
+                sel = jax.nn.one_hot(ii % 8, 8, dtype=jnp.bfloat16)  # (N, 8)
+                rows = jnp.einsum("nkd,nk->nd", fat, sel)
+                return c + jnp.sum(rows.astype(jnp.float32))
+            return lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+        ms, cs = _chain_readback(prog, jnp.asarray(idx_host), iters=ITERS)
+
+    elif variant == "pallas":
+        from deeprecsys_tpu.ops.pallas import pallas_embedding_bag
+        B, T, L = 512, 32, 120
+        idx3 = idx_host[: B * T * L].reshape(B, T, L) % (R // T)
+        offs = (np.arange(T) * (R // T)).astype(np.int32)
+        @jax.jit
+        def prog(indices, offsets):
+            table = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.bfloat16)
+            def body(i, c):
+                idx = (indices + i) % (R // T)
+                out = pallas_embedding_bag(table, offsets, idx)
+                return c + jnp.sum(out.astype(jnp.float32))
+            return lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+        ms, cs = _chain_readback(prog, jnp.asarray(idx3), jnp.asarray(offs), iters=ITERS)
+
+    else:
+        raise ValueError(variant)
+
+    log(f"gather {variant}: {ms:.2f} ms/iter, {useful_bytes/ms*1e3/1e9:.1f} GB/s useful, "
+        f"{N/ms*1e3/1e6:.0f} Mrows/s, compile {cs:.0f}s")
+    return {"variant": variant, "ms": ms, "gb_s": useful_bytes / ms * 1e3 / 1e9,
+            "mrows_s": N / ms * 1e3 / 1e6}
+
+
+JOBS = [
+    ("warm:rm1", lambda: job_warm("rm1")),
+    ("warm:rm2", lambda: job_warm("rm2")),
+    ("warm:rm3", lambda: job_warm("rm3")),
+    ("warm:wnd", lambda: job_warm("wnd")),
+    ("warm:mtwnd", lambda: job_warm("mtwnd")),
+    ("warm:ncf", lambda: job_warm("ncf")),
+    ("warm:din", lambda: job_warm("din")),
+    ("warm:dien", lambda: job_warm("dien")),
+    ("gather:take128", lambda: job_gather("take128")),
+    ("gather:take128_sorted", lambda: job_gather("take128_sorted")),
+    ("gather:take1k", lambda: job_gather("take1k")),
+    ("gather:fatrow", lambda: job_gather("fatrow")),
+    ("gather:pallas", lambda: job_gather("pallas")),
+]
+
+
+def main():
+    max_jobs = int(sys.argv[1]) if len(sys.argv) > 1 else 99
+    done = json.loads(STATE.read_text()) if STATE.exists() else {}
+    ran = 0
+    for name, fn in JOBS:
+        if name in done:
+            continue
+        if ran >= max_jobs:
+            break
+        log("running", name)
+        try:
+            result = fn()
+        except Exception as e:
+            log(f"FAILED {name}: {type(e).__name__}: {e}")
+            done[name] = {"error": str(e)[:500]}
+        else:
+            done[name] = result
+        STATE.parent.mkdir(exist_ok=True)
+        STATE.write_text(json.dumps(done, indent=2))
+        ran += 1
+    log(f"{sum(1 for k in done if 'error' not in (done[k] or {}))} ok / {len(done)} done "
+        f"of {len(JOBS)} jobs")
+
+
+if __name__ == "__main__":
+    main()
