@@ -53,7 +53,6 @@ def measure_model(name: str, device, batch_size: int, table_scale: int,
     from deeprecsys_tpu.data import RecDataGenerator
     from deeprecsys_tpu.models import get_model
     from deeprecsys_tpu.models.base import Batch
-    from deeprecsys_tpu.utils.timing import roundtrip_floor_ms
 
     cfg = zoo.get_config(name, table_scale=table_scale,
                          param_dtype=param_dtype, compute_dtype=param_dtype)
@@ -61,7 +60,11 @@ def measure_model(name: str, device, batch_size: int, table_scale: int,
     host = RecDataGenerator(cfg, seed=0).generate_batch(batch_size)
     rows_np = np.asarray(cfg.scaled_rows, dtype=np.int32)[None, :, None]
 
-    def program(seed, dense, indices):
+    # The trip count is a RUNTIME argument: the loop cannot be unrolled at
+    # compile time (a baked-in bound blew remote compiles up by the unroll
+    # factor), and one compiled program serves both chain lengths of the
+    # two-point slope below.
+    def program(n, seed, dense, indices):
         params = model.init(jax.random.PRNGKey(seed))
         rows = jnp.asarray(rows_np)
 
@@ -71,21 +74,26 @@ def measure_model(name: str, device, batch_size: int, table_scale: int,
             out = model.apply(params, Batch(dense=d, indices=idx))
             return c + jnp.sum(out.astype(jnp.float32))
 
-        return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+        return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
     fn = jax.jit(program, device=device)
     dense = None if host.dense is None else jax.device_put(jnp.asarray(host.dense), device)
     indices = jax.device_put(jnp.asarray(host.indices), device)
+    n_lo, n_hi = max(iters // 8, 1), iters
     t0 = _time.perf_counter()
-    float(fn(0, dense, indices))  # compile + warm
+    float(fn(n_hi, 0, dense, indices))  # compile + warm
     compile_s = _time.perf_counter() - t0
-    best = float("inf")
+    # Two-point slope: per-iteration time = (t(n_hi) - t(n_lo)) / (n_hi-n_lo).
+    # Round-trip floor AND in-program init cost cancel exactly.
+    best_lo = best_hi = float("inf")
     for _ in range(trials):
         t0 = _time.perf_counter()
-        float(fn(0, dense, indices))
-        best = min(best, _time.perf_counter() - t0)
-    floor_s = roundtrip_floor_ms(device) / 1000.0
-    ms = max(best - floor_s, 1e-9) / iters * 1000.0
+        float(fn(n_lo, 0, dense, indices))
+        best_lo = min(best_lo, _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        float(fn(n_hi, 0, dense, indices))
+        best_hi = min(best_hi, _time.perf_counter() - t0)
+    ms = max(best_hi - best_lo, 1e-9) / (n_hi - n_lo) * 1000.0
     del dense, indices
     return {
         "model": name,

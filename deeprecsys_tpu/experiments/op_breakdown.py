@@ -30,18 +30,19 @@ import numpy as np
 STAGES = ("embedding", "interaction", "bottom_mlp", "top_mlp", "attention", "rnn")
 
 
-def _time_fn(fn, *args, iters=10, warmup=2) -> float:
-    import jax
+def _time_fn(fn, *args, iters=16) -> float:
+    """Honest stage timing: chained iterations with the last argument
+    rolled by the loop index (loop-dependent, in-range for int indices),
+    scalar readback, two-point slope (see utils/timing.py)."""
+    import jax.numpy as jnp
+    from deeprecsys_tpu.utils.timing import time_step_chain
 
-    fn(*args)
-    jax.block_until_ready(fn(*args))
-    for _ in range(warmup):
-        fn(*args)
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / iters * 1000.0
+    def step(i, carry, *a):
+        x = jnp.roll(a[-1], i, axis=0)
+        out = fn(*a[:-1], x)
+        return carry + jnp.sum(out.astype(jnp.float32))
+
+    return time_step_chain(step, jnp.zeros((), jnp.float32), *args, iters=iters)
 
 
 def breakdown_for(name: str, batch_size: int, table_scale: int, param_dtype: str = "float32") -> dict:

@@ -34,27 +34,31 @@ def sweep_model(name: str, device, batch_sizes, table_scale: int, param_dtype: s
     from deeprecsys_tpu.models import get_model
     from deeprecsys_tpu.models.base import Batch
 
+    from deeprecsys_tpu.utils.timing import time_step_chain
+
     cfg = zoo.get_config(name, table_scale=table_scale,
                          param_dtype=param_dtype, compute_dtype=param_dtype)
     model = get_model(cfg)
     with jax.default_device(device):
         params = jax.device_put(model.init(jax.random.PRNGKey(0)), device)
-        fn = jax.jit(model.apply, device=device)
         gen = RecDataGenerator(cfg, seed=0)
         lat_ms = []
         for b in batch_sizes:
             host = gen.generate_batch(b)
-            batch = Batch(
-                dense=None if host.dense is None else jax.device_put(jnp.asarray(host.dense), device),
-                indices=jax.device_put(jnp.asarray(host.indices), device),
-            )
-            fn(params, batch).block_until_ready()
-            for _ in range(2):
-                fn(params, batch).block_until_ready()
-            t0 = time.perf_counter()
-            outs = [fn(params, batch) for _ in range(iters)]
-            jax.block_until_ready(outs)
-            lat_ms.append((time.perf_counter() - t0) / iters * 1000.0)
+            dense = None if host.dense is None else jax.device_put(jnp.asarray(host.dense), device)
+            indices = jax.device_put(jnp.asarray(host.indices), device)
+
+            def step(i, carry, params, dense, indices):
+                batch = Batch(
+                    dense=None if dense is None else jnp.roll(dense, i, axis=0),
+                    indices=jnp.roll(indices, i, axis=0),
+                )
+                out = model.apply(params, batch)
+                return carry + jnp.sum(out.astype(jnp.float32))
+
+            ms = time_step_chain(step, jnp.zeros((), jnp.float32), params, dense, indices,
+                                 iters=iters, device=device)
+            lat_ms.append(ms)
     del params
     return {"model": name, "batch_sizes": list(batch_sizes), "latencies_ms": lat_ms,
             "dtype": param_dtype, "device": str(device), "table_scale": table_scale}

@@ -8,15 +8,16 @@ on a ~200-TFLOP/s chip). The honest fence is a VALUE: make the timed
 quantity flow into a scalar inside one jitted program and force its
 transfer with ``float()``.
 
-``time_jitted_chain`` therefore:
-  1. chains K iterations inside one compiled ``lax.fori_loop`` with a
-     data dependence on the loop counter (no hoisting, no dedupe),
-  2. reduces the final carry to a scalar inside the jit,
-  3. times ``float(fn(...))`` — dispatch + compute + scalar readback —
-     and subtracts the separately-measured round-trip floor.
-
-Measured floor on this environment's relay: ~35 ms per call, so chains
-should be sized to dominate it (see ``iters``).
+Methodology (``time_step_chain``):
+  1. K iterations of the step chained inside ONE compiled ``fori_loop``
+     with a data dependence on the loop counter (no hoisting, no dedupe);
+  2. the trip count K is a RUNTIME argument — a literal bound can be
+     unrolled by the compiler, exploding (remote) compile time by the
+     unroll factor, and a runtime bound lets one compiled program serve
+     several chain lengths;
+  3. per-iteration time is the two-point slope (t(K_hi)-t(K_lo))/(K_hi-K_lo),
+     which cancels the dispatch/readback floor and any per-call setup
+     inside the program exactly.
 """
 
 from __future__ import annotations
@@ -47,7 +48,7 @@ def roundtrip_floor_ms(device=None, trials: int = 5) -> float:
     return floor
 
 
-def time_jitted_chain(
+def time_step_chain(
     step_fn: Callable,
     init_carry,
     *args,
@@ -58,21 +59,28 @@ def time_jitted_chain(
     """Milliseconds per iteration of ``carry = step_fn(i, carry, *args)``.
 
     ``step_fn`` must make its work depend on both ``i`` and the previous
-    carry (perturb inputs with the iteration index so XLA cannot hoist
-    loop-invariant compute).
+    carry (perturb inputs with the iteration index so the compiler cannot
+    hoist loop-invariant work).
     """
 
-    def chain(carry, *a):
-        out = lax.fori_loop(0, iters, lambda i, c: step_fn(i, c, *a), carry)
+    def chain(n, carry, *a):
+        out = lax.fori_loop(0, n, lambda i, c: step_fn(i, c, *a), carry)
         leaves = jax.tree_util.tree_leaves(out)
         return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
 
     fn = jax.jit(chain, device=device)
-    float(fn(init_carry, *args))  # compile + warm
-    best = float("inf")
+    n_lo, n_hi = max(iters // 8, 1), iters
+    float(fn(n_hi, init_carry, *args))  # compile + warm
+    best_lo = best_hi = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        float(fn(init_carry, *args))
-        best = min(best, time.perf_counter() - t0)
-    floor = roundtrip_floor_ms(device) / 1000.0
-    return max(best - floor, 1e-9) / iters * 1000.0
+        float(fn(n_lo, init_carry, *args))
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(fn(n_hi, init_carry, *args))
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    return max(best_hi - best_lo, 1e-9) / (n_hi - n_lo) * 1000.0
+
+
+# Backwards-compatible name (older call sites / docs).
+time_jitted_chain = time_step_chain

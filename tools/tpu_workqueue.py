@@ -41,19 +41,21 @@ def job_warm(model):
 
 
 def _chain_readback(fn, *args, iters, trials=2):
-    """fn must be a jitted self-contained chain returning a scalar."""
+    """fn(n, *args) must be a jitted chain with RUNTIME trip count n
+    returning a scalar. Two-point slope cancels floor + in-program init."""
+    n_lo, n_hi = max(iters // 8, 1), iters
     t0 = time.perf_counter()
-    float(fn(*args))
+    float(fn(n_hi, *args))
     compile_s = time.perf_counter() - t0
-    best = float("inf")
+    best_lo = best_hi = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        float(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    from deeprecsys_tpu.utils.timing import roundtrip_floor_ms
-
-    floor = roundtrip_floor_ms() / 1000.0
-    return max(best - floor, 1e-9) / iters * 1000.0, compile_s
+        float(fn(n_lo, *args))
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(fn(n_hi, *args))
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    return max(best_hi - best_lo, 1e-9) / (n_hi - n_lo) * 1000.0, compile_s
 
 
 def job_gather(variant):
@@ -72,36 +74,36 @@ def job_gather(variant):
 
     if variant == "take128":
         @jax.jit
-        def prog(idx):
+        def prog(n, idx):
             table = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.bfloat16)
             def body(i, c):
                 ii = (idx + i) % R
                 return c + jnp.sum(jnp.take(table, ii, axis=0).astype(jnp.float32))
-            return lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
         ms, cs = _chain_readback(prog, jnp.asarray(idx_host), iters=ITERS)
 
     elif variant == "take128_sorted":
         idx_host.sort()
         @jax.jit
-        def prog(idx):
+        def prog(n, idx):
             table = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.bfloat16)
             def body(i, c):
                 ii = (idx + i) % R
                 return c + jnp.sum(jnp.take(table, ii, axis=0,
                                             indices_are_sorted=True).astype(jnp.float32))
-            return lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
         ms, cs = _chain_readback(prog, jnp.asarray(idx_host), iters=ITERS)
 
     elif variant == "take1k":
         # Same lookup count, 8x wider rows (512 dim bf16 = 1 KB).
         R8 = R // 8
         @jax.jit
-        def prog(idx):
+        def prog(n, idx):
             table = jax.random.normal(jax.random.PRNGKey(0), (R8, 8 * D), jnp.bfloat16)
             def body(i, c):
                 ii = (idx + i) % R8
                 return c + jnp.sum(jnp.take(table, ii, axis=0).astype(jnp.float32))
-            return lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
         ms, cs = _chain_readback(prog, jnp.asarray(idx_host), iters=ITERS)
         useful = N * 8 * D * 2
         log(f"gather {variant}: {ms:.2f} ms/iter, {useful/ms*1e3/1e9:.1f} GB/s fetched, "
@@ -113,7 +115,7 @@ def job_gather(variant):
         # with an on-chip one-hot contraction. 8x HBM traffic, but wide DMAs.
         R8 = R // 8
         @jax.jit
-        def prog(idx):
+        def prog(n, idx):
             table = jax.random.normal(jax.random.PRNGKey(0), (R8, 8, D), jnp.bfloat16)
             def body(i, c):
                 ii = (idx + i) % R
@@ -121,7 +123,7 @@ def job_gather(variant):
                 sel = jax.nn.one_hot(ii % 8, 8, dtype=jnp.bfloat16)  # (N, 8)
                 rows = jnp.einsum("nkd,nk->nd", fat, sel)
                 return c + jnp.sum(rows.astype(jnp.float32))
-            return lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
         ms, cs = _chain_readback(prog, jnp.asarray(idx_host), iters=ITERS)
 
     elif variant == "pallas":
@@ -130,13 +132,13 @@ def job_gather(variant):
         idx3 = idx_host[: B * T * L].reshape(B, T, L) % (R // T)
         offs = (np.arange(T) * (R // T)).astype(np.int32)
         @jax.jit
-        def prog(indices, offsets):
+        def prog(n, indices, offsets):
             table = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.bfloat16)
             def body(i, c):
                 idx = (indices + i) % (R // T)
                 out = pallas_embedding_bag(table, offsets, idx)
                 return c + jnp.sum(out.astype(jnp.float32))
-            return lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
         ms, cs = _chain_readback(prog, jnp.asarray(idx3), jnp.asarray(offs), iters=ITERS)
 
     else:
