@@ -79,21 +79,29 @@ def measure_model(name: str, device, batch_size: int, table_scale: int,
     fn = jax.jit(program, device=device)
     dense = None if host.dense is None else jax.device_put(jnp.asarray(host.dense), device)
     indices = jax.device_put(jnp.asarray(host.indices), device)
-    n_lo, n_hi = max(iters // 8, 1), iters
+
+    def slope_ms(n_lo, n_hi):
+        # Two-point slope: per-iter = (t(n_hi) - t(n_lo)) / (n_hi - n_lo).
+        # Round-trip floor AND in-program init cost cancel exactly.
+        best_lo = best_hi = float("inf")
+        for _ in range(trials):
+            t0 = _time.perf_counter()
+            float(fn(n_lo, 0, dense, indices))
+            best_lo = min(best_lo, _time.perf_counter() - t0)
+            t0 = _time.perf_counter()
+            float(fn(n_hi, 0, dense, indices))
+            best_hi = min(best_hi, _time.perf_counter() - t0)
+        return max(best_hi - best_lo, 1e-9) / (n_hi - n_lo) * 1000.0
+
     t0 = _time.perf_counter()
-    float(fn(n_hi, 0, dense, indices))  # compile + warm
+    float(fn(iters, 0, dense, indices))  # compile + warm
     compile_s = _time.perf_counter() - t0
-    # Two-point slope: per-iteration time = (t(n_hi) - t(n_lo)) / (n_hi-n_lo).
-    # Round-trip floor AND in-program init cost cancel exactly.
-    best_lo = best_hi = float("inf")
-    for _ in range(trials):
-        t0 = _time.perf_counter()
-        float(fn(n_lo, 0, dense, indices))
-        best_lo = min(best_lo, _time.perf_counter() - t0)
-        t0 = _time.perf_counter()
-        float(fn(n_hi, 0, dense, indices))
-        best_hi = min(best_hi, _time.perf_counter() - t0)
-    ms = max(best_hi - best_lo, 1e-9) / (n_hi - n_lo) * 1000.0
+    ms = slope_ms(max(iters // 8, 1), iters)
+    # Adaptive: fast models need longer chains to rise above timing noise
+    # (~ms of jitter on the readback). Same compiled program, bigger n.
+    while ms * iters < 50.0 and iters < 16384:
+        iters *= 8
+        ms = slope_ms(max(iters // 8, 1), iters)
     del dense, indices
     return {
         "model": name,

@@ -6,27 +6,24 @@ the pooled lookup for ALL tables of a model:
 
     table (R, d) in HBM, indices (B, T, L) -> pooled (B, T, d)
 
-Why a hand-written kernel: XLA's TPU gather lowering fetches rows through
-a serialized dynamic-slice path; measured on v5e it sustains only
-~80-90 Mrows/s (~11 GB/s of 128-byte rows against an 819 GB/s HBM).
-This kernel drives the row fetches as explicit HBM->VMEM DMAs with a deep
-ring of in-flight copies, then reduces the pooling axis on the VPU.
+Context (measured on v5e, see benchmarks/tpu_work_done.json): XLA's gather
+sustains ~64-89 Mrows/s essentially independent of row width — it is
+DMA-descriptor-rate limited, not bandwidth limited (128-byte rows sustain
+11 GB/s of an 819 GB/s HBM). This kernel explores the explicit-DMA
+alternative: a deep ring of in-flight HBM->VMEM copies driven by
+scalar-prefetched indices.
+
+Hardware constraint: HBM memrefs are (sublane, 128)-tiled, so a DMA slice
+along dim 0 must be sublane-aligned (8 rows f32 / 16 rows bf16 / 32 int8).
+Each lookup therefore fetches the ALIGNED block containing its row and a
+VPU mask selects the wanted row into the accumulator — this is the minimum
+fetch the hardware permits for a random row.
 
 Structure (per pallas_guide.md patterns: PrefetchScalarGridSpec + double
-buffering, generalized to an S-deep pipeline):
-
-  grid step g handles a block of BLK output rows (one output row = one
-  (sample, table) pair, i.e. L pooled ids):
-    - the flat index array arrives via scalar prefetch (SMEM), so the
-      scalar core can compute DMA source addresses ahead of the stream;
-    - a ring of S row-slots in VMEM holds in-flight DMAs: slot j waits,
-      accumulates into the output tile, and immediately reissues the DMA
-      for row j+S of the stream;
-    - accumulation is f32 in a VMEM scratch tile, cast to the output dtype
-      once per block.
-
-The kernel is checked against the XLA path in tests (interpret mode on
-CPU; compiled on real TPU by the benchmarks).
+buffering generalized to an S-deep pipeline): grid step g owns BLK output
+rows (one output row = one (sample, table) pair = L pooled ids); slot j of
+the ring waits, mask-accumulates, and immediately reissues the DMA for the
+row S ahead in the stream. Accumulation is f32 in VMEM scratch.
 """
 
 from __future__ import annotations
@@ -40,15 +37,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _sublane(dtype) -> int:
+    return {4: 8, 2: 16, 1: 32}[jnp.dtype(dtype).itemsize]
+
+
 def _gather_kernel(idx_ref, table_hbm, out_ref, acc_ref, rows_vmem, sems,
-                   *, BLK: int, L: int, S: int, out_dtype):
+                   *, BLK: int, L: int, S: int, ALIGN: int, out_dtype):
     """One grid step: BLK output rows, each pooling L table rows.
 
     idx_ref:   (num_flat,) int32 in SMEM (scalar-prefetched, full array)
-    table_hbm: (R, d) in HBM (pl.ANY)
+    table_hbm: (R, d) in HBM (pl.ANY), R a multiple of ALIGN
     out_ref:   (BLK, d) VMEM output tile for this grid step
     acc_ref:   (BLK, d) f32 VMEM scratch accumulator
-    rows_vmem: (S, 1, d) VMEM ring of row landing slots
+    rows_vmem: (S, ALIGN, d) VMEM ring of aligned landing blocks
     sems:      (S,) DMA semaphores
     """
     g = pl.program_id(0)
@@ -57,8 +58,9 @@ def _gather_kernel(idx_ref, table_hbm, out_ref, acc_ref, rows_vmem, sems,
 
     def dma(stream_pos, slot):
         row_id = idx_ref[base + stream_pos]
+        block = (row_id // ALIGN) * ALIGN
         return pltpu.make_async_copy(
-            table_hbm.at[pl.ds(row_id, 1), :],
+            table_hbm.at[pl.ds(block, ALIGN), :],
             rows_vmem.at[slot],
             sems.at[slot],
         )
@@ -74,9 +76,13 @@ def _gather_kernel(idx_ref, table_hbm, out_ref, acc_ref, rows_vmem, sems,
     def body(pos, _):
         slot = jax.lax.rem(pos, S)
         dma(pos, slot).wait()
-        row = rows_vmem[slot][0, :].astype(jnp.float32)
+        row_id = idx_ref[base + pos]
+        sub = jax.lax.rem(row_id, ALIGN)
+        block = rows_vmem[slot].astype(jnp.float32)          # (ALIGN, d)
+        lane = jax.lax.broadcasted_iota(jnp.int32, block.shape, 0)
+        picked = jnp.where(lane == sub, block, 0.0).sum(axis=0)  # (d,)
         out_row = pos // L
-        acc_ref[out_row, :] += row
+        acc_ref[out_row, :] += picked
         # Reissue this slot for the row S ahead in the stream.
         @pl.when(pos + S < total)
         def _():
@@ -108,6 +114,14 @@ def pallas_embedding_bag(
     """
     B, T, L = indices.shape
     R, d = table.shape
+    ALIGN = _sublane(table.dtype)
+    if R % ALIGN:
+        # Pad the fused table to a whole number of aligned blocks so the
+        # last row's block fetch stays in bounds.
+        table = jnp.concatenate(
+            [table, jnp.zeros((ALIGN - R % ALIGN, d), table.dtype)], axis=0
+        )
+        R = table.shape[0]
     flat = (indices + offsets[None, :, None]).reshape(-1).astype(jnp.int32)
 
     n_out = B * T
@@ -122,7 +136,7 @@ def pallas_embedding_bag(
     S = min(pipeline_depth, BLK * L)
 
     kernel = functools.partial(
-        _gather_kernel, BLK=BLK, L=L, S=S, out_dtype=table.dtype
+        _gather_kernel, BLK=BLK, L=L, S=S, ALIGN=ALIGN, out_dtype=table.dtype
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -131,7 +145,7 @@ def pallas_embedding_bag(
         out_specs=pl.BlockSpec((BLK, d), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((BLK, d), jnp.float32),
-            pltpu.VMEM((S, 1, d), table.dtype),
+            pltpu.VMEM((S, ALIGN, d), table.dtype),
             pltpu.SemaphoreType.DMA((S,)),
         ],
     )

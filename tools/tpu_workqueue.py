@@ -150,6 +150,24 @@ def job_gather(variant):
             "mrows_s": N / ms * 1e3 / 1e6}
 
 
+def job_sweep(model):
+    """Batch-ladder characterization on the TPU -> LatencyModel JSON
+    (accelerator/generate_data.py analog for our own accelerator)."""
+    import jax
+    from deeprecsys_tpu.experiments.sweep import sweep_model
+
+    tpu = [d for d in jax.devices() if d.platform != "cpu"]
+    device = tpu[0] if tpu else jax.devices()[0]
+    r = sweep_model(model, device, (1, 4, 16, 64, 256, 1024), 8, "bfloat16", iters=16)
+    out = Path(__file__).parent.parent / "benchmarks" / "characterization"
+    out.mkdir(parents=True, exist_ok=True)
+    (out / f"tpu_{model}.json").write_text(json.dumps(
+        {"batch_sizes": r["batch_sizes"], "latencies_ms": r["latencies_ms"], "base": 4.0}))
+    log(f"sweep {model}: " + " ".join(
+        f"{b}:{l:.2f}ms" for b, l in zip(r["batch_sizes"], r["latencies_ms"])))
+    return r
+
+
 JOBS = [
     ("warm:rm1", lambda: job_warm("rm1")),
     ("warm:rm2", lambda: job_warm("rm2")),
@@ -164,6 +182,9 @@ JOBS = [
     ("gather:take1k", lambda: job_gather("take1k")),
     ("gather:fatrow", lambda: job_gather("fatrow")),
     ("gather:pallas", lambda: job_gather("pallas")),
+    ("sweep:rm1", lambda: job_sweep("rm1")),
+    ("sweep:ncf", lambda: job_sweep("ncf")),
+    ("sweep:din", lambda: job_sweep("din")),
 ]
 
 
