@@ -13,17 +13,18 @@ DMA-descriptor-rate limited, not bandwidth limited (128-byte rows sustain
 alternative: a deep ring of in-flight HBM->VMEM copies driven by
 scalar-prefetched indices.
 
-Hardware constraint: HBM memrefs are (sublane, 128)-tiled, so a DMA slice
-along dim 0 must be sublane-aligned (8 rows f32 / 16 rows bf16 / 32 int8).
-Each lookup therefore fetches the ALIGNED block containing its row and a
-VPU mask selects the wanted row into the accumulator — this is the minimum
-fetch the hardware permits for a random row.
+Hardware constraints shape the whole design: HBM memrefs are
+(sublane, 128)-tiled, so a DMA must copy whole 128-lane lines in
+sublane-aligned groups (8 f32 / 16 bf16). The table is therefore viewed
+PACKED as (R/k, 128) with k = 128/d logical rows per line (d <= 128), or
+(R*k, 128) with k = d/128 lines per row (d >= 128). Each lookup fetches
+the aligned block containing its line(s); a VPU mask accumulates the
+wanted row into a (BLK, 128) f32 accumulator, and the k lane-groups are
+folded once per output block — no dynamic lane shifts anywhere.
 
-Structure (per pallas_guide.md patterns: PrefetchScalarGridSpec + double
-buffering generalized to an S-deep pipeline): grid step g owns BLK output
-rows (one output row = one (sample, table) pair = L pooled ids); slot j of
-the ring waits, mask-accumulates, and immediately reissues the DMA for the
-row S ahead in the stream. Accumulation is f32 in VMEM scratch.
+Pipeline (pallas_guide.md: PrefetchScalarGridSpec + double buffering,
+generalized to an S-deep ring): slot j waits, mask-accumulates, and
+immediately reissues the DMA for the lookup S ahead in the stream.
 """
 
 from __future__ import annotations
@@ -36,38 +37,36 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+LANES = 128
+
 
 def _sublane(dtype) -> int:
     return {4: 8, 2: 16, 1: 32}[jnp.dtype(dtype).itemsize]
 
 
-def _gather_kernel(idx_ref, table_hbm, out_ref, acc_ref, rows_vmem, sems,
-                   *, BLK: int, L: int, S: int, ALIGN: int, out_dtype):
-    """One grid step: BLK output rows, each pooling L table rows.
+def _narrow_kernel(idx_ref, packed_hbm, out_ref, acc_ref, ring, sems,
+                   *, BLK, L, S, ALIGN, K, D, out_dtype):
+    """d <= 128 path: K = 128 // d rows per 128-lane line.
 
-    idx_ref:   (num_flat,) int32 in SMEM (scalar-prefetched, full array)
-    table_hbm: (R, d) in HBM (pl.ANY), R a multiple of ALIGN
-    out_ref:   (BLK, d) VMEM output tile for this grid step
-    acc_ref:   (BLK, d) f32 VMEM scratch accumulator
-    rows_vmem: (S, ALIGN, d) VMEM ring of aligned landing blocks
-    sems:      (S,) DMA semaphores
+    idx_ref:    (num_flat,) int32 fused row ids (scalar-prefetched, SMEM)
+    packed_hbm: (R//K, 128) packed table in HBM
+    out_ref:    (BLK, D) output tile
+    acc_ref:    (BLK, 128) f32 accumulator
+    ring:       (S, ALIGN, 128) landing blocks
+    sems:       (S,) DMA semaphores
     """
     g = pl.program_id(0)
-    base = g * BLK * L  # first flat id of this block's stream
+    base = g * BLK * L
     total = BLK * L
 
-    def dma(stream_pos, slot):
-        row_id = idx_ref[base + stream_pos]
-        block = (row_id // ALIGN) * ALIGN
+    def dma(pos, slot):
+        line = idx_ref[base + pos] // K
+        block = (line // ALIGN) * ALIGN
         return pltpu.make_async_copy(
-            table_hbm.at[pl.ds(block, ALIGN), :],
-            rows_vmem.at[slot],
-            sems.at[slot],
+            packed_hbm.at[pl.ds(block, ALIGN), :], ring.at[slot], sems.at[slot]
         )
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    # Prime the pipeline: start the first S DMAs.
     for j in range(S):
         @pl.when(j < total)
         def _():
@@ -76,14 +75,60 @@ def _gather_kernel(idx_ref, table_hbm, out_ref, acc_ref, rows_vmem, sems,
     def body(pos, _):
         slot = jax.lax.rem(pos, S)
         dma(pos, slot).wait()
-        row_id = idx_ref[base + pos]
-        sub = jax.lax.rem(row_id, ALIGN)
-        block = rows_vmem[slot].astype(jnp.float32)          # (ALIGN, d)
-        lane = jax.lax.broadcasted_iota(jnp.int32, block.shape, 0)
-        picked = jnp.where(lane == sub, block, 0.0).sum(axis=0)  # (d,)
-        out_row = pos // L
-        acc_ref[out_row, :] += picked
-        # Reissue this slot for the row S ahead in the stream.
+        r = idx_ref[base + pos]
+        line = r // K
+        sub = jax.lax.rem(line, ALIGN)
+        half = jax.lax.rem(r, K)
+        block = ring[slot].astype(jnp.float32)  # (ALIGN, 128)
+        sl = jax.lax.broadcasted_iota(jnp.int32, block.shape, 0)
+        ln = jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
+        mask = (sl == sub) & ((ln // D) == half)
+        acc_ref[pos // L, :] += jnp.where(mask, block, 0.0).sum(axis=0)
+        @pl.when(pos + S < total)
+        def _():
+            dma(pos + S, slot).start()
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0)
+    # Fold the K lane-groups: each lookup landed in exactly one group.
+    folded = acc_ref[:, 0:D]
+    for j in range(1, K):
+        folded = folded + acc_ref[:, j * D:(j + 1) * D]
+    out_ref[:] = folded.astype(out_dtype)
+
+
+def _wide_kernel(idx_ref, packed_hbm, out_ref, acc_ref, ring, sems,
+                 *, BLK, L, S, ALIGN, K, D, out_dtype):
+    """d >= 128 path: each row spans K = d // 128 consecutive lines."""
+    g = pl.program_id(0)
+    base = g * BLK * L
+    total = BLK * L
+    GROUPS = ALIGN // K  # rows per aligned block
+
+    def dma(pos, slot):
+        first_line = idx_ref[base + pos] * K
+        block = (first_line // ALIGN) * ALIGN
+        return pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(block, ALIGN), :], ring.at[slot], sems.at[slot]
+        )
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for j in range(S):
+        @pl.when(j < total)
+        def _():
+            dma(j, j).start()
+
+    def body(pos, _):
+        slot = jax.lax.rem(pos, S)
+        dma(pos, slot).wait()
+        first_line = idx_ref[base + pos] * K
+        group = jax.lax.rem(first_line, ALIGN) // K
+        block = ring[slot].astype(jnp.float32)  # (ALIGN, 128)
+        # Static unroll over possible groups; exactly one matches.
+        row = jnp.zeros((K, LANES), jnp.float32)
+        for j in range(GROUPS):
+            row = row + jnp.where(group == j, block[j * K:(j + 1) * K, :], 0.0)
+        acc_ref[pos // L, :] += row.reshape(-1)
         @pl.when(pos + S < total)
         def _():
             dma(pos + S, slot).start()
@@ -106,46 +151,62 @@ def pallas_embedding_bag(
     """Drop-in Pallas replacement for ``ops.embedding.embedding_bag``.
 
     Args:
-      table:   (R, d) fused embedding array (HBM-resident).
+      table:   (R, d) fused embedding array; d must divide or be a
+               multiple of 128. (R is padded internally as needed.)
       offsets: (T,) int32 per-table row offsets.
       indices: (B, T, L) int32 per-table-local ids.
 
     Returns: (B, T, d) pooled embeddings in the table dtype.
+
+    Note: the packed (.., 128) view is materialized by XLA on entry; for
+    production use keep the fused table stored packed (one-time cost here
+    keeps the op drop-in for benchmarking).
     """
     B, T, L = indices.shape
     R, d = table.shape
     ALIGN = _sublane(table.dtype)
-    if R % ALIGN:
-        # Pad the fused table to a whole number of aligned blocks so the
-        # last row's block fetch stays in bounds.
-        table = jnp.concatenate(
-            [table, jnp.zeros((ALIGN - R % ALIGN, d), table.dtype)], axis=0
-        )
-        R = table.shape[0]
-    flat = (indices + offsets[None, :, None]).reshape(-1).astype(jnp.int32)
+    if d <= LANES:
+        if LANES % d:
+            raise ValueError(f"d={d} must divide {LANES}")
+        K = LANES // d
+        pad_rows = (-R) % (K * ALIGN)
+        if pad_rows:
+            table = jnp.concatenate([table, jnp.zeros((pad_rows, d), table.dtype)])
+        packed = table.reshape(-1, LANES)  # (R/K, 128)
+        kernel_fn, acc_lanes = _narrow_kernel, LANES
+    else:
+        if d % LANES:
+            raise ValueError(f"d={d} must be a multiple of {LANES}")
+        K = d // LANES
+        if ALIGN % K:
+            raise ValueError(f"rows of {K} lines must divide the {ALIGN}-line alignment")
+        pad_rows = (-R) % ALIGN
+        if pad_rows:
+            table = jnp.concatenate([table, jnp.zeros((pad_rows, d), table.dtype)])
+        packed = table.reshape(-1, LANES)  # (R*K, 128)
+        kernel_fn, acc_lanes = _wide_kernel, d
 
+    flat = (indices + offsets[None, :, None]).reshape(-1).astype(jnp.int32)
     n_out = B * T
     BLK = min(block_rows, n_out)
-    # Pad the output-row count to a multiple of BLK; padded rows re-read
-    # row 0 and are dropped (cheap relative to the stream).
     n_blocks = (n_out + BLK - 1) // BLK
     pad_out = n_blocks * BLK - n_out
     if pad_out:
         flat = jnp.concatenate([flat, jnp.zeros((pad_out * L,), jnp.int32)])
-
     S = min(pipeline_depth, BLK * L)
 
     kernel = functools.partial(
-        _gather_kernel, BLK=BLK, L=L, S=S, ALIGN=ALIGN, out_dtype=table.dtype
+        kernel_fn, BLK=BLK, L=L, S=S, ALIGN=ALIGN, K=K, D=d if d <= LANES else LANES,
+        out_dtype=table.dtype,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table stays in HBM
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((BLK, d), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((BLK, d), jnp.float32),
-            pltpu.VMEM((S, ALIGN, d), table.dtype),
+            pltpu.VMEM((BLK, acc_lanes), jnp.float32),
+            pltpu.VMEM((S, ALIGN, LANES), table.dtype),
             pltpu.SemaphoreType.DMA((S,)),
         ],
     )
@@ -155,5 +216,5 @@ def pallas_embedding_bag(
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(flat, table)
+    )(flat, packed)
     return out[:n_out].reshape(B, T, d)

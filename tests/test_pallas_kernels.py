@@ -38,6 +38,20 @@ def test_pallas_embedding_bag_block_padding():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_embedding_bag_wide_rows():
+    # d > 128 path: each row spans multiple 128-lane lines.
+    rng = np.random.default_rng(3)
+    d = 256
+    table = jnp.asarray(rng.normal(size=(40, d)).astype(np.float32))
+    offsets = jnp.asarray(np.array([0, 24], dtype=np.int32))
+    idx = np.stack([np.stack([rng.integers(0, n, size=2) for n in (24, 16)])
+                    for _ in range(6)]).astype(np.int32)
+    ref = embedding_bag(table, offsets, jnp.asarray(idx))
+    got = pallas_embedding_bag(table, offsets, jnp.asarray(idx), interpret=True,
+                               block_rows=4, pipeline_depth=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_embedding_bag_bf16():
     rng = np.random.default_rng(2)
     table = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32)).astype(jnp.bfloat16)

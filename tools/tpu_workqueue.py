@@ -126,6 +126,22 @@ def job_gather(variant):
             return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
         ms, cs = _chain_readback(prog, jnp.asarray(idx_host), iters=ITERS)
 
+    elif variant == "split4":
+        # Four independent quarter-gathers: can XLA overlap descriptor
+        # streams across DMA engines?
+        Nq = N // 4
+        @jax.jit
+        def prog(n, idx):
+            table = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.bfloat16)
+            def body(i, c):
+                parts = []
+                for q in range(4):
+                    ii = (jax.lax.dynamic_slice_in_dim(idx, q * Nq, Nq) + i) % R
+                    parts.append(jnp.sum(jnp.take(table, ii, axis=0).astype(jnp.float32)))
+                return c + sum(parts)
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+        ms, cs = _chain_readback(prog, jnp.asarray(idx_host), iters=ITERS)
+
     elif variant == "pallas":
         from deeprecsys_tpu.ops.pallas import pallas_embedding_bag
         B, T, L = 512, 32, 120
@@ -168,6 +184,32 @@ def job_sweep(model):
     return r
 
 
+def job_serving(model):
+    """End-to-end TPU serving at (a scaled-down version of) the canonical
+    operating point (run_DeepRecSys.sh): normal(165,16) sizes capped 1024,
+    Poisson arrivals, windowed p95 tracking. NOTE: through this relay every
+    request pays a ~35 ms dispatch+readback round trip, so absolute tail
+    latencies here are relay-bound; the run proves the serving stack on
+    real TPU and measures sustainable QPS."""
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.serving import run_serving
+
+    cfg = ServingConfig(
+        num_batches=48, nepochs=1, inference_engines=1, engine_backend="tpu",
+        avg_arrival_rate_ms=5.0, batch_size_distribution="normal",
+        avg_mini_batch_size=165.0, var_mini_batch_size=16.0,
+        max_mini_batch_size=1024, sub_task_batch_size=64,
+        batch_buckets=(64, 128, 256, 512, 1024),
+        req_granularity=16, target_latency_ms=25.0, seed=3,
+    )
+    res = run_serving(zoo.get_config(model, table_scale=8, param_dtype="bfloat16",
+                                     compute_dtype="bfloat16"), cfg, settle_s=0.05)
+    log(f"serving {model}: QPS={res.measured_qps:.1f} p50={res.p50_ms:.1f} "
+        f"p95={res.p95_ms:.1f} p99={res.p99_ms:.1f} ms over {res.num_responses} responses")
+    return res.to_dict()
+
+
 JOBS = [
     ("warm:rm1", lambda: job_warm("rm1")),
     ("warm:rm2", lambda: job_warm("rm2")),
@@ -185,6 +227,9 @@ JOBS = [
     ("sweep:rm1", lambda: job_sweep("rm1")),
     ("sweep:ncf", lambda: job_sweep("ncf")),
     ("sweep:din", lambda: job_sweep("din")),
+    ("gather:split4", lambda: job_gather("split4")),
+    ("serving:rm1", lambda: job_serving("rm1")),
+    ("serving:ncf", lambda: job_serving("ncf")),
 ]
 
 
