@@ -69,6 +69,10 @@ class ModelConfig:
     # Parameter/compute dtypes (TPU-native addition; reference is f32-only).
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
+    # Embedding lookup implementation: "xla" (gather; default — measured at
+    # the descriptor-rate wall already) or "pallas" (explicit-DMA kernel,
+    # ops/pallas/embedding_kernel.py).
+    embedding_impl: str = "xla"
     # Divide all table sizes by this factor (testing / memory-constrained runs).
     table_scale: int = 1
 

@@ -72,6 +72,20 @@ def stacked_mlp_apply(params, x: jax.Array, sigmoid_layer: int = -1) -> jax.Arra
     return x
 
 
+def pooled_lookup(tables: jax.Array, batch: Batch, cfg: ModelConfig) -> jax.Array:
+    """The model-facing fused pooled lookup: (B, T, d) in compute dtype,
+    dispatching to the configured implementation (cfg.embedding_impl)."""
+    from deeprecsys_tpu.ops import embedding_bag
+
+    offsets = jnp.asarray(cfg.table_offsets)
+    cdt = compute_dtype_of(cfg)
+    if cfg.embedding_impl == "pallas":
+        from deeprecsys_tpu.ops.pallas import pallas_embedding_bag
+
+        return pallas_embedding_bag(tables, offsets, batch.indices).astype(cdt)
+    return embedding_bag(tables, offsets, batch.indices, compute_dtype=cdt)
+
+
 def compute_dtype_of(cfg: ModelConfig):
     return jnp.dtype(cfg.compute_dtype)
 

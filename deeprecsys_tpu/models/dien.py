@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from deeprecsys_tpu.config import ModelConfig
-from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of
+from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup
 from deeprecsys_tpu.ops import (
     embedding_bag,
     init_fused_tables,
@@ -49,8 +49,7 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
 
 def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
     cdt = compute_dtype_of(cfg)
-    offsets = jnp.asarray(cfg.table_offsets)
-    emb = embedding_bag(params["tables"], offsets, batch.indices, compute_dtype=cdt)  # (B, T, m)
+    emb = pooled_lookup(params["tables"], batch, cfg)  # (B, T, m)
     T = cfg.num_tables
     profile = emb[:, 0, :]
     behavior = emb[:, 1 : T - 2, :]  # (B, T_b, m)

@@ -27,6 +27,7 @@ from deeprecsys_tpu.models.base import (
     Batch,
     compute_dtype_of,
     param_dtype_of,
+    pooled_lookup,
     stacked_mlp_init,
     stacked_mlp_apply,
 )
@@ -51,8 +52,7 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
 
 def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
     cdt = compute_dtype_of(cfg)
-    offsets = jnp.asarray(cfg.table_offsets)
-    emb = embedding_bag(params["tables"], offsets, batch.indices, compute_dtype=cdt)  # (B, T, m)
+    emb = pooled_lookup(params["tables"], batch, cfg)  # (B, T, m)
     T = cfg.num_tables
     profile = emb[:, 0, :]
     behavior = emb[:, 1 : T - 2, :]        # (B, T_b, m)

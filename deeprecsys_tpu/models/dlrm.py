@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from deeprecsys_tpu.config import ModelConfig
-from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of
+from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup
 from deeprecsys_tpu.ops import (
     embedding_bag,
     init_fused_tables,
@@ -40,10 +40,9 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
 
 def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
     cdt = compute_dtype_of(cfg)
-    offsets = jnp.asarray(cfg.table_offsets)
     x = batch.dense.astype(cdt)
     dense_out = mlp_apply(params["bot"], x)  # all-ReLU (sigmoid_bot = -1)
-    emb_out = embedding_bag(params["tables"], offsets, batch.indices, compute_dtype=cdt)
+    emb_out = pooled_lookup(params["tables"], batch, cfg)
     if cfg.interaction_op == "dot":
         z = dot_interaction(dense_out, emb_out, self_interaction=cfg.interaction_itself)
     else:

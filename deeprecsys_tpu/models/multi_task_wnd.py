@@ -22,6 +22,7 @@ from deeprecsys_tpu.models.base import (
     Batch,
     compute_dtype_of,
     param_dtype_of,
+    pooled_lookup,
     stacked_mlp_init,
     stacked_mlp_apply,
 )
@@ -45,8 +46,7 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
 
 def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
     cdt = compute_dtype_of(cfg)
-    offsets = jnp.asarray(cfg.table_offsets)
-    emb_out = embedding_bag(params["tables"], offsets, batch.indices, compute_dtype=cdt)
+    emb_out = pooled_lookup(params["tables"], batch, cfg)
     z = cat_interaction(batch.dense.astype(cdt), emb_out)
     shared = mlp_apply(params["top"], z, sigmoid_layer=-1)  # all-ReLU shared trunk
     x = jnp.broadcast_to(shared[:, None, :], (shared.shape[0], cfg.num_multi_tasks, shared.shape[1]))

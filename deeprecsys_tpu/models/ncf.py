@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from deeprecsys_tpu.config import ModelConfig
-from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of
+from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup
 from deeprecsys_tpu.ops import embedding_bag, init_fused_tables, mlp_init, mlp_apply
 
 
@@ -35,8 +35,7 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
 
 def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
     cdt = compute_dtype_of(cfg)
-    offsets = jnp.asarray(cfg.table_offsets)
-    emb = embedding_bag(params["tables"], offsets, batch.indices, compute_dtype=cdt)  # (B, 4, m)
+    emb = pooled_lookup(params["tables"], batch, cfg)  # (B, 4, m)
     zmf = emb[:, 0, :] + emb[:, 1, :]
     zmlp = jnp.concatenate([emb[:, 2, :], emb[:, 3, :]], axis=1)
     mlp_out = mlp_apply(params["mlp"], zmlp)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 
 from deeprecsys_tpu.config import ModelConfig
-from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of
+from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup
 from deeprecsys_tpu.ops import embedding_bag, init_fused_tables, mlp_init, mlp_apply, cat_interaction
 import jax.numpy as jnp
 
@@ -31,7 +31,6 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
 
 def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
     cdt = compute_dtype_of(cfg)
-    offsets = jnp.asarray(cfg.table_offsets)
-    emb_out = embedding_bag(params["tables"], offsets, batch.indices, compute_dtype=cdt)
+    emb_out = pooled_lookup(params["tables"], batch, cfg)
     z = cat_interaction(batch.dense.astype(cdt), emb_out)
     return mlp_apply(params["top"], z, sigmoid_layer=len(cfg.ln_top) - 1)
