@@ -55,12 +55,10 @@ def _narrow_kernel(idx_ref, packed_hbm, out_ref, acc_ref, ring, sems,
     ring:       (S, ALIGN, 128) landing blocks
     sems:       (S,) DMA semaphores
     """
-    g = pl.program_id(0)
-    base = g * BLK * L
     total = BLK * L
 
     def dma(pos, slot):
-        line = idx_ref[base + pos] // K
+        line = idx_ref[pos] // K
         block = (line // ALIGN) * ALIGN
         return pltpu.make_async_copy(
             packed_hbm.at[pl.ds(block, ALIGN), :], ring.at[slot], sems.at[slot]
@@ -75,7 +73,7 @@ def _narrow_kernel(idx_ref, packed_hbm, out_ref, acc_ref, ring, sems,
     def body(pos, _):
         slot = jax.lax.rem(pos, S)
         dma(pos, slot).wait()
-        r = idx_ref[base + pos]
+        r = idx_ref[pos]
         line = r // K
         sub = jax.lax.rem(line, ALIGN)
         half = jax.lax.rem(r, K)
@@ -100,13 +98,11 @@ def _narrow_kernel(idx_ref, packed_hbm, out_ref, acc_ref, ring, sems,
 def _wide_kernel(idx_ref, packed_hbm, out_ref, acc_ref, ring, sems,
                  *, BLK, L, S, ALIGN, K, D, out_dtype):
     """d >= 128 path: each row spans K = d // 128 consecutive lines."""
-    g = pl.program_id(0)
-    base = g * BLK * L
     total = BLK * L
     GROUPS = ALIGN // K  # rows per aligned block
 
     def dma(pos, slot):
-        first_line = idx_ref[base + pos] * K
+        first_line = idx_ref[pos] * K
         block = (first_line // ALIGN) * ALIGN
         return pltpu.make_async_copy(
             packed_hbm.at[pl.ds(block, ALIGN), :], ring.at[slot], sems.at[slot]
@@ -121,7 +117,7 @@ def _wide_kernel(idx_ref, packed_hbm, out_ref, acc_ref, ring, sems,
     def body(pos, _):
         slot = jax.lax.rem(pos, S)
         dma(pos, slot).wait()
-        first_line = idx_ref[base + pos] * K
+        first_line = idx_ref[pos] * K
         group = jax.lax.rem(first_line, ALIGN) // K
         block = ring[slot].astype(jnp.float32)  # (ALIGN, 128)
         # Static unroll over possible groups; exactly one matches.
@@ -188,7 +184,10 @@ def pallas_embedding_bag(
 
     flat = (indices + offsets[None, :, None]).reshape(-1).astype(jnp.int32)
     n_out = B * T
-    BLK = min(block_rows, n_out)
+    # SMEM holds one block of indices (~1 MB total SMEM on v5e); keep a
+    # block's index tile comfortably small.
+    max_blk_by_smem = max(1, (16 * 1024) // max(L, 1))
+    BLK = min(block_rows, n_out, max(8, max_blk_by_smem))
     n_blocks = (n_out + BLK - 1) // BLK
     pad_out = n_blocks * BLK - n_out
     if pad_out:
@@ -199,11 +198,14 @@ def pallas_embedding_bag(
         kernel_fn, BLK=BLK, L=L, S=S, ALIGN=ALIGN, K=K, D=d if d <= LANES else LANES,
         out_dtype=table.dtype,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    grid_spec = pl.GridSpec(
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((BLK, d), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+        in_specs=[
+            # This block's BLK*L indices, pipelined into SMEM.
+            pl.BlockSpec((BLK * L,), lambda g: (g,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed table stays in HBM
+        ],
+        out_specs=pl.BlockSpec((BLK, d), lambda g: (g, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((BLK, acc_lanes), jnp.float32),
             pltpu.VMEM((S, ALIGN, LANES), table.dtype),
