@@ -185,9 +185,14 @@ def pallas_embedding_bag(
     flat = (indices + offsets[None, :, None]).reshape(-1).astype(jnp.int32)
     n_out = B * T
     # SMEM holds one block of indices (~1 MB total SMEM on v5e); keep a
-    # block's index tile comfortably small.
+    # block's index tile comfortably small. The 1-D SMEM block length
+    # (BLK*L) must also be a multiple of 128.
+    import math
+
     max_blk_by_smem = max(1, (16 * 1024) // max(L, 1))
-    BLK = min(block_rows, n_out, max(8, max_blk_by_smem))
+    BLK = min(block_rows, max(8, max_blk_by_smem))
+    m = LANES // math.gcd(L, LANES)  # smallest BLK granule with BLK*L % 128 == 0
+    BLK = max(m, (BLK // m) * m)
     n_blocks = (n_out + BLK - 1) // BLK
     pad_out = n_blocks * BLK - n_out
     if pad_out:
