@@ -73,6 +73,10 @@ class ModelConfig:
     # the descriptor-rate wall already) or "pallas" (explicit-DMA kernel,
     # ops/pallas/embedding_kernel.py).
     embedding_impl: str = "xla"
+    # Embedding table quantization: "none" | "int8" (symmetric per-table
+    # scale; 4x HBM capacity vs f32 — gather speed is row-rate-bound so
+    # int8 costs nothing in latency). TPU-native addition.
+    table_quant: str = "none"
     # Divide all table sizes by this factor (testing / memory-constrained runs).
     table_scale: int = 1
 
@@ -284,6 +288,14 @@ class ServingConfig:
     max_arr_range: float = 100.0
     arr_steps: int = 20
     sched_timeout: int = 100
+
+    # Request coalescing (TPU-native addition): drain up to max_coalesce
+    # waiting sub-requests and run them as ONE padded bucket execution —
+    # the inverse of the reference's query splitting, which exists because
+    # CPU cores want small batches; the MXU wants large ones. Off by
+    # default for reference-faithful behavior.
+    coalesce_requests: bool = False
+    max_coalesce: int = 8
 
     # Big-query offload (utils.py:90-94). On TPU the "accelerator" is the
     # real big-batch TPU path; the reference's is a simulated GPU.

@@ -72,13 +72,30 @@ def stacked_mlp_apply(params, x: jax.Array, sigmoid_layer: int = -1) -> jax.Arra
     return x
 
 
-def pooled_lookup(tables: jax.Array, batch: Batch, cfg: ModelConfig) -> jax.Array:
+def init_tables(key: jax.Array, cfg: ModelConfig):
+    """Initialize the fused embedding array per the config's quantization."""
+    from deeprecsys_tpu.ops import init_fused_tables
+    from deeprecsys_tpu.ops.embedding import init_fused_tables_int8
+
+    if cfg.table_quant == "int8":
+        return init_fused_tables_int8(key, cfg.scaled_rows, cfg.sparse_feature_size)
+    return init_fused_tables(key, cfg.scaled_rows, cfg.sparse_feature_size,
+                             param_dtype_of(cfg))
+
+
+def pooled_lookup(tables, batch: Batch, cfg: ModelConfig) -> jax.Array:
     """The model-facing fused pooled lookup: (B, T, d) in compute dtype,
-    dispatching to the configured implementation (cfg.embedding_impl)."""
+    dispatching on implementation (cfg.embedding_impl) and quantization
+    (dict-typed tables = int8 + per-table scales)."""
     from deeprecsys_tpu.ops import embedding_bag
 
     offsets = jnp.asarray(cfg.table_offsets)
     cdt = compute_dtype_of(cfg)
+    if isinstance(tables, dict):  # int8 symmetric, per-table scale
+        # Pool in int32 (exact), dequantize once per pooled vector.
+        pooled = embedding_bag(tables["q"], offsets, batch.indices,
+                               compute_dtype=jnp.int32)
+        return (pooled.astype(jnp.float32) * tables["scale"][None, :, None]).astype(cdt)
     if cfg.embedding_impl == "pallas":
         from deeprecsys_tpu.ops.pallas import pallas_embedding_bag
 

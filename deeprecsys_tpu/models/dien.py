@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from deeprecsys_tpu.config import ModelConfig
-from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup
+from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup, init_tables
 from deeprecsys_tpu.ops import (
     embedding_bag,
     init_fused_tables,
@@ -39,7 +39,7 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
     # Gate FC init matches the reference's brew.fc defaults (Xavier-like);
     # we reuse the MLP initializer.
     return {
-        "tables": init_fused_tables(k_emb, cfg.scaled_rows, m, pdt),
+        "tables": init_tables(k_emb, cfg),
         "rnn0": basic_rnn_init(k_r0, m, H, pdt),
         "gate_fc": mlp_init(k_fc, (H, H), pdt)[0],
         "rnn1": basic_rnn_init(k_r1, H, H, pdt),

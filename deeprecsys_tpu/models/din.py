@@ -26,6 +26,7 @@ from deeprecsys_tpu.config import ModelConfig
 from deeprecsys_tpu.models.base import (
     Batch,
     compute_dtype_of,
+    init_tables,
     param_dtype_of,
     pooled_lookup,
     stacked_mlp_init,
@@ -44,7 +45,7 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
     num_behavior = len(cfg.behavior_table_ids)
     k_emb, k_att, k_top = jax.random.split(key, 3)
     return {
-        "tables": init_fused_tables(k_emb, cfg.scaled_rows, cfg.sparse_feature_size, pdt),
+        "tables": init_tables(k_emb, cfg),
         "attention": stacked_mlp_init(k_att, num_behavior, _attention_dims(cfg), pdt),
         "top": mlp_init(k_top, cfg.ln_top, pdt),  # (4m,) + mlp_top
     }

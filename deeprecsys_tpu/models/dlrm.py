@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from deeprecsys_tpu.config import ModelConfig
-from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup
+from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup, init_tables
 from deeprecsys_tpu.ops import (
     embedding_bag,
     init_fused_tables,
@@ -32,7 +32,7 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
         f"{cfg.sparse_feature_size} (reference check dlrm_s_caffe2.py:436-438)"
     )
     return {
-        "tables": init_fused_tables(k_emb, cfg.scaled_rows, cfg.sparse_feature_size, pdt),
+        "tables": init_tables(k_emb, cfg),
         "bot": mlp_init(k_bot, ln_bot, pdt),
         "top": mlp_init(k_top, cfg.ln_top, pdt),
     }

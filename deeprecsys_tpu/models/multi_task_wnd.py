@@ -21,6 +21,7 @@ from deeprecsys_tpu.config import ModelConfig
 from deeprecsys_tpu.models.base import (
     Batch,
     compute_dtype_of,
+    init_tables,
     param_dtype_of,
     pooled_lookup,
     stacked_mlp_init,
@@ -38,7 +39,7 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
     )
     k_emb, k_top, k_tasks = jax.random.split(key, 3)
     return {
-        "tables": init_fused_tables(k_emb, cfg.scaled_rows, cfg.sparse_feature_size, pdt),
+        "tables": init_tables(k_emb, cfg),
         "top": mlp_init(k_top, cfg.ln_top, pdt),
         "tasks": stacked_mlp_init(k_tasks, cfg.num_multi_tasks, cfg.mlp_tasks, pdt),
     }

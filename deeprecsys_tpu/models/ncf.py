@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from deeprecsys_tpu.config import ModelConfig
-from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup
+from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup, init_tables
 from deeprecsys_tpu.ops import embedding_bag, init_fused_tables, mlp_init, mlp_apply
 
 
@@ -27,7 +27,7 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
     ln_top = cfg.ln_top  # (2m,) + mlp_top
     k_emb, k_mlp, k_final = jax.random.split(key, 3)
     return {
-        "tables": init_fused_tables(k_emb, cfg.scaled_rows, m, pdt),
+        "tables": init_tables(k_emb, cfg),
         "mlp": mlp_init(k_mlp, ln_top[:-1], pdt),
         "final": mlp_init(k_final, (m + ln_top[-2], ln_top[-1]), pdt),
     }

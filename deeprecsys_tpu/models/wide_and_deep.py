@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 
 from deeprecsys_tpu.config import ModelConfig
-from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup
+from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup, init_tables
 from deeprecsys_tpu.ops import embedding_bag, init_fused_tables, mlp_init, mlp_apply, cat_interaction
 import jax.numpy as jnp
 
@@ -24,7 +24,7 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
     )
     k_emb, k_top = jax.random.split(key)
     return {
-        "tables": init_fused_tables(k_emb, cfg.scaled_rows, cfg.sparse_feature_size, pdt),
+        "tables": init_tables(k_emb, cfg),
         "top": mlp_init(k_top, cfg.ln_top, pdt),
     }
 

@@ -48,6 +48,22 @@ def init_fused_tables(key: jax.Array, table_rows, dim: int, dtype=jnp.float32) -
     return (u * scales[:, None]).astype(dtype)
 
 
+def init_fused_tables_int8(key: jax.Array, table_rows, dim: int) -> dict:
+    """Int8 symmetric quantized fused tables with per-table scales.
+
+    The reference init is U(-sqrt(1/n), sqrt(1/n)) per table, so a
+    per-table scale of sqrt(1/n)/127 is the exact symmetric quantizer for
+    the init distribution. Returns {"q": (R, d) int8, "scale": (T,) f32}.
+    """
+    table_rows = np.asarray(table_rows, dtype=np.int64)
+    total = int(table_rows.sum())
+    bounds = np.sqrt(1.0 / table_rows).astype(np.float32)  # per-table max-abs
+    # Values drawn directly on the int8 grid — identical in distribution to
+    # quantizing a uniform draw with these scales.
+    u = jax.random.randint(key, (total, dim), minval=-127, maxval=128, dtype=jnp.int32)
+    return {"q": u.astype(jnp.int8), "scale": jnp.asarray(bounds / 127.0)}
+
+
 def embedding_bag(
     table: jax.Array,
     offsets: jax.Array,

@@ -128,20 +128,38 @@ class ComputeEngine(threading.Thread):
 
         completer = threading.Thread(target=self._completion_loop, daemon=True)
         completer.start()
-        while True:
+        cfg = self.serving_cfg
+        done = False
+        while not done:
             request = self.request_q.get()
             if request is _SENTINEL:
-                self._pending.put(_SENTINEL)
                 break
+            group = [request]
+            if cfg.coalesce_requests:
+                # Dynamic batching: drain waiting requests into one bucket
+                # execution (MXU wants big batches; the queue backlog is
+                # free batch size). Stops at the largest bucket.
+                total = request.batch_size
+                while len(group) < cfg.max_coalesce and total < self.buckets[-1]:
+                    try:
+                        nxt = self.request_q.get_nowait()
+                    except Exception:
+                        break
+                    if nxt is _SENTINEL or nxt is None:
+                        done = True
+                        break
+                    group.append(nxt)
+                    total += nxt.batch_size
             queue_start = time.time()
-            bucket = pick_bucket(self.buckets, request.batch_size)
+            bucket = pick_bucket(self.buckets, sum(r.batch_size for r in group))
             host = self._host_data[bucket]
-            # Fresh host->device transfer each request: honest serving cost
-            # (the reference re-feeds host blobs through BlobsQueues too).
+            # Fresh host->device transfer each execution: honest serving
+            # cost (the reference re-feeds host blobs through BlobsQueues).
             dev_batch = self._device_batch(host)
             out = self._jitted[bucket](self.params, dev_batch)
             queue_end = time.time()
-            self._pending.put((request, out, queue_start, queue_end))
+            self._pending.put((group, out, queue_start, queue_end))
+        self._pending.put(_SENTINEL)
         completer.join()
         self.response_q.put(_SENTINEL)
 
@@ -150,28 +168,30 @@ class ComputeEngine(threading.Thread):
             item = self._pending.get()
             if item is _SENTINEL:
                 return
-            request, out, queue_start, queue_end = item
+            group, out, queue_start, queue_end = item
             # Transfer the scores to host: a response is only complete when
             # the client could read it (the reference FetchBlobs the output
             # too, inferenceEngine.py:52-58). Also the only honest fence on
             # relayed backends where block_until_ready can ack early.
             scores = np.asarray(out)
-            self.response_q.put(
-                ServiceResponse(
-                    consumer_id=self.engine_id,
-                    epoch=request.epoch,
-                    batch_id=request.batch_id,
-                    batch_size=request.batch_size,
-                    arrival_time=request.arrival_time,
-                    queue_start_time=queue_start,
-                    queue_end_time=queue_end,
-                    inference_end_time=time.time(),
-                    out_batch_size=int(scores.shape[0]),
-                    sub_id=request.sub_id,
-                    total_sub_batches=request.total_sub_batches,
-                    exp_packet=request.exp_packet,
+            end = time.time()
+            for request in group:
+                self.response_q.put(
+                    ServiceResponse(
+                        consumer_id=self.engine_id,
+                        epoch=request.epoch,
+                        batch_id=request.batch_id,
+                        batch_size=request.batch_size,
+                        arrival_time=request.arrival_time,
+                        queue_start_time=queue_start,
+                        queue_end_time=queue_end,
+                        inference_end_time=end,
+                        out_batch_size=int(scores.shape[0]),
+                        sub_id=request.sub_id,
+                        total_sub_batches=request.total_sub_batches,
+                        exp_packet=request.exp_packet,
+                    )
                 )
-            )
 
 
 class SimEngine(threading.Thread):

@@ -139,6 +139,25 @@ def test_end_to_end_compute_cpu_engine():
     assert np.isfinite(res.p95_ms)
 
 
+def test_coalescing_engine_answers_every_request():
+    """TPU-native dynamic batching: backlog drained into one bucket run;
+    every sub-request still gets its own response."""
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(
+        num_batches=20, nepochs=1, inference_engines=1, engine_backend="cpu",
+        avg_arrival_rate_ms=0.1,  # flood the queue so coalescing triggers
+        batch_size_distribution="fixed", avg_mini_batch_size=24,
+        max_mini_batch_size=64, batch_buckets=(8, 16, 32, 64),
+        sub_task_batch_size=8, req_granularity=4, seed=9,
+        coalesce_requests=True, max_coalesce=4,
+    )
+    res = run_serving(model_cfg, cfg, settle_s=0.01)
+    assert res.cpu_requests == 20
+    assert res.cpu_sub_requests == 60  # 24 -> [8, 8, 8]
+    assert res.num_responses == 60
+    assert np.isfinite(res.p95_ms)
+
+
 def test_scheduler_tunes_in_sim_loop():
     """tune_batch_qps end-to-end: the hill climber must converge and pick a
     sub-batch config, after which non-exp traffic flows."""
