@@ -210,6 +210,20 @@ def job_serving(model):
     return res.to_dict()
 
 
+def job_full(model, quant="none"):
+    """Bench one model at FULL production table sizes (table_scale=1)."""
+    import jax
+    import bench
+
+    tpu = [d for d in jax.devices() if d.platform != "cpu"]
+    device = tpu[0] if tpu else jax.devices()[0]
+    r = bench.measure_model(model, device, 512, 1, "bfloat16", iters=32,
+                            table_quant=quant)
+    log(f"full-scale {model} (quant={quant}): {r['latency_ms']:.3f} ms/iter "
+        f"({r['samples_per_s']:.0f} samples/s), compile {r['compile_s']:.0f}s")
+    return r
+
+
 JOBS = [
     ("warm:rm1", lambda: job_warm("rm1")),
     ("warm:rm2", lambda: job_warm("rm2")),
@@ -230,6 +244,12 @@ JOBS = [
     ("gather:split4", lambda: job_gather("split4")),
     ("serving:rm1", lambda: job_serving("rm1")),
     ("serving:ncf", lambda: job_serving("ncf")),
+    # Full production-scale tables (table_scale=1): capacity + perf proof
+    # on one chip. rm1 f32 would be 4 GB; bf16 2 GB; din ~3 GB.
+    ("full:rm1", lambda: job_full("rm1")),
+    ("full:rm2", lambda: job_full("rm2")),
+    ("full:din", lambda: job_full("din")),
+    ("full_int8:rm1", lambda: job_full("rm1", quant="int8")),
 ]
 
 
