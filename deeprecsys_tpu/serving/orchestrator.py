@@ -51,6 +51,7 @@ def run_serving(
     settle_s: float = 3.0,
     params=None,
     log_responses: bool = False,
+    watchdog_s: float = 60.0,
 ) -> ServingResult:
     """Run the full serving stack and return measured QPS / tail latency.
 
@@ -119,8 +120,26 @@ def run_serving(
 
     agg = ResponseAggregator(cfg.req_granularity)
     finished = 0
+    # Watchdog: the reference hangs forever if an engine dies mid-run
+    # (SURVEY §5 "a crashed engine would hang the run"); we abort after a
+    # quiet period once the load generator has exited with no live engine.
     while finished < total_engines:
-        response = response_q.get()
+        try:
+            response = response_q.get(timeout=watchdog_s)
+        except Exception:
+            dead = [e.name for e in engines if not e.is_alive()] + [
+                f"proc-{p.pid}" for p in procs if not p.is_alive()
+            ]
+            live_engines = any(e.is_alive() for e in engines) or any(
+                p.is_alive() for p in procs
+            )
+            if not loadgen.is_alive() and not live_engines:
+                raise RuntimeError(
+                    f"serving stalled: no responses for {watchdog_s}s, load "
+                    f"generator and engines all exited (dead: {dead}); "
+                    f"{finished}/{total_engines} engines had signalled done"
+                )
+            continue  # engines still alive: slow, not dead
         if response is None:
             finished += 1
             continue

@@ -139,6 +139,33 @@ def test_end_to_end_compute_cpu_engine():
     assert np.isfinite(res.p95_ms)
 
 
+def test_watchdog_aborts_on_dead_engine(monkeypatch):
+    """Reference behavior: a crashed engine hangs the run forever
+    (SURVEY §5). Ours raises after the watchdog period."""
+    from deeprecsys_tpu.serving.engine import SimEngine
+
+    def broken_run(self):
+        self.ready_q.put(self.engine_id)
+        while True:
+            request = self.request_q.get()
+            if request is None:
+                return  # exits WITHOUT posting the done sentinel
+            # drop the request on the floor (simulated crash mid-stream)
+            return
+
+    monkeypatch.setattr(SimEngine, "run", broken_run)
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(
+        num_batches=4, nepochs=1, inference_engines=1, engine_backend="sim",
+        avg_arrival_rate_ms=0.5, batch_size_distribution="fixed",
+        avg_mini_batch_size=8, max_mini_batch_size=16, sub_task_batch_size=8,
+        req_granularity=2, seed=2,
+    )
+    lm = LatencyModel([1, 16], [0.1, 0.2])
+    with pytest.raises(RuntimeError, match="serving stalled"):
+        run_serving(model_cfg, cfg, latency_model=lm, settle_s=0.01, watchdog_s=0.3)
+
+
 def test_coalescing_engine_answers_every_request():
     """TPU-native dynamic batching: backlog drained into one bucket run;
     every sub-request still gets its own response."""
