@@ -22,14 +22,7 @@ import jax.numpy as jnp
 
 from deeprecsys_tpu.config import ModelConfig
 from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup, init_tables
-from deeprecsys_tpu.ops import (
-    embedding_bag,
-    init_fused_tables,
-    mlp_init,
-    mlp_apply,
-    basic_rnn_init,
-    basic_rnn_scan,
-)
+from deeprecsys_tpu.ops import mlp_init, mlp_apply, basic_rnn_init, basic_rnn_scan
 
 
 def init(key: jax.Array, cfg: ModelConfig) -> dict:

@@ -32,7 +32,7 @@ from deeprecsys_tpu.models.base import (
     stacked_mlp_init,
     stacked_mlp_apply,
 )
-from deeprecsys_tpu.ops import embedding_bag, init_fused_tables, mlp_init, mlp_apply
+from deeprecsys_tpu.ops import mlp_init, mlp_apply
 
 
 def _attention_dims(cfg: ModelConfig) -> tuple[int, ...]:

@@ -13,14 +13,7 @@ import jax.numpy as jnp
 
 from deeprecsys_tpu.config import ModelConfig
 from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup, init_tables
-from deeprecsys_tpu.ops import (
-    embedding_bag,
-    init_fused_tables,
-    mlp_init,
-    mlp_apply,
-    dot_interaction,
-    cat_interaction,
-)
+from deeprecsys_tpu.ops import mlp_init, mlp_apply, dot_interaction, cat_interaction
 
 
 def init(key: jax.Array, cfg: ModelConfig) -> dict:

@@ -27,7 +27,7 @@ from deeprecsys_tpu.models.base import (
     stacked_mlp_init,
     stacked_mlp_apply,
 )
-from deeprecsys_tpu.ops import embedding_bag, init_fused_tables, mlp_init, mlp_apply, cat_interaction
+from deeprecsys_tpu.ops import mlp_init, mlp_apply, cat_interaction
 
 
 def init(key: jax.Array, cfg: ModelConfig) -> dict:

@@ -12,7 +12,7 @@ import jax
 
 from deeprecsys_tpu.config import ModelConfig
 from deeprecsys_tpu.models.base import Batch, compute_dtype_of, param_dtype_of, pooled_lookup, init_tables
-from deeprecsys_tpu.ops import embedding_bag, init_fused_tables, mlp_init, mlp_apply, cat_interaction
+from deeprecsys_tpu.ops import mlp_init, mlp_apply, cat_interaction
 import jax.numpy as jnp
 
 

