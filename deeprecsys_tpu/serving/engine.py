@@ -67,6 +67,7 @@ class ComputeEngine(threading.Thread):
         device=None,
         params=None,
         seed: int = 0,
+        mesh=None,
     ):
         super().__init__(name=f"engine-{engine_id}", daemon=True)
         self.engine_id = engine_id
@@ -78,9 +79,18 @@ class ComputeEngine(threading.Thread):
         self.device = device if device is not None else jax.devices()[0]
         self.params = params
         self.seed = seed
+        # Multi-chip serving: with a mesh, the model runs hybrid-sharded
+        # (tables row-sharded over "model", batch over "data") and buckets
+        # must divide the data axis.
+        self.mesh = mesh
         self.buckets = tuple(
             b for b in sorted(serving_cfg.batch_buckets) if b <= serving_cfg.max_mini_batch_size
         ) or (serving_cfg.max_mini_batch_size,)
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            self.buckets = tuple(b for b in self.buckets if b % n_data == 0) or (
+                max(self.buckets[-1], n_data),
+            )
         self._jitted: dict[int, callable] = {}
         self._host_data: dict[int, Batch] = {}
         self._pending: "queue.Queue" = queue.Queue()
@@ -90,16 +100,28 @@ class ComputeEngine(threading.Thread):
 
     def _setup(self):
         model = get_model(self.model_cfg)
-        if self.params is None:
+        if self.mesh is not None:
+            from deeprecsys_tpu.parallel import shard_params, sharded_apply
+
+            if self.params is None:
+                self.params = model.init(jax.random.PRNGKey(self.seed))
+            self.params = shard_params(self.params, self.mesh)
+            apply_fn = sharded_apply(
+                model.apply, self.params, self.mesh,
+                has_dense=self.model_cfg.dense_dim > 0,
+            )
+        elif self.params is None:
             with jax.default_device(self.device):
                 self.params = jax.device_put(
                     model.init(jax.random.PRNGKey(self.seed)), self.device
                 )
+            apply_fn = jax.jit(model.apply, device=self.device)
+        else:
+            apply_fn = jax.jit(model.apply, device=self.device)
         # Pre-generate one max-size batch; per-bucket host slices feed each
         # request (reference: pre-generate then slice, inferenceEngine.py:200-206).
         gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17)
         full = gen.generate_batch(max(self.buckets))
-        apply_fn = jax.jit(model.apply, device=self.device)
         for b in self.buckets:
             sliced = Batch(
                 dense=None if full.dense is None else full.dense[:b],
@@ -111,6 +133,12 @@ class ComputeEngine(threading.Thread):
             apply_fn(self.params, self._device_batch(sliced)).block_until_ready()
 
     def _device_batch(self, host_batch: Batch) -> Batch:
+        if self.mesh is not None:
+            from deeprecsys_tpu.parallel.sharding import batch_shardings
+
+            sh = batch_shardings(self.mesh, has_dense=host_batch.dense is not None)
+            dense = None if host_batch.dense is None else jax.device_put(host_batch.dense, sh.dense)
+            return Batch(dense=dense, indices=jax.device_put(host_batch.indices, sh.indices))
         dense = None if host_batch.dense is None else jax.device_put(host_batch.dense, self.device)
         return Batch(dense=dense, indices=jax.device_put(host_batch.indices, self.device))
 

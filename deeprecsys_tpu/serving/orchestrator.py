@@ -52,6 +52,7 @@ def run_serving(
     params=None,
     log_responses: bool = False,
     watchdog_s: float = 60.0,
+    mesh=None,
 ) -> ServingResult:
     """Run the full serving stack and return measured QPS / tail latency.
 
@@ -96,7 +97,8 @@ def run_serving(
         else:
             engines.append(
                 ComputeEngine(i, model_cfg, cfg, request_q, response_q, ready_q,
-                              device=_device_for_backend(), params=params, seed=cfg.seed + i)
+                              device=_device_for_backend(), params=params,
+                              seed=cfg.seed + i, mesh=mesh)
             )
     total_engines = cfg.inference_engines
     if cfg.model_accel:

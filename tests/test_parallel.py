@@ -78,6 +78,27 @@ def test_sharded_apply_matches_single_device(name):
     np.testing.assert_allclose(out, single, rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_serving_end_to_end():
+    """Multi-chip serving: engine runs the hybrid-sharded model over a
+    (data=4, model=2) virtual mesh through the full serving stack."""
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.serving import run_serving
+
+    model_cfg = zoo.get_config("rm1", table_scale=SCALE)
+    mesh = make_mesh(data=4, model=2)
+    cfg = ServingConfig(
+        num_batches=10, nepochs=1, inference_engines=1, engine_backend="cpu",
+        avg_arrival_rate_ms=0.5, batch_size_distribution="fixed",
+        avg_mini_batch_size=24, max_mini_batch_size=64,
+        batch_buckets=(8, 16, 32, 64), sub_task_batch_size=16,
+        req_granularity=4, seed=21,
+    )
+    res = run_serving(model_cfg, cfg, settle_s=0.01, mesh=mesh)
+    assert res.cpu_requests == 10
+    assert res.num_responses == 20  # 24 -> [16, 8]
+    assert np.isfinite(res.p95_ms)
+
+
 def test_train_step_runs_and_reduces_loss():
     cfg = zoo.get_config("rm1", table_scale=SCALE)
     model = get_model(cfg)
