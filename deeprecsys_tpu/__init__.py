@@ -26,4 +26,21 @@ __all__ = [
     "ModelConfig",
     "ServingConfig",
     "load_model_config",
+    "zoo",
 ]
+
+
+def __getattr__(name):
+    # Lazy heavyweight imports (jax-dependent) so `import deeprecsys_tpu`
+    # stays light for config-only use.
+    import importlib
+
+    if name == "zoo":
+        mod = importlib.import_module("deeprecsys_tpu.zoo")
+        globals()[name] = mod
+        return mod
+    if name == "Trainer":
+        return importlib.import_module("deeprecsys_tpu.train").Trainer
+    if name == "run_serving":
+        return importlib.import_module("deeprecsys_tpu.serving").run_serving
+    raise AttributeError(name)

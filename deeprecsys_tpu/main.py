@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--numpy_rand_seed", type=int, default=123)
     p.add_argument("--log_file", type=str, default=None)
     p.add_argument("--debug_mode", action="store_true")
+    # Per-op profiling (reference: --enable_profiling + prof_dag engine ->
+    # workspace.benchmark_net; here: a jax.profiler trace viewable in
+    # XProf/TensorBoard).
+    p.add_argument("--enable_profiling", action="store_true")
+    p.add_argument("--profile_dir", type=str, default="log/profile")
     return p
 
 
@@ -144,11 +149,18 @@ def run_standalone(model_cfg: ModelConfig, args) -> dict:
                  indices=jnp.asarray(b.indices)) for b in batches]
     fn(params, dev[0]).block_until_ready()
 
+    import contextlib
+
+    profiler_ctx = (
+        jax.profiler.trace(args.profile_dir) if args.enable_profiling
+        else contextlib.nullcontext()
+    )
     t_comp = 0.0
     t0 = time.perf_counter()
-    for _ in range(args.nepochs):
-        outs = [fn(params, b) for b in dev]
-        jax.block_until_ready(outs)
+    with profiler_ctx:
+        for _ in range(args.nepochs):
+            outs = [fn(params, b) for b in dev]
+            jax.block_until_ready(outs)
     t_comp = time.perf_counter() - t0
 
     total_ms = (t_load + t_comp) * 1000.0

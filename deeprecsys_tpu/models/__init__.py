@@ -33,6 +33,7 @@ def get_model(cfg: ModelConfig) -> ModelFns:
         init=functools.partial(mod.init, cfg=cfg),
         apply=functools.partial(mod.apply, cfg=cfg),
         cfg=cfg,
+        apply_from_pooled=functools.partial(mod.apply_from_pooled, cfg=cfg),
     )
 
 

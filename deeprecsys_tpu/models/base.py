@@ -36,6 +36,9 @@ class ModelFns(NamedTuple):
     init: Callable[[jax.Array], dict]
     apply: Callable[[dict, Batch], jax.Array]
     cfg: ModelConfig
+    # Forward from pooled embeddings — the split point that lets training
+    # treat the fused table sparsely (see train.py).
+    apply_from_pooled: Callable = None
 
 
 def stacked_mlp_init(key: jax.Array, num: int, dims, dtype=jnp.float32) -> list[dict]:

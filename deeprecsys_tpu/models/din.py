@@ -51,9 +51,7 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
     }
 
 
-def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
-    cdt = compute_dtype_of(cfg)
-    emb = pooled_lookup(params["tables"], batch, cfg)  # (B, T, m)
+def apply_from_pooled(params: dict, emb: jax.Array, batch: Batch, cfg: ModelConfig) -> jax.Array:
     T = cfg.num_tables
     profile = emb[:, 0, :]
     behavior = emb[:, 1 : T - 2, :]        # (B, T_b, m)
@@ -69,3 +67,7 @@ def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
 
     z = jnp.concatenate([profile, attention, ad, ctx], axis=1)  # (B, 4m)
     return mlp_apply(params["top"], z)  # all-ReLU (DIN create_mlp has no sigmoid)
+
+
+def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
+    return apply_from_pooled(params, pooled_lookup(params["tables"], batch, cfg), batch, cfg)

@@ -31,14 +31,19 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
     }
 
 
-def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
+def apply_from_pooled(params: dict, pooled: jax.Array, batch: Batch, cfg: ModelConfig) -> jax.Array:
+    """Forward from pooled embeddings (B, T, d); the split point for
+    sparse-gradient training (see train.py)."""
     cdt = compute_dtype_of(cfg)
     x = batch.dense.astype(cdt)
     dense_out = mlp_apply(params["bot"], x)  # all-ReLU (sigmoid_bot = -1)
-    emb_out = pooled_lookup(params["tables"], batch, cfg)
     if cfg.interaction_op == "dot":
-        z = dot_interaction(dense_out, emb_out, self_interaction=cfg.interaction_itself)
+        z = dot_interaction(dense_out, pooled, self_interaction=cfg.interaction_itself)
     else:
-        z = cat_interaction(dense_out, emb_out)
+        z = cat_interaction(dense_out, pooled)
     # Sigmoid on the final top layer (reference sigmoid_top).
     return mlp_apply(params["top"], z, sigmoid_layer=len(cfg.ln_top) - 1)
+
+
+def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
+    return apply_from_pooled(params, pooled_lookup(params["tables"], batch, cfg), batch, cfg)

@@ -45,11 +45,14 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
     }
 
 
-def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
+def apply_from_pooled(params: dict, pooled: jax.Array, batch: Batch, cfg: ModelConfig) -> jax.Array:
     cdt = compute_dtype_of(cfg)
-    emb_out = pooled_lookup(params["tables"], batch, cfg)
-    z = cat_interaction(batch.dense.astype(cdt), emb_out)
+    z = cat_interaction(batch.dense.astype(cdt), pooled)
     shared = mlp_apply(params["top"], z, sigmoid_layer=-1)  # all-ReLU shared trunk
     x = jnp.broadcast_to(shared[:, None, :], (shared.shape[0], cfg.num_multi_tasks, shared.shape[1]))
     heads = stacked_mlp_apply(params["tasks"], x, sigmoid_layer=len(cfg.ln_top) - 1)
     return heads.reshape(shared.shape[0], -1)  # (B, num_tasks * task_out)
+
+
+def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
+    return apply_from_pooled(params, pooled_lookup(params["tables"], batch, cfg), batch, cfg)

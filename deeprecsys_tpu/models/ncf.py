@@ -33,11 +33,13 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
     }
 
 
-def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
-    cdt = compute_dtype_of(cfg)
-    emb = pooled_lookup(params["tables"], batch, cfg)  # (B, 4, m)
+def apply_from_pooled(params: dict, emb: jax.Array, batch: Batch, cfg: ModelConfig) -> jax.Array:
     zmf = emb[:, 0, :] + emb[:, 1, :]
     zmlp = jnp.concatenate([emb[:, 2, :], emb[:, 3, :]], axis=1)
     mlp_out = mlp_apply(params["mlp"], zmlp)
     r = jnp.concatenate([zmf, mlp_out], axis=1)
     return mlp_apply(params["final"], r)
+
+
+def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
+    return apply_from_pooled(params, pooled_lookup(params["tables"], batch, cfg), batch, cfg)

@@ -29,8 +29,11 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
     }
 
 
-def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
+def apply_from_pooled(params: dict, pooled: jax.Array, batch: Batch, cfg: ModelConfig) -> jax.Array:
     cdt = compute_dtype_of(cfg)
-    emb_out = pooled_lookup(params["tables"], batch, cfg)
-    z = cat_interaction(batch.dense.astype(cdt), emb_out)
+    z = cat_interaction(batch.dense.astype(cdt), pooled)
     return mlp_apply(params["top"], z, sigmoid_layer=len(cfg.ln_top) - 1)
+
+
+def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
+    return apply_from_pooled(params, pooled_lookup(params["tables"], batch, cfg), batch, cfg)

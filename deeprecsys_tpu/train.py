@@ -58,6 +58,71 @@ class TrainHistory:
     eval_aucs: list
 
 
+def make_sparse_table_step(model, cfg: ModelConfig, tx_rest, learning_rate: float,
+                           loss_fn, rowwise_adagrad: bool = True, eps: float = 1e-8,
+                           table_learning_rate: float | None = None):
+    """Train step with SPARSE embedding-table updates.
+
+    Autodiff through a gather materializes a dense (R, d) gradient and a
+    dense optimizer sweep per step — prohibitive at production scale
+    (rm1: 0.5 GB/step of pure zeros). Instead the forward is split at the
+    pooled embeddings: the dense half trains under optax as usual, and the
+    table is updated by a scatter-add touching ONLY the looked-up rows
+    (every row of a pooling group receives the group's pooled-output
+    gradient — exactly the gather-sum VJP). Table optimizer state is
+    row-wise AdaGrad — one accumulator scalar per row, the industry
+    standard for embedding tables — updated sparsely as well.
+
+    Step cost: O(B*T*L) rows regardless of R.
+    """
+    from deeprecsys_tpu.ops import embedding_bag
+
+    if table_learning_rate is None:
+        table_learning_rate = learning_rate
+    offsets_np = cfg.table_offsets
+
+    def step(params, opt_state, batch: Batch, targets):
+        table = params["tables"]
+        rest = {k: v for k, v in params.items() if k != "tables"}
+        tx_state, table_acc = opt_state
+        pooled = jax.lax.stop_gradient(
+            embedding_bag(table, jnp.asarray(offsets_np), batch.indices,
+                          compute_dtype=jnp.dtype(cfg.compute_dtype))
+        )
+
+        def objective(rest_params, pooled_in):
+            out = model.apply_from_pooled(dict(rest_params, tables=table), pooled_in, batch)
+            return loss_fn(out, targets)
+
+        (loss, (g_rest, g_pooled)) = jax.value_and_grad(objective, argnums=(0, 1))(
+            rest, pooled
+        )
+        g_rest.pop("tables", None)
+
+        # Dense half: optax as usual.
+        updates, tx_state = tx_rest.update(g_rest, tx_state, rest)
+        rest = optax.apply_updates(rest, updates)
+
+        # Sparse half: scatter-add on touched rows only.
+        B, T, L = batch.indices.shape
+        flat = (batch.indices + jnp.asarray(offsets_np)[None, :, None]).reshape(-1)
+        g_rows = jnp.broadcast_to(
+            g_pooled[:, :, None, :].astype(jnp.float32), (B, T, L, g_pooled.shape[-1])
+        ).reshape(B * T * L, -1)
+        if rowwise_adagrad:
+            row_g2 = jnp.mean(g_rows * g_rows, axis=-1)  # (N,)
+            table_acc = table_acc.at[flat].add(row_g2)
+            scale = jax.lax.rsqrt(table_acc[flat] + eps)  # post-update accumulator
+            g_rows = g_rows * scale[:, None]
+        new_table = table.at[flat].add(
+            (-table_learning_rate * g_rows).astype(table.dtype)
+        )
+        params = dict(rest, tables=new_table)
+        return params, (tx_state, table_acc), loss
+
+    return step
+
+
 class Trainer:
     def __init__(
         self,
@@ -67,19 +132,33 @@ class Trainer:
         learning_rate: float = 0.01,
         loss: str = "bce",
         seed: int = 0,
+        sparse_tables: bool = False,
+        table_learning_rate: float | None = None,
     ):
         if cfg.table_quant != "none":
             raise ValueError("training requires float tables (table_quant='none')")
+        if sparse_tables and mesh is not None:
+            raise NotImplementedError("sparse_tables with a mesh is a planned feature")
         self.cfg = cfg
         self.mesh = mesh
+        self.sparse_tables = sparse_tables
         self.model = get_model(cfg)
         self.loss_fn = {"bce": bce_loss, "mse": mse_loss}[loss]
         self.tx = make_optimizer(optimizer, learning_rate)
         self.params = self.model.init(jax.random.PRNGKey(seed))
         if mesh is not None:
             self.params = shard_params(self.params, mesh)
-        self.opt_state = self.tx.init(self.params)
-        self._step = self._build_step()
+        if sparse_tables:
+            rest = {k: v for k, v in self.params.items() if k != "tables"}
+            table_acc = jnp.zeros((self.params["tables"].shape[0],), jnp.float32)
+            self.opt_state = (self.tx.init(rest), table_acc)
+            self._step = jax.jit(make_sparse_table_step(
+                self.model, cfg, self.tx, learning_rate, self.loss_fn,
+                table_learning_rate=table_learning_rate,
+            ))
+        else:
+            self.opt_state = self.tx.init(self.params)
+            self._step = self._build_step()
 
     def _build_step(self):
         model_apply, loss_fn, tx = self.model.apply, self.loss_fn, self.tx
