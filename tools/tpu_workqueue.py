@@ -224,6 +224,30 @@ def job_full(model, quant="none"):
     return r
 
 
+def job_serving_coalesce(model):
+    """TPU serving with dynamic batching enabled: the backlog coalesces
+    into large bucket runs, amortizing the relay's per-execution round
+    trip across many requests — QPS should rise vs serving:<model>."""
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.serving import run_serving
+
+    cfg = ServingConfig(
+        num_batches=48, nepochs=1, inference_engines=1, engine_backend="tpu",
+        avg_arrival_rate_ms=5.0, batch_size_distribution="normal",
+        avg_mini_batch_size=165.0, var_mini_batch_size=16.0,
+        max_mini_batch_size=1024, sub_task_batch_size=64,
+        batch_buckets=(64, 128, 256, 512, 1024),
+        req_granularity=16, target_latency_ms=25.0, seed=3,
+        coalesce_requests=True, max_coalesce=16,
+    )
+    res = run_serving(zoo.get_config(model, table_scale=8, param_dtype="bfloat16",
+                                     compute_dtype="bfloat16"), cfg, settle_s=0.05)
+    log(f"serving+coalesce {model}: QPS={res.measured_qps:.1f} p50={res.p50_ms:.1f} "
+        f"p95={res.p95_ms:.1f} ms over {res.num_responses} responses")
+    return res.to_dict()
+
+
 JOBS = [
     ("warm:rm1", lambda: job_warm("rm1")),
     ("warm:rm2", lambda: job_warm("rm2")),
@@ -250,6 +274,12 @@ JOBS = [
     ("full:rm2", lambda: job_full("rm2")),
     ("full:din", lambda: job_full("din")),
     ("full_int8:rm1", lambda: job_full("rm1", quant="int8")),
+    ("sweep:rm2", lambda: job_sweep("rm2")),
+    ("sweep:rm3", lambda: job_sweep("rm3")),
+    ("sweep:wnd", lambda: job_sweep("wnd")),
+    ("sweep:mtwnd", lambda: job_sweep("mtwnd")),
+    ("sweep:dien", lambda: job_sweep("dien")),
+    ("serving_coalesce:rm1", lambda: job_serving_coalesce("rm1")),
 ]
 
 
