@@ -32,6 +32,11 @@ import queue
 import threading
 import time
 
+try:
+    from deeprecsys_tpu.runtime.shm_queue import Empty as ShmEmpty
+except Exception:  # native runtime unavailable: alias to the stdlib type
+    ShmEmpty = queue.Empty
+
 import jax
 import numpy as np
 
@@ -171,7 +176,7 @@ class ComputeEngine(threading.Thread):
                 while len(group) < cfg.max_coalesce and total < self.buckets[-1]:
                     try:
                         nxt = self.request_q.get_nowait()
-                    except Exception:
+                    except (queue.Empty, ShmEmpty):
                         break
                     if nxt is _SENTINEL or nxt is None:
                         done = True

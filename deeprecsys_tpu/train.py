@@ -13,8 +13,10 @@ mesh-sharded trainer over the same pure model functions:
 - BCE/MSE losses (the reference's --loss_function values) and AUC eval;
 - checkpointing via utils/checkpoint.
 
-Note: table gradients materialize densely ((R, d) per step). Sparse
-(touched-rows-only) optimizer updates are a planned optimization.
+Two table-update modes: the default dense autodiff path (fine at test
+scales) and ``sparse_tables=True`` — touched-rows-only scatter updates
+with row-wise AdaGrad (``make_sparse_table_step``), whose step cost is
+independent of table size.
 """
 
 from __future__ import annotations
@@ -175,23 +177,23 @@ class Trainer:
         if self.mesh is None:
             return jax.jit(step)
         ps = param_shardings(self.params, self.mesh)
-        os_sharding = jax.tree_util.tree_map(
-            lambda _: NamedSharding(self.mesh, P()), self.opt_state,
-            is_leaf=lambda x: isinstance(x, jax.Array) or isinstance(x, (np.ndarray,)),
-        )
-        # Optimizer state mirrors the param shardings where shapes match.
-        def state_sharding(s, params_sh):
-            def map_leaf(leaf):
-                return NamedSharding(self.mesh, P())
-            return jax.tree_util.tree_map(map_leaf, s)
+        table_shape = tuple(self.params["tables"].shape)
 
+        def state_leaf_sharding(leaf):
+            # Optimizer accumulators shaped like the fused table (adagrad/
+            # adam moments) follow the table's row sharding; everything
+            # else (MLP moments, counters) is small and replicated.
+            if hasattr(leaf, "shape") and tuple(leaf.shape) == table_shape:
+                return NamedSharding(self.mesh, P("model", None))
+            return NamedSharding(self.mesh, P())
+
+        os_sh = jax.tree_util.tree_map(state_leaf_sharding, self.opt_state)
         bs = batch_shardings(self.mesh, has_dense=self.cfg.dense_dim > 0)
         tgt_sh = NamedSharding(self.mesh, P("data", None))
         return jax.jit(
             step,
-            in_shardings=(ps, state_sharding(self.opt_state, ps), bs, tgt_sh),
-            out_shardings=(ps, state_sharding(self.opt_state, ps),
-                           NamedSharding(self.mesh, P())),
+            in_shardings=(ps, os_sh, bs, tgt_sh),
+            out_shardings=(ps, os_sh, NamedSharding(self.mesh, P())),
         )
 
     # ------------------------------------------------------------------
