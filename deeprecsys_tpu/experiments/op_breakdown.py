@@ -37,8 +37,11 @@ def _time_fn(fn, *args, iters=16) -> float:
     import jax.numpy as jnp
     from deeprecsys_tpu.utils.timing import time_step_chain
 
+    import jax as _jax
+
     def step(i, carry, *a):
-        x = jnp.roll(a[-1], i, axis=0)
+        # Roll every array leaf of the last argument (handles Batch pytrees).
+        x = _jax.tree_util.tree_map(lambda l: jnp.roll(l, i, axis=0), a[-1])
         out = fn(*a[:-1], x)
         return carry + jnp.sum(out.astype(jnp.float32))
 

@@ -154,10 +154,12 @@ class Trainer:
             rest = {k: v for k, v in self.params.items() if k != "tables"}
             table_acc = jnp.zeros((self.params["tables"].shape[0],), jnp.float32)
             self.opt_state = (self.tx.init(rest), table_acc)
+            # Donate params+opt state: tables are updated in place on
+            # device instead of being copied every step.
             self._step = jax.jit(make_sparse_table_step(
                 self.model, cfg, self.tx, learning_rate, self.loss_fn,
                 table_learning_rate=table_learning_rate,
-            ))
+            ), donate_argnums=(0, 1))
         else:
             self.opt_state = self.tx.init(self.params)
             self._step = self._build_step()
@@ -175,7 +177,7 @@ class Trainer:
             return params, opt_state, loss
 
         if self.mesh is None:
-            return jax.jit(step)
+            return jax.jit(step, donate_argnums=(0, 1))
         ps = param_shardings(self.params, self.mesh)
         table_shape = tuple(self.params["tables"].shape)
 
@@ -194,6 +196,7 @@ class Trainer:
             step,
             in_shardings=(ps, os_sh, bs, tgt_sh),
             out_shardings=(ps, os_sh, NamedSharding(self.mesh, P())),
+            donate_argnums=(0, 1),
         )
 
     # ------------------------------------------------------------------
