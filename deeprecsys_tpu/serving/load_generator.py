@@ -118,17 +118,23 @@ class LoadGenerator(threading.Thread):
     # ------------------------------------------------------------------
 
     def _drain_and_settle(self):
+        # Queues may be stdlib Queues or native shm rings; each raises its
+        # own Empty type on get_nowait.
+        try:
+            from deeprecsys_tpu.runtime.shm_queue import Empty as ShmEmpty
+        except Exception:  # native runtime unavailable
+            ShmEmpty = queue.Empty
         for q in (self.request_q, self.accel_request_q):
             while True:
                 try:
                     q.get_nowait()
-                except queue.Empty:
+                except (queue.Empty, ShmEmpty):
                     break
         time.sleep(self.settle_s)
         while True:
             try:
                 self.pid_q.get_nowait()
-            except queue.Empty:
+            except (queue.Empty, ShmEmpty):
                 break
 
     def run(self):
