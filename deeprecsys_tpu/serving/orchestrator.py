@@ -38,6 +38,12 @@ class ServingResult:
     optimal_sub_batch: int | None
     optimal_accel_thres: int | None
     wall_s: float
+    # Latency decomposition over non-experimental responses (ms): time
+    # spent waiting in the request queue vs. executing (dispatch..scores
+    # readable). The reference exposes the same split via its four
+    # ServiceResponse timestamps (packets.py:51-54).
+    queue_wait_p95_ms: float = float("nan")
+    inference_p95_ms: float = float("nan")
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -169,6 +175,11 @@ def run_serving(
 
     sub_opt = loadgen.cpu_scheduler.optimal_config if cfg.tune_batch_qps else None
     accel_opt = loadgen.accel_scheduler.optimal_config if cfg.tune_accel_qps else None
+    import numpy as _np
+
+    finals = [r for r in agg.responses if not r.exp_packet]
+    qwait = [max(r.queue_start_time - r.arrival_time, 0.0) * 1000 for r in finals]
+    infer = [max(r.inference_end_time - r.queue_start_time, 0.0) * 1000 for r in finals]
     return ServingResult(
         measured_qps=agg.measured_qps(),
         p50_ms=agg.tail_latency_ms(50),
@@ -181,4 +192,6 @@ def run_serving(
         optimal_sub_batch=sub_opt,
         optimal_accel_thres=accel_opt,
         wall_s=wall,
+        queue_wait_p95_ms=float(_np.percentile(qwait, 95)) if qwait else float("nan"),
+        inference_p95_ms=float(_np.percentile(infer, 95)) if infer else float("nan"),
     )
