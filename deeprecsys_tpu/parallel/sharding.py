@@ -118,6 +118,86 @@ def sharded_embedding_bag(
     )(table, offsets, indices)
 
 
+# ----------------------------------------------------------------------
+# Table-wise sharding (placement-driven)
+# ----------------------------------------------------------------------
+
+
+def build_tablewise_tables(fused_table, cfg: ModelConfig, placement) -> jax.Array:
+    """Rearrange the fused (total_rows, d) array into the table-wise layout
+    (num_shards, rows_per_shard, d): shard s holds its placed tables
+    concatenated and padded to the common row count."""
+    d = fused_table.shape[1]
+    offsets = cfg.table_offsets
+    rows = cfg.scaled_rows
+    shards = []
+    for group in placement.tables_per_shard:
+        parts = [fused_table[offsets[t]: offsets[t] + rows[t]] for t in group]
+        block = jnp.concatenate(parts, axis=0)
+        pad = placement.rows_per_shard - block.shape[0]
+        if pad:
+            block = jnp.concatenate([block, jnp.zeros((pad, d), fused_table.dtype)])
+        shards.append(block)
+    return jnp.stack(shards)  # (M, rows_per_shard, d)
+
+
+def tablewise_embedding_bag(
+    shard_tables: jax.Array,
+    indices: jax.Array,
+    placement,
+    mesh: Mesh,
+    *,
+    compute_dtype=None,
+) -> jax.Array:
+    """Pooled lookup with TABLE-WISE sharding.
+
+    vs. row-sharding (``sharded_embedding_bag``): each chip gathers ONLY
+    its own tables' lookups — N/M gather descriptors per chip instead of N
+    masked ones — and the combine is an ``all_gather`` of the per-shard
+    pooled slice (B, T/M, d): M-fold less traffic than the row-sharded
+    psum of the full (B, T, d). The trade is load balance, handled by the
+    placement planner (``parallel/placement.py``).
+
+    Args:
+      shard_tables: (M, rows_per_shard, d), sharded P("model", None, None).
+      indices: (B, T, L) per-table-local ids in ORIGINAL table order.
+      placement: TablePlacement from plan_tablewise_placement.
+
+    Returns (B, T, d) pooled embeddings in original table order,
+    sharded over "data".
+    """
+    from jax import shard_map
+
+    M = placement.num_shards
+    cap = len(placement.perm) // M
+    perm = np.asarray(placement.perm)
+    local_off = np.asarray(placement.local_offsets, dtype=np.int32).reshape(M, cap)
+    idx_perm = indices[:, perm, :]
+    local_off_arr = jnp.asarray(local_off)
+
+    def local_fn(tbl, offs, idx):
+        # tbl: (1, rows_per_shard, d); offs: (1, cap); idx: (B_loc, cap, L)
+        B, C, L = idx.shape
+        flat = (idx + offs[0][None, :, None]).reshape(-1)
+        rows = jnp.take(tbl[0], flat, axis=0)
+        if compute_dtype is not None:
+            rows = rows.astype(compute_dtype)
+        pooled = rows.reshape(B, C, L, -1).sum(axis=2)  # (B_loc, cap, d)
+        return jax.lax.all_gather(pooled, "model", axis=1, tiled=True)
+
+    out_perm = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("model", None, None), P("model", None), P("data", "model", None)),
+        out_specs=P("data", None, None),
+        # all_gather(tiled) replicates the table axis across "model"; the
+        # static replication checker can't infer that, so it is disabled.
+        check_vma=False,
+    )(shard_tables, local_off_arr, idx_perm)
+    inv = jnp.asarray(np.asarray(placement.inv_perm))
+    return out_perm[:, inv, :]
+
+
 def pad_rows_for_mesh(cfg: ModelConfig, n_model: int) -> int:
     """Rows of padding needed so the fused table divides over the model axis."""
     r = cfg.total_rows % n_model

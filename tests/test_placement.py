@@ -1,0 +1,77 @@
+"""Table-wise sharding: placement planner + sharded lookup parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeprecsys_tpu import zoo
+from deeprecsys_tpu.config import ModelConfig
+from deeprecsys_tpu.data import RecDataGenerator
+from deeprecsys_tpu.ops import embedding_bag, init_fused_tables
+from deeprecsys_tpu.parallel import make_mesh
+from deeprecsys_tpu.parallel.placement import plan_tablewise_placement
+from deeprecsys_tpu.parallel.sharding import build_tablewise_tables, tablewise_embedding_bag
+
+
+def _cfg(rows, L=4, d=16):
+    return ModelConfig(model_type="dlrm", model_name="t",
+                       mlp_bot=(8, d), mlp_top=(8, 1),
+                       embedding_rows=tuple(rows), sparse_feature_size=d,
+                       num_indices_per_lookup=L, interaction_op="cat")
+
+
+def test_planner_balances_and_permutes():
+    cfg = _cfg([100, 10, 10, 10, 100, 10, 10, 10])
+    pl = plan_tablewise_placement(cfg, 4)
+    assert sorted(pl.perm) == list(range(8))
+    assert all(len(g) == 2 for g in pl.tables_per_shard)
+    # The two 100-row tables must land on different shards (row balance).
+    s0 = pl.shard_of_table[0]
+    s4 = pl.shard_of_table[4]
+    assert s0 != s4
+    assert pl.load_imbalance == pytest.approx(1.0)  # uniform lookup load
+    # inverse permutation is consistent
+    for old, pos in enumerate(pl.inv_perm):
+        assert pl.perm[pos] == old
+
+
+def test_planner_rejects_indivisible():
+    with pytest.raises(ValueError):
+        plan_tablewise_placement(_cfg([10, 10, 10]), 2)
+
+
+@pytest.mark.parametrize("rows,L,d", [
+    ([64, 32, 48, 16, 40, 24, 56, 8], 4, 16),
+    ([100, 10, 30, 50], 1, 32),
+])
+def test_tablewise_lookup_matches_single_device(rows, L, d):
+    cfg = _cfg(rows, L=L, d=d)
+    mesh = make_mesh(data=2, model=4)
+    pl = plan_tablewise_placement(cfg, 4)
+    key = jax.random.PRNGKey(0)
+    fused = init_fused_tables(key, cfg.scaled_rows, d)
+    batch = RecDataGenerator(cfg, seed=1).generate_batch(8)
+    idx = jnp.asarray(batch.indices)
+
+    expected = embedding_bag(fused, jnp.asarray(cfg.table_offsets), idx)
+    shard_tables = build_tablewise_tables(fused, cfg, pl)
+    assert shard_tables.shape[0] == 4
+    got = tablewise_embedding_bag(shard_tables, idx, pl, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-5)
+
+
+def test_tablewise_on_din_scale():
+    # DIN's skewed tables: two 10M-class tables + many small ones (scaled).
+    cfg = zoo.get_config("din", table_scale=20000)
+    # 254 tables over 2 shards: planner must split the two big tables.
+    pl = plan_tablewise_placement(cfg, 2)
+    big = [cfg.num_tables - 2, cfg.num_tables - 1]  # ad + context tables
+    assert pl.shard_of_table[big[0]] != pl.shard_of_table[big[1]]
+    mesh = make_mesh(data=4, model=2)
+    fused = init_fused_tables(jax.random.PRNGKey(0), cfg.scaled_rows, cfg.sparse_feature_size)
+    batch = RecDataGenerator(cfg, seed=2).generate_batch(4)
+    idx = jnp.asarray(batch.indices)
+    expected = embedding_bag(fused, jnp.asarray(cfg.table_offsets), idx)
+    got = tablewise_embedding_bag(build_tablewise_tables(fused, cfg, pl), idx, pl, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-5)
