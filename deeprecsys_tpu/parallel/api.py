@@ -1,0 +1,67 @@
+"""Model-level parallel composition helpers.
+
+``make_tablewise_model`` lifts any model family onto table-wise-sharded
+embeddings: the fused table converts to the (M, rows_per_shard, d)
+placement layout, lookups run through ``tablewise_embedding_bag`` (each
+chip gathers only its own tables; all-gather combine), and the rest of the
+network runs from the pooled embeddings via the models' ``apply_from_pooled``
+split — data-parallel over "data", replicated over "model".
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deeprecsys_tpu.config import ModelConfig
+from deeprecsys_tpu.models.base import Batch, ModelFns
+from deeprecsys_tpu.parallel.placement import TablePlacement, plan_tablewise_placement
+from deeprecsys_tpu.parallel.sharding import (
+    build_tablewise_tables,
+    tablewise_embedding_bag,
+)
+
+
+class TablewiseModel(NamedTuple):
+    placement: TablePlacement
+    convert_params: Callable  # standard params -> table-wise params
+    apply: Callable           # (tw_params, Batch) -> scores (jitted)
+
+
+def make_tablewise_model(model: ModelFns, mesh: Mesh,
+                         placement: TablePlacement | None = None) -> TablewiseModel:
+    cfg = model.cfg
+    if placement is None:
+        placement = plan_tablewise_placement(cfg, mesh.shape["model"])
+    if cfg.table_quant != "none":
+        raise NotImplementedError("table-wise sharding with quantized tables")
+
+    def convert_params(params):
+        tw = build_tablewise_tables(params["tables"], cfg, placement)
+        tw = jax.device_put(tw, NamedSharding(mesh, P("model", None, None)))
+        rest = {k: jax.device_put(v, NamedSharding(mesh, P()))
+                for k, v in params.items() if k != "tables"}
+        return dict(rest, tables_tw=tw)
+
+    cdt = jnp.dtype(cfg.compute_dtype)
+
+    def apply(tw_params, batch: Batch):
+        pooled = tablewise_embedding_bag(
+            tw_params["tables_tw"], batch.indices, placement, mesh, compute_dtype=cdt
+        )
+        rest = {k: v for k, v in tw_params.items() if k != "tables_tw"}
+        return model.apply_from_pooled(rest, pooled, batch)
+
+    batch_sh = Batch(
+        dense=NamedSharding(mesh, P("data", None)) if cfg.dense_dim else None,
+        indices=NamedSharding(mesh, P("data", None, None)),
+    )
+    jitted = jax.jit(
+        apply,
+        in_shardings=(None, batch_sh),
+        out_shardings=NamedSharding(mesh, P("data", None)),
+    )
+    return TablewiseModel(placement=placement, convert_params=convert_params, apply=jitted)

@@ -24,13 +24,15 @@ from deeprecsys_tpu.config import ModelConfig
 @dataclasses.dataclass(frozen=True)
 class TablePlacement:
     num_shards: int
-    # table id -> shard
+    # number of REAL tables (slots beyond this are virtual zero-row pads)
+    num_real_tables: int
+    # table id (incl. virtual) -> shard
     shard_of_table: tuple[int, ...]
     # tables grouped per shard, in original-id order within each shard
     tables_per_shard: tuple[tuple[int, ...], ...]
     # permutation: concatenated tables_per_shard (new order -> old id)
     perm: tuple[int, ...]
-    # inverse permutation (old id -> position in new order)
+    # inverse permutation (old id incl. virtual -> position in new order)
     inv_perm: tuple[int, ...]
     # per-shard padded row count (same for all shards)
     rows_per_shard: int
@@ -48,19 +50,24 @@ class TablePlacement:
 def plan_tablewise_placement(cfg: ModelConfig, num_shards: int) -> TablePlacement:
     """Greedy balanced placement.
 
-    Constraint: every shard must own the SAME NUMBER of tables (the
-    lookup kernel is SPMD — each shard gathers a (B, T/M, L) index block),
-    so placement is balanced under a per-shard table-count cap.
+    Constraint: every shard must own the SAME NUMBER of table SLOTS (the
+    lookup kernel is SPMD — each shard gathers a (B, cap, L) index block).
+    When T doesn't divide over the shards, VIRTUAL zero-row tables pad the
+    slot count; their lookups read dummy zeros and are dropped on output.
     """
     T = cfg.num_tables
-    if T % num_shards:
-        raise ValueError(f"{T} tables must divide over {num_shards} shards "
-                         "(pad the config with a 1-row dummy table if needed)")
-    cap = T // num_shards
-    rows = np.asarray(cfg.scaled_rows, dtype=np.int64)
+    cap = -(-T // num_shards)  # ceil
+    slots = cap * num_shards
+    n_virtual = slots - T
+    rows = np.concatenate([np.asarray(cfg.scaled_rows, dtype=np.int64),
+                           np.zeros(n_virtual, dtype=np.int64)])
     # Lookup load per table: L gathers per sample (uniform across tables in
-    # the fused layout).
-    load = np.full(T, cfg.num_indices_per_lookup, dtype=np.float64)
+    # the fused layout); virtual slots carry no load.
+    load = np.concatenate([
+        np.full(T, cfg.num_indices_per_lookup, dtype=np.float64),
+        np.zeros(n_virtual),
+    ])
+    T = slots
     # Weighted cost: normalize both dimensions and sum.
     cost = load / load.sum() + rows / rows.sum()
 
@@ -85,7 +92,8 @@ def plan_tablewise_placement(cfg: ModelConfig, num_shards: int) -> TablePlacemen
     for pos, t in enumerate(perm):
         inv[t] = pos
 
-    rows_per_shard = int(max(int(rows[list(g)].sum()) for g in tables_per_shard))
+    # Every shard needs at least one row (virtual lookups read row 0).
+    rows_per_shard = max(1, int(max(int(rows[list(g)].sum()) for g in tables_per_shard)))
     local_offsets = []
     for group in tables_per_shard:
         off = 0
@@ -97,6 +105,7 @@ def plan_tablewise_placement(cfg: ModelConfig, num_shards: int) -> TablePlacemen
     imb = float(shard_load.max() / shard_load.mean()) if shard_load.mean() > 0 else 1.0
     return TablePlacement(
         num_shards=num_shards,
+        num_real_tables=cfg.num_tables,
         shard_of_table=tuple(int(x) for x in shard_of),
         tables_per_shard=tables_per_shard,
         perm=perm,

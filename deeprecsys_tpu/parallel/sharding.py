@@ -130,10 +130,14 @@ def build_tablewise_tables(fused_table, cfg: ModelConfig, placement) -> jax.Arra
     d = fused_table.shape[1]
     offsets = cfg.table_offsets
     rows = cfg.scaled_rows
+    n_real = placement.num_real_tables
     shards = []
     for group in placement.tables_per_shard:
-        parts = [fused_table[offsets[t]: offsets[t] + rows[t]] for t in group]
-        block = jnp.concatenate(parts, axis=0)
+        # Virtual pad tables (id >= n_real) contribute no rows.
+        parts = [fused_table[offsets[t]: offsets[t] + rows[t]]
+                 for t in group if t < n_real]
+        block = (jnp.concatenate(parts, axis=0) if parts
+                 else jnp.zeros((0, d), fused_table.dtype))
         pad = placement.rows_per_shard - block.shape[0]
         if pad:
             block = jnp.concatenate([block, jnp.zeros((pad, d), fused_table.dtype)])
@@ -172,6 +176,13 @@ def tablewise_embedding_bag(
     cap = len(placement.perm) // M
     perm = np.asarray(placement.perm)
     local_off = np.asarray(placement.local_offsets, dtype=np.int32).reshape(M, cap)
+    n_real = placement.num_real_tables
+    if len(perm) > n_real:
+        # Pad virtual table slots with zero indices (they read the shard's
+        # row 0 and are dropped by the inverse permutation below).
+        B, _, L = indices.shape
+        pad = jnp.zeros((B, len(perm) - n_real, L), indices.dtype)
+        indices = jnp.concatenate([indices, pad], axis=1)
     idx_perm = indices[:, perm, :]
     local_off_arr = jnp.asarray(local_off)
 
@@ -194,7 +205,7 @@ def tablewise_embedding_bag(
         # static replication checker can't infer that, so it is disabled.
         check_vma=False,
     )(shard_tables, local_off_arr, idx_perm)
-    inv = jnp.asarray(np.asarray(placement.inv_perm))
+    inv = jnp.asarray(np.asarray(placement.inv_perm[: placement.num_real_tables]))
     return out_perm[:, inv, :]
 
 

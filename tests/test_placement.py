@@ -36,9 +36,11 @@ def test_planner_balances_and_permutes():
         assert pl.perm[pos] == old
 
 
-def test_planner_rejects_indivisible():
-    with pytest.raises(ValueError):
-        plan_tablewise_placement(_cfg([10, 10, 10]), 2)
+def test_planner_pads_indivisible_with_virtual_tables():
+    pl = plan_tablewise_placement(_cfg([10, 10, 10]), 2)
+    assert pl.num_real_tables == 3
+    assert len(pl.perm) == 4  # one virtual zero-row slot
+    assert all(len(g) == 2 for g in pl.tables_per_shard)
 
 
 @pytest.mark.parametrize("rows,L,d", [
@@ -59,6 +61,29 @@ def test_tablewise_lookup_matches_single_device(rows, L, d):
     assert shard_tables.shape[0] == 4
     got = tablewise_embedding_bag(shard_tables, idx, pl, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["rm1", "wnd", "din"])
+def test_tablewise_full_model_parity(name):
+    """Any model family on table-wise-sharded embeddings must match the
+    single-device forward."""
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.parallel.api import make_tablewise_model
+
+    cfg = zoo.get_config(name, table_scale=20000 if name == "din" else 2000)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    host = RecDataGenerator(cfg, seed=3).generate_batch(8)
+    expected = np.asarray(model.apply(params, host))
+
+    mesh = make_mesh(data=4, model=2)
+    tw = make_tablewise_model(model, mesh)
+    tw_params = tw.convert_params(params)
+    batch = Batch(dense=None if host.dense is None else jnp.asarray(host.dense),
+                  indices=jnp.asarray(host.indices))
+    got = np.asarray(tw.apply(tw_params, batch))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
 
 
 def test_tablewise_on_din_scale():
