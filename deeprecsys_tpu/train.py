@@ -60,6 +60,115 @@ class TrainHistory:
     eval_aucs: list
 
 
+def make_sharded_sparse_table_step(model, cfg: ModelConfig, tx_rest,
+                                   learning_rate: float, loss_fn, mesh,
+                                   eps: float = 1e-8,
+                                   table_learning_rate: float | None = None):
+    """Sparse-table training over a (data, model) mesh.
+
+    The fused table and its row-wise AdaGrad accumulator are ROW-SHARDED
+    over "model"; the batch is sharded over "data". Inside one shard_map:
+    the local masked lookup + psum produces pooled embeddings (same
+    pattern as ``sharded_embedding_bag``), the dense-half gradients are
+    psum'd over "data", and each shard scatter-updates ONLY the rows it
+    owns (update indices masked to the shard's row range, gradients
+    psum'd over "data" rows since every data shard may touch any row).
+    """
+    from jax import shard_map
+
+    if table_learning_rate is None:
+        table_learning_rate = learning_rate
+    offsets_np = np.asarray(cfg.table_offsets)
+    n_model = mesh.shape["model"]
+    total_rows = cfg.total_rows
+    assert total_rows % n_model == 0, "pad tables to divide over the model axis"
+    rows_per_shard = total_rows // n_model
+    cdt = jnp.dtype(cfg.compute_dtype)
+
+    def local_step(table_shard, acc_shard, rest, tx_state, dense, indices, targets):
+        # table_shard: (rows/M, d); indices: (B_loc, T, L); data-parallel rest.
+        shard_id = jax.lax.axis_index("model")
+        row_start = shard_id * rows_per_shard
+        gidx = indices + jnp.asarray(offsets_np)[None, :, None]
+        lidx = gidx - row_start
+        valid = (lidx >= 0) & (lidx < rows_per_shard)
+        safe = jnp.where(valid, lidx, 0)
+        B, T, L = indices.shape
+
+        def pooled_of(tbl):
+            rows = jnp.take(tbl, safe.reshape(-1), axis=0).astype(cdt)
+            rows = rows.reshape(B, T, L, -1)
+            rows = jnp.where(valid[..., None], rows, jnp.zeros((), cdt))
+            return jax.lax.psum(rows.sum(axis=2), "model")
+
+        pooled = pooled_of(table_shard)
+        batch = Batch(dense=dense if cfg.dense_dim else None, indices=indices)
+
+        def objective(rest_params, pooled_in):
+            out = model.apply_from_pooled(rest_params, pooled_in, batch)
+            return loss_fn(out, targets)  # LOCAL mean; averaged below
+
+        (loss, (g_rest, g_pooled)) = jax.value_and_grad(objective, argnums=(0, 1))(
+            rest, pooled
+        )
+        # Global-mean gradient/loss: average the per-data-shard values.
+        # g_pooled is local-mean-based; the global mean is the average of
+        # local means, so the pooled gradient scales by 1/n_data.
+        loss = jax.lax.pmean(loss, "data")
+        g_rest = jax.lax.pmean(g_rest, "data")
+        g_pooled = g_pooled / mesh.shape["data"]
+        updates, tx_state = tx_rest.update(g_rest, tx_state, rest)
+        rest = optax.apply_updates(rest, updates)
+
+        # Sparse update of the rows THIS model shard owns. Every data shard
+        # may touch any row, so the touched-row gradients are all-gathered
+        # over "data" (O(B_global*T*L*d) — independent of R) and each model
+        # shard applies ONE in-place scatter over the combined stream.
+        # Masked (non-owned) entries carry zero gradient into row 0.
+        g_rows = jnp.broadcast_to(
+            g_pooled[:, :, None, :].astype(jnp.float32), (B, T, L, g_pooled.shape[-1])
+        ).reshape(B * T * L, -1)
+        flatl = safe.reshape(-1)
+        maskf = valid.reshape(-1)
+        g_rows = jnp.where(maskf[:, None], g_rows, 0.0)
+        row_g2 = jnp.where(maskf, jnp.mean(g_rows * g_rows, axis=-1), 0.0)
+
+        g_all = jax.lax.all_gather(g_rows, "data", axis=0, tiled=True)
+        flat_all = jax.lax.all_gather(flatl, "data", axis=0, tiled=True)
+        g2_all = jax.lax.all_gather(row_g2, "data", axis=0, tiled=True)
+
+        acc_shard = acc_shard.at[flat_all].add(g2_all)
+        scale = jax.lax.rsqrt(acc_shard[flat_all] + eps)
+        table_shard = table_shard.astype(jnp.float32).at[flat_all].add(
+            -table_learning_rate * g_all * scale[:, None]
+        ).astype(table_shard.dtype)
+        return table_shard, acc_shard, rest, tx_state, loss
+
+    specs_in = (
+        P("model", None),   # table shard
+        P("model"),         # accumulator shard
+        P(),                # rest params (replicated)
+        P(),                # optimizer state (replicated)
+        P("data", None) if cfg.dense_dim else P(),
+        P("data", None, None),
+        P("data", None),
+    )
+    specs_out = (P("model", None), P("model"), P(), P(), P())
+    sharded = shard_map(local_step, mesh=mesh, in_specs=specs_in,
+                        out_specs=specs_out, check_vma=False)
+
+    def step(params, opt_state, batch: Batch, targets):
+        tx_state, acc = opt_state
+        rest = {k: v for k, v in params.items() if k != "tables"}
+        dense = batch.dense if batch.dense is not None else jnp.zeros((), jnp.float32)
+        tbl, acc, rest, tx_state, loss = sharded(
+            params["tables"], acc, rest, tx_state, dense, batch.indices, targets
+        )
+        return dict(rest, tables=tbl), (tx_state, acc), loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
 def make_sparse_table_step(model, cfg: ModelConfig, tx_rest, learning_rate: float,
                            loss_fn, rowwise_adagrad: bool = True, eps: float = 1e-8,
                            table_learning_rate: float | None = None):
@@ -139,8 +248,6 @@ class Trainer:
     ):
         if cfg.table_quant != "none":
             raise ValueError("training requires float tables (table_quant='none')")
-        if sparse_tables and mesh is not None:
-            raise NotImplementedError("sparse_tables with a mesh is a planned feature")
         self.cfg = cfg
         self.mesh = mesh
         self.sparse_tables = sparse_tables
@@ -153,13 +260,21 @@ class Trainer:
         if sparse_tables:
             rest = {k: v for k, v in self.params.items() if k != "tables"}
             table_acc = jnp.zeros((self.params["tables"].shape[0],), jnp.float32)
-            self.opt_state = (self.tx.init(rest), table_acc)
-            # Donate params+opt state: tables are updated in place on
-            # device instead of being copied every step.
-            self._step = jax.jit(make_sparse_table_step(
-                self.model, cfg, self.tx, learning_rate, self.loss_fn,
-                table_learning_rate=table_learning_rate,
-            ), donate_argnums=(0, 1))
+            if mesh is not None:
+                table_acc = jax.device_put(table_acc, NamedSharding(mesh, P("model")))
+                self.opt_state = (self.tx.init(rest), table_acc)
+                self._step = make_sharded_sparse_table_step(
+                    self.model, cfg, self.tx, learning_rate, self.loss_fn, mesh,
+                    table_learning_rate=table_learning_rate,
+                )
+            else:
+                self.opt_state = (self.tx.init(rest), table_acc)
+                # Donate params+opt state: tables are updated in place on
+                # device instead of being copied every step.
+                self._step = jax.jit(make_sparse_table_step(
+                    self.model, cfg, self.tx, learning_rate, self.loss_fn,
+                    table_learning_rate=table_learning_rate,
+                ), donate_argnums=(0, 1))
         else:
             self.opt_state = self.tx.init(self.params)
             self._step = self._build_step()

@@ -86,6 +86,52 @@ def test_sparse_rowwise_adagrad_learns():
     assert np.mean(hist.losses[-10:]) < np.mean(hist.losses[:10])
 
 
+def test_sharded_sparse_matches_single_device():
+    """One sharded-sparse step must match the single-device sparse step
+    (same rowwise-adagrad semantics; tables/accumulator row-sharded)."""
+    import jax
+    import jax.numpy as jnp
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.parallel import make_mesh
+
+    # ncf scaled so total rows divide the model axis (4).
+    cfg = zoo.get_config("ncf", table_scale=1000)
+    assert cfg.total_rows % 4 == 0
+    lr, tlr = 0.05, 0.01
+    single = Trainer(cfg, optimizer="sgd", learning_rate=lr, loss="mse",
+                     sparse_tables=True, table_learning_rate=tlr, seed=0)
+    mesh = make_mesh(data=2, model=4)
+    sharded = Trainer(cfg, mesh=mesh, optimizer="sgd", learning_rate=lr, loss="mse",
+                      sparse_tables=True, table_learning_rate=tlr, seed=0)
+
+    gen = RecDataGenerator(cfg, seed=5)
+    host = gen.generate_batch(16)
+    labels = (host.indices[:, 0, 0] % 2).astype(np.float32)
+    targets = jnp.asarray(np.broadcast_to(labels[:, None], (16, cfg.out_dim)).copy())
+    batch = Batch(dense=None, indices=jnp.asarray(host.indices))
+
+    p1, o1, l1 = single._step(single.params, single.opt_state, batch, targets)
+    p2, o2, l2 = sharded._step(sharded.params, sharded.opt_state, batch, targets)
+    assert abs(float(l1) - float(l2)) < 1e-5
+    np.testing.assert_allclose(np.asarray(p1["tables"]), np.asarray(p2["tables"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o1[1]), np.asarray(o2[1]), rtol=1e-4, atol=1e-7)
+
+
+def test_sharded_sparse_training_learns():
+    from deeprecsys_tpu.parallel import make_mesh
+
+    cfg = zoo.get_config("rm1", table_scale=SCALE)
+    assert cfg.total_rows % 2 == 0
+    mesh = make_mesh(data=4, model=2)
+    tr = Trainer(cfg, mesh=mesh, optimizer="adagrad", learning_rate=0.05, loss="bce",
+                 sparse_tables=True, table_learning_rate=0.01)
+    hist = tr.fit(num_steps=40, batch_size=64)
+    assert np.isfinite(hist.losses).all()
+    assert np.mean(hist.losses[-8:]) < np.mean(hist.losses[:8])
+
+
 def test_quantized_tables_rejected():
     cfg = zoo.get_config("ncf", table_scale=SCALE).replace(table_quant="int8")
     with pytest.raises(ValueError):
