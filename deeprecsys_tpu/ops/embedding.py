@@ -64,6 +64,60 @@ def init_fused_tables_int8(key: jax.Array, table_rows, dim: int) -> dict:
     return {"q": u.astype(jnp.int8), "scale": jnp.asarray(bounds / 127.0)}
 
 
+def dedup_indices(indices: np.ndarray, offsets: np.ndarray, bucket_sizes=None):
+    """Host-side batch deduplication of fused lookup ids.
+
+    Production id streams are Zipfian: hot rows repeat across a batch
+    (exactly the locality the stack-distance trace machinery models). The
+    device gather is descriptor-rate-bound per row, so fetching each
+    UNIQUE row once and expanding from the small unique set is a direct
+    descriptor saving (and the unique set often fits VMEM, where gathers
+    run ~3x faster — see benchmarks/README.md).
+
+    Args:
+      indices: (B, T, L) int32 per-table-local ids (host numpy).
+      offsets: (T,) per-table row offsets into the fused array.
+      bucket_sizes: ascending unique-count buckets; the unique list is
+        padded to the smallest bucket that fits so jit sees a small set of
+        static shapes. Default: powers of two.
+
+    Returns (uniq_padded (U_pad,), inv (B, T, L), n_unique) — padded slots
+    repeat uniq[0] (their expanded values are never referenced).
+    """
+    B, T, L = indices.shape
+    flat = (indices.astype(np.int64) + np.asarray(offsets, dtype=np.int64)[None, :, None]).reshape(-1)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    n = int(uniq.size)
+    if bucket_sizes is None:
+        u_pad = 1 << max(0, (n - 1)).bit_length()
+    else:
+        fitting = [b for b in sorted(bucket_sizes) if b >= n]
+        u_pad = fitting[0] if fitting else n
+    if u_pad > n:
+        uniq = np.concatenate([uniq, np.full(u_pad - n, uniq[0] if n else 0)])
+    return uniq.astype(np.int32), inv.reshape(B, T, L).astype(np.int32), n
+
+
+def embedding_bag_dedup(
+    table: jax.Array,
+    uniq: jax.Array,
+    inv: jax.Array,
+    *,
+    compute_dtype=None,
+) -> jax.Array:
+    """Pooled lookup over pre-deduplicated ids (see ``dedup_indices``).
+
+    One HBM gather of the U unique rows, then the pooling expansion
+    gathers from the small (U, d) set — VMEM-resident when U is modest.
+    """
+    B, T, L = inv.shape
+    rows = jnp.take(table, uniq, axis=0)  # (U_pad, d): the only HBM gather
+    if compute_dtype is not None:
+        rows = rows.astype(compute_dtype)
+    expanded = jnp.take(rows, inv.reshape(-1), axis=0)
+    return expanded.reshape(B, T, L, -1).sum(axis=2)
+
+
 def embedding_bag(
     table: jax.Array,
     offsets: jax.Array,

@@ -93,6 +93,31 @@ def test_cat_interaction():
     assert out2.shape == (2, 20)
 
 
+def test_dedup_lookup_matches_direct():
+    from deeprecsys_tpu.ops.embedding import dedup_indices, embedding_bag_dedup
+
+    rng = np.random.default_rng(7)
+    table_rows = [50, 30]
+    table = jnp.asarray(rng.normal(size=(80, 8)).astype(np.float32))
+    offsets = np.array([0, 50], dtype=np.int32)
+    # Zipf-ish duplicates: draw from a small hot set
+    idx = rng.integers(0, 10, size=(6, 2, 4)).astype(np.int32)
+    direct = embedding_bag(table, jnp.asarray(offsets), jnp.asarray(idx))
+    uniq, inv, n = dedup_indices(idx, offsets)
+    assert n <= 20  # heavy duplication
+    assert uniq.shape[0] == 1 << (n - 1).bit_length()  # padded to a bucket
+    got = embedding_bag_dedup(table, jnp.asarray(uniq), jnp.asarray(inv))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct), rtol=1e-6)
+
+
+def test_dedup_bucket_ladder():
+    from deeprecsys_tpu.ops.embedding import dedup_indices
+
+    idx = np.arange(12, dtype=np.int32).reshape(3, 1, 4) % 7
+    uniq, inv, n = dedup_indices(idx, np.zeros(1, np.int32), bucket_sizes=[4, 16, 64])
+    assert n == 7 and uniq.shape[0] == 16
+
+
 def test_basic_rnn_matches_loop():
     key = jax.random.PRNGKey(4)
     T, B, In, H = 5, 3, 6, 7

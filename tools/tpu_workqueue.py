@@ -142,6 +142,39 @@ def job_gather(variant):
             return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
         ms, cs = _chain_readback(prog, jnp.asarray(idx_host), iters=ITERS)
 
+    elif variant in ("dedup_zipf", "direct_zipf"):
+        # Zipfian id stream (hot-head duplicates): dedup fetches each
+        # unique row once from HBM and expands from the small unique set.
+        from deeprecsys_tpu.ops.embedding import dedup_indices, embedding_bag_dedup
+
+        rng = np.random.default_rng(1)
+        raw = rng.zipf(1.2, size=N).astype(np.int64) % R
+        B, T, L = 512, 32, 120
+        idx3 = raw.reshape(B, T, L).astype(np.int32) % (R // T)
+        offs = (np.arange(T) * (R // T)).astype(np.int32)
+        uniq, inv, n_uniq = dedup_indices(idx3, offs)
+        log(f"zipf dedup: {n_uniq} unique of {N} lookups "
+            f"({N / max(n_uniq,1):.1f}x duplication), padded {uniq.shape[0]}")
+        if variant == "dedup_zipf":
+            @jax.jit
+            def prog(n, uniq, inv):
+                table = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.bfloat16)
+                def body(i, c):
+                    out = embedding_bag_dedup(table, uniq, jnp.roll(inv, i, axis=0))
+                    return c + jnp.sum(out.astype(jnp.float32))
+                return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+            ms, cs = _chain_readback(prog, jnp.asarray(uniq), jnp.asarray(inv), iters=ITERS)
+        else:
+            from deeprecsys_tpu.ops import embedding_bag
+            @jax.jit
+            def prog(n, idx, offsets):
+                table = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.bfloat16)
+                def body(i, c):
+                    out = embedding_bag(table, offsets, jnp.roll(idx, i, axis=0))
+                    return c + jnp.sum(out.astype(jnp.float32))
+                return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+            ms, cs = _chain_readback(prog, jnp.asarray(idx3), jnp.asarray(offs), iters=ITERS)
+
     elif variant == "pallas":
         from deeprecsys_tpu.ops.pallas import pallas_embedding_bag
         B, T, L = 512, 32, 120
@@ -274,6 +307,8 @@ JOBS = [
     ("full:rm2", lambda: job_full("rm2")),
     ("full:din", lambda: job_full("din")),
     ("full_int8:rm1", lambda: job_full("rm1", quant="int8")),
+    ("gather:direct_zipf", lambda: job_gather("direct_zipf")),
+    ("gather:dedup_zipf", lambda: job_gather("dedup_zipf")),
     ("serving_coalesce:rm1", lambda: job_serving_coalesce("rm1")),
     # Remaining model sweeps are runnable via job_sweep(<model>) but each
     # needs ~15-20 min of remote compiles (6 batch-shape programs); the
