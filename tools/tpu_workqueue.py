@@ -175,6 +175,23 @@ def job_gather(variant):
                 return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
             ms, cs = _chain_readback(prog, jnp.asarray(idx3), jnp.asarray(offs), iters=ITERS)
 
+    elif variant == "segsum":
+        # Feasibility probe for the hot/cold-split design (ROADMAP): pooled
+        # sums via segment-add of per-lookup rows into the small (B*T, d)
+        # output. If scatter-add sustains >~150 Mrows/s the split pays.
+        SEGS = 512 * 32
+        seg_host = np.repeat(np.arange(SEGS, dtype=np.int32), N // SEGS)
+        @jax.jit
+        def prog(n, segs):
+            rows = jax.random.normal(jax.random.PRNGKey(0), (N, D), jnp.bfloat16)
+            def body(i, c):
+                s = (segs + i) % SEGS
+                pooled = jax.ops.segment_sum(rows.astype(jnp.float32), s,
+                                             num_segments=SEGS)
+                return c + jnp.sum(pooled)
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+        ms, cs = _chain_readback(prog, jnp.asarray(seg_host), iters=ITERS)
+
     elif variant == "pallas":
         from deeprecsys_tpu.ops.pallas import pallas_embedding_bag
         B, T, L = 512, 32, 120
@@ -307,6 +324,7 @@ JOBS = [
     ("full:rm2", lambda: job_full("rm2")),
     ("full:din", lambda: job_full("din")),
     ("full_int8:rm1", lambda: job_full("rm1", quant="int8")),
+    ("gather:segsum", lambda: job_gather("segsum")),
     ("gather:direct_zipf", lambda: job_gather("direct_zipf")),
     ("gather:dedup_zipf", lambda: job_gather("dedup_zipf")),
     ("serving_coalesce:rm1", lambda: job_serving_coalesce("rm1")),
