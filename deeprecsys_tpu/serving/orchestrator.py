@@ -153,6 +153,10 @@ def run_serving(
             continue
         windowed_p95 = agg.add(response)
         if windowed_p95 is not None:
+            if cfg.debug_mode:
+                # Reference parity: "Running latency:" progress lines
+                # (DeepRecSys.py:131-133).
+                print(f"Running latency: {windowed_p95:.3f} ms", flush=True)
             pid_q.put(windowed_p95)
 
     loadgen.join()
