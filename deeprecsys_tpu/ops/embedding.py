@@ -118,6 +118,73 @@ def embedding_bag_dedup(
     return expanded.reshape(B, T, L, -1).sum(axis=2)
 
 
+def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray,
+                   cold_buckets=None):
+    """Host-side split of a batch's lookups into hot-set hits and a
+    COMPACTED cold stream (the refined dedup design, ROADMAP: general
+    dedup is VMEM-bound; instead a STATIC hot set sized to VMEM serves
+    hits from on-chip memory, and only misses pay HBM gather descriptors).
+
+    Args:
+      indices: (B, T, L) per-table-local ids (host numpy).
+      offsets: (T,) fused row offsets.
+      hot_ids: SORTED fused row ids of the hot set (size K, VMEM-sized).
+      cold_buckets: ascending pad buckets for the cold count.
+
+    Returns dict with:
+      hot_sel (B*T*L,) int32   — position in hot set (0 where cold)
+      hot_mask (B*T*L,) bool   — lookup served by the hot set
+      cold_ids (C_pad,) int32  — compacted cold fused ids (pad repeats [0])
+      cold_seg (C_pad,) int32  — pooling-group id (b*T + t) per cold slot;
+                                 pad slots point at group B*T (dropped)
+      n_cold   int
+    """
+    B, T, L = indices.shape
+    flat = (indices.astype(np.int64)
+            + np.asarray(offsets, dtype=np.int64)[None, :, None]).reshape(-1)
+    pos = np.searchsorted(hot_ids, flat)
+    pos_c = np.clip(pos, 0, len(hot_ids) - 1)
+    hot_mask = hot_ids[pos_c] == flat
+    hot_sel = np.where(hot_mask, pos_c, 0).astype(np.int32)
+
+    cold_positions = np.flatnonzero(~hot_mask)
+    n_cold = int(cold_positions.size)
+    groups = (np.arange(B * T * L) // L).astype(np.int32)
+    if cold_buckets is None:
+        c_pad = max(1, 1 << max(0, (n_cold - 1)).bit_length())
+    else:
+        fitting = [b for b in sorted(cold_buckets) if b >= n_cold]
+        c_pad = fitting[0] if fitting else n_cold
+    cold_ids = np.zeros(c_pad, dtype=np.int32)
+    cold_seg = np.full(c_pad, B * T, dtype=np.int32)  # pad -> dropped segment
+    cold_ids[:n_cold] = flat[cold_positions]
+    cold_seg[:n_cold] = groups[cold_positions]
+    return {"hot_sel": hot_sel.reshape(B, T, L), "hot_mask": hot_mask.reshape(B, T, L),
+            "cold_ids": cold_ids, "cold_seg": cold_seg, "n_cold": n_cold}
+
+
+def embedding_bag_hotcold(hot_table: jax.Array, table: jax.Array, split: dict,
+                          *, compute_dtype=None) -> jax.Array:
+    """Pooled lookup over a hot/cold split (see ``split_hot_cold``).
+
+    HBM gather descriptors = C_pad (the cold count) instead of B*T*L; hot
+    hits gather from the VMEM-sized (K, d) hot table; cold rows are
+    segment-summed straight into the (B*T, d) pooled output.
+    """
+    hot_sel, hot_mask = split["hot_sel"], split["hot_mask"]
+    B, T, L = hot_sel.shape
+    cdt = compute_dtype or table.dtype
+    hot_rows = jnp.take(hot_table, hot_sel.reshape(-1), axis=0).astype(cdt)
+    hot_rows = hot_rows * hot_mask.reshape(-1, 1).astype(cdt)
+    pooled_hot = hot_rows.reshape(B, T, L, -1).sum(axis=2)
+
+    cold_rows = jnp.take(table, split["cold_ids"], axis=0).astype(cdt)
+    pooled_cold = jax.ops.segment_sum(
+        cold_rows, split["cold_seg"], num_segments=B * T + 1
+    )[: B * T].reshape(B, T, -1)
+    return pooled_hot + pooled_cold.astype(cdt)
+
+
 def embedding_bag(
     table: jax.Array,
     offsets: jax.Array,

@@ -118,6 +118,58 @@ def test_dedup_bucket_ladder():
     assert n == 7 and uniq.shape[0] == 16
 
 
+def test_hotcold_split_matches_direct():
+    from deeprecsys_tpu.ops.embedding import split_hot_cold, embedding_bag_hotcold
+
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(rng.normal(size=(200, 8)).astype(np.float32))
+    offsets = np.array([0, 120], dtype=np.int32)
+    # Zipf-ish: most lookups in the hot head [0, 16)
+    hot_head = rng.integers(0, 16, size=(8, 2, 5))
+    tail = rng.integers(0, [[120], [80]], size=(8, 2, 5))
+    use_hot = rng.random((8, 2, 5)) < 0.8
+    idx = np.where(use_hot, hot_head, tail).astype(np.int32)
+    direct = embedding_bag(table, jnp.asarray(offsets), jnp.asarray(idx))
+
+    # Hot set: fused ids of the head of each table.
+    hot_ids = np.sort(np.concatenate([np.arange(16), 120 + np.arange(16)])).astype(np.int64)
+    split = split_hot_cold(idx, offsets, hot_ids)
+    assert split["n_cold"] < idx.size  # most lookups hit the hot set
+    hot_table = jnp.take(table, jnp.asarray(hot_ids, dtype=jnp.int32), axis=0)
+    got = embedding_bag_hotcold(hot_table, table, {
+        **{k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+           for k, v in split.items()},
+    })
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct), rtol=1e-5, atol=1e-6)
+
+
+def test_hotcold_all_cold_and_all_hot_edges():
+    from deeprecsys_tpu.ops.embedding import split_hot_cold, embedding_bag_hotcold
+
+    rng = np.random.default_rng(12)
+    table = jnp.asarray(rng.normal(size=(40, 4)).astype(np.float32))
+    offsets = np.zeros(1, np.int32)
+    idx = rng.integers(20, 40, size=(3, 1, 2)).astype(np.int32)  # all cold
+    hot_ids = np.arange(10, dtype=np.int64)
+    split = split_hot_cold(idx, offsets, hot_ids)
+    assert split["n_cold"] == idx.size
+    hot_table = table[:10]
+    got = embedding_bag_hotcold(hot_table, table,
+                                {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+                                 for k, v in split.items()})
+    direct = embedding_bag(table, jnp.asarray(offsets), jnp.asarray(idx))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct), rtol=1e-5)
+
+    idx2 = rng.integers(0, 10, size=(3, 1, 2)).astype(np.int32)  # all hot
+    split2 = split_hot_cold(idx2, offsets, hot_ids)
+    assert split2["n_cold"] == 0
+    got2 = embedding_bag_hotcold(hot_table, table,
+                                 {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+                                  for k, v in split2.items()})
+    direct2 = embedding_bag(table, jnp.asarray(offsets), jnp.asarray(idx2))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(direct2), rtol=1e-5)
+
+
 def test_basic_rnn_matches_loop():
     key = jax.random.PRNGKey(4)
     T, B, In, H = 5, 3, 6, 7
