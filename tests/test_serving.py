@@ -48,6 +48,19 @@ def test_batch_size_distributions():
     assert 120 < np.median(s3) < 220  # exp(5.1) ~ 164
 
 
+def test_batch_size_distribution_file(tmp_path):
+    # Reference parity: "file" mode samples uniformly from a percentile
+    # file (loadGenerator.py:30-39).
+    p = tmp_path / "dist.txt"
+    p.write_text("\n".join(str(v) for v in [10, 20, 30, 40, 2000]))
+    rng = np.random.default_rng(1)
+    cfg = ServingConfig(num_batches=300, batch_size_distribution="file",
+                        batch_dist_file=str(p), max_mini_batch_size=100)
+    sizes = model_batch_sizes(cfg, rng)
+    assert set(np.unique(sizes)) <= {10, 20, 30, 40, 100}  # 2000 clamped
+    assert (sizes == 100).any()
+
+
 def test_latency_model_interpolation():
     m = LatencyModel([1, 4, 16, 64], [1.0, 2.0, 4.0, 8.0])
     assert m.predict_ms(4) == pytest.approx(2.0)
