@@ -179,11 +179,13 @@ def job_gather(variant):
         # Feasibility probe for the hot/cold-split design (ROADMAP): pooled
         # sums via segment-add of per-lookup rows into the small (B*T, d)
         # output. If scatter-add sustains >~150 Mrows/s the split pays.
-        SEGS = 512 * 32
-        seg_host = np.repeat(np.arange(SEGS, dtype=np.int32), N // SEGS)
+        # N reduced: the 2M-update scatter exceeded the compile window.
+        Ns = 1 << 18
+        SEGS = 4096
+        seg_host = np.repeat(np.arange(SEGS, dtype=np.int32), Ns // SEGS)
         @jax.jit
         def prog(n, segs):
-            rows = jax.random.normal(jax.random.PRNGKey(0), (N, D), jnp.bfloat16)
+            rows = jax.random.normal(jax.random.PRNGKey(0), (Ns, D), jnp.bfloat16)
             def body(i, c):
                 s = (segs + i) % SEGS
                 pooled = jax.ops.segment_sum(rows.astype(jnp.float32), s,
@@ -191,6 +193,9 @@ def job_gather(variant):
                 return c + jnp.sum(pooled)
             return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
         ms, cs = _chain_readback(prog, jnp.asarray(seg_host), iters=ITERS)
+        log(f"gather {variant}: {ms:.2f} ms/iter, {Ns/ms*1e3/1e6:.0f} Mrows/s scatter, "
+            f"compile {cs:.0f}s")
+        return {"variant": variant, "ms": ms, "mrows_s": Ns / ms * 1e3 / 1e6}
 
     elif variant == "pallas":
         from deeprecsys_tpu.ops.pallas import pallas_embedding_bag
