@@ -101,6 +101,19 @@ def test_cross_process_shared_memory():
         q.unlink()
 
 
+def test_ring_full_put_times_out():
+    q = ShmRingQueue(capacity=4)
+    for i in range(4):
+        q.put(ServiceRequest(batch_id=i))
+    with pytest.raises(TimeoutError):
+        q.put(ServiceRequest(batch_id=99), timeout=0.05)
+    # Draining one slot unblocks the producer.
+    assert q.get(timeout=1.0).batch_id == 0
+    q.put(ServiceRequest(batch_id=99), timeout=1.0)
+    got = [q.get(timeout=1.0).batch_id for _ in range(4)]
+    assert got == [1, 2, 3, 99]
+
+
 def test_precise_sleep():
     t0 = time.perf_counter()
     native.precise_sleep_ns(2_000_000)  # 2 ms
