@@ -197,6 +197,46 @@ def job_gather(variant):
             f"compile {cs:.0f}s")
         return {"variant": variant, "ms": ms, "mrows_s": Ns / ms * 1e3 / 1e6}
 
+    elif variant == "hotcold_zipf":
+        # End-to-end hot/cold split on the Zipf stream: K hot ids served
+        # from a VMEM-sized table, compacted cold stream pays the HBM
+        # descriptors, segment-sum combine (ops.embedding_bag_hotcold).
+        from deeprecsys_tpu.ops.embedding import split_hot_cold, embedding_bag_hotcold
+
+        rng = np.random.default_rng(1)
+        raw = rng.zipf(1.2, size=N).astype(np.int64) % R
+        B, T, L = 512, 32, 120
+        idx3 = raw.reshape(B, T, L).astype(np.int32) % (R // T)
+        offs = (np.arange(T) * (R // T)).astype(np.int32)
+        K_per = 2048  # 64k hot rows total = 8 MB bf16 (VMEM-sized)
+        hot_ids = np.sort(np.concatenate(
+            [offs[t] + np.arange(K_per, dtype=np.int64) for t in range(T)]))
+        split = split_hot_cold(idx3, offs, hot_ids)
+        hit = 1.0 - split["n_cold"] / N
+        log(f"hotcold zipf: hit rate {hit:.1%}, cold {split['n_cold']} "
+            f"padded {split['cold_ids'].shape[0]}")
+        hs = jnp.asarray(split["hot_sel"]); hm = jnp.asarray(split["hot_mask"])
+        ci = jnp.asarray(split["cold_ids"]); cseg = jnp.asarray(split["cold_seg"])
+        hot_ids_j = jnp.asarray(hot_ids.astype(np.int32))
+
+        @jax.jit
+        def prog(n, hs, hm, ci, cseg):
+            table = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.bfloat16)
+            hot_table = jnp.take(table, hot_ids_j, axis=0)
+            def body(i, c):
+                sp = {"hot_sel": jnp.roll(hs, i, axis=0),
+                      "hot_mask": jnp.roll(hm, i, axis=0),
+                      "cold_ids": jnp.roll(ci, i, axis=0),
+                      "cold_seg": cseg}
+                out = embedding_bag_hotcold(hot_table, table, sp)
+                return c + jnp.sum(out.astype(jnp.float32))
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+        ms, cs = _chain_readback(prog, hs, hm, ci, cseg, iters=ITERS)
+        log(f"gather {variant}: {ms:.2f} ms/iter ({N/ms*1e3/1e6:.0f} Mlookups/s), "
+            f"compile {cs:.0f}s; direct_zipf was 21.9 ms")
+        return {"variant": variant, "ms": ms, "hit_rate": hit,
+                "mlookups_s": N / ms * 1e3 / 1e6}
+
     elif variant == "pallas":
         from deeprecsys_tpu.ops.pallas import pallas_embedding_bag
         B, T, L = 512, 32, 120
@@ -330,6 +370,7 @@ JOBS = [
     ("full:din", lambda: job_full("din")),
     ("full_int8:rm1", lambda: job_full("rm1", quant="int8")),
     ("gather:segsum", lambda: job_gather("segsum")),
+    ("gather:hotcold_zipf", lambda: job_gather("hotcold_zipf")),
     ("gather:direct_zipf", lambda: job_gather("direct_zipf")),
     ("gather:dedup_zipf", lambda: job_gather("dedup_zipf")),
     ("serving_coalesce:rm1", lambda: job_serving_coalesce("rm1")),
