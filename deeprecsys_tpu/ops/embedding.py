@@ -118,8 +118,40 @@ def embedding_bag_dedup(
     return expanded.reshape(B, T, L, -1).sum(axis=2)
 
 
+def _split_hot_cold_native(indices: np.ndarray, offsets: np.ndarray,
+                           hot_ids: np.ndarray):
+    """Single-pass parallel C++ splitter (runtime/cpp/drs_runtime.cpp
+    drs_split_hot_cold). Returns the same arrays as the numpy path, unpadded.
+    """
+    import ctypes
+
+    from deeprecsys_tpu.runtime.native import get_lib
+
+    lib = get_lib()
+    B, T, L = indices.shape
+    n = B * T * L
+    idx = np.ascontiguousarray(indices, dtype=np.int32)
+    offs = np.ascontiguousarray(offsets, dtype=np.int64)
+    hot = np.ascontiguousarray(hot_ids, dtype=np.int64)
+    hot_sel = np.empty(n, dtype=np.int32)
+    hot_mask = np.empty(n, dtype=np.uint8)
+    cold_ids = np.empty(n, dtype=np.int32)
+    cold_seg = np.empty(n, dtype=np.int32)
+    n_cold = lib.drs_split_hot_cold(
+        idx.ctypes.data_as(ctypes.c_void_p), n,
+        offs.ctypes.data_as(ctypes.c_void_p), T, L,
+        hot.ctypes.data_as(ctypes.c_void_p), len(hot),
+        hot_sel.ctypes.data_as(ctypes.c_void_p),
+        hot_mask.ctypes.data_as(ctypes.c_void_p),
+        cold_ids.ctypes.data_as(ctypes.c_void_p),
+        cold_seg.ctypes.data_as(ctypes.c_void_p),
+        0,
+    )
+    return hot_sel, hot_mask.astype(bool), cold_ids, cold_seg, int(n_cold)
+
+
 def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray,
-                   cold_buckets=None):
+                   cold_buckets=None, impl: str = "auto"):
     """Host-side split of a batch's lookups into hot-set hits and a
     COMPACTED cold stream (the refined dedup design, ROADMAP: general
     dedup is VMEM-bound; instead a STATIC hot set sized to VMEM serves
@@ -130,6 +162,7 @@ def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray
       offsets: (T,) fused row offsets.
       hot_ids: SORTED fused row ids of the hot set (size K, VMEM-sized).
       cold_buckets: ascending pad buckets for the cold count.
+      impl: "auto" (native C++ if built, else numpy), "native", or "numpy".
 
     Returns dict with:
       hot_sel (B*T*L,) int32   — position in hot set (0 where cold)
@@ -140,16 +173,30 @@ def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray
       n_cold   int
     """
     B, T, L = indices.shape
-    flat = (indices.astype(np.int64)
-            + np.asarray(offsets, dtype=np.int64)[None, :, None]).reshape(-1)
-    pos = np.searchsorted(hot_ids, flat)
-    pos_c = np.clip(pos, 0, len(hot_ids) - 1)
-    hot_mask = hot_ids[pos_c] == flat
-    hot_sel = np.where(hot_mask, pos_c, 0).astype(np.int32)
 
-    cold_positions = np.flatnonzero(~hot_mask)
-    n_cold = int(cold_positions.size)
-    groups = (np.arange(B * T * L) // L).astype(np.int32)
+    use_native = impl == "native"
+    if impl == "auto":
+        from deeprecsys_tpu.runtime.native import native_available
+
+        use_native = native_available()
+
+    if use_native:
+        hot_sel, hot_mask, raw_cold_ids, raw_cold_seg, n_cold = _split_hot_cold_native(
+            indices, offsets, hot_ids
+        )
+    else:
+        flat = (indices.astype(np.int64)
+                + np.asarray(offsets, dtype=np.int64)[None, :, None]).reshape(-1)
+        pos = np.searchsorted(hot_ids, flat)
+        pos_c = np.clip(pos, 0, len(hot_ids) - 1)
+        hot_mask = hot_ids[pos_c] == flat if len(hot_ids) else np.zeros(flat.shape, bool)
+        hot_sel = np.where(hot_mask, pos_c, 0).astype(np.int32)
+        cold_positions = np.flatnonzero(~hot_mask)
+        n_cold = int(cold_positions.size)
+        groups = (np.arange(B * T * L) // L).astype(np.int32)
+        raw_cold_ids = flat[cold_positions]
+        raw_cold_seg = groups[cold_positions]
+
     if cold_buckets is None:
         c_pad = max(1, 1 << max(0, (n_cold - 1)).bit_length())
     else:
@@ -157,8 +204,8 @@ def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray
         c_pad = fitting[0] if fitting else n_cold
     cold_ids = np.zeros(c_pad, dtype=np.int32)
     cold_seg = np.full(c_pad, B * T, dtype=np.int32)  # pad -> dropped segment
-    cold_ids[:n_cold] = flat[cold_positions]
-    cold_seg[:n_cold] = groups[cold_positions]
+    cold_ids[:n_cold] = raw_cold_ids[:n_cold]
+    cold_seg[:n_cold] = raw_cold_seg[:n_cold]
     return {"hot_sel": hot_sel.reshape(B, T, L), "hot_mask": hot_mask.reshape(B, T, L),
             "cold_ids": cold_ids, "cold_seg": cold_seg, "n_cold": n_cold}
 

@@ -19,11 +19,14 @@
 //
 // Build: g++ -O2 -shared -fPIC -std=c++17 (see runtime/native.py).
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <ctime>
 #include <new>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -154,6 +157,89 @@ void drs_precise_sleep_ns(int64_t total_ns, int64_t spin_ns) {
                       (now.tv_nsec - start.tv_nsec);
     if (elapsed >= total_ns) return;
   }
+}
+
+// Hot/cold lookup splitter (native path of ops/embedding.py
+// split_hot_cold). One parallel pass instead of numpy's six array passes:
+// per lookup, compose the fused id (table-local id + table offset), binary
+// search the sorted hot set, and either record the hot position or append
+// the fused id + pooling-group id to the compacted cold stream. This runs
+// on the serving host critical path (once per batch), so it must cost less
+// than the HBM gather time it saves on-chip.
+//
+// Layout: indices is the flattened (B, T, L) array, so lookup i belongs to
+// table (i / L) % T and pooling group i / L.
+//
+// Parallel compaction: each thread scans a contiguous chunk and writes its
+// cold entries at the chunk's own base offset in the output buffers (a
+// chunk can never produce more cold entries than its length), then the
+// chunks are memmove'd tight after a prefix-sum over per-chunk counts —
+// preserving the ascending order the numpy path produces.
+//
+// Returns the cold count; caller pads to its bucket ladder.
+extern "C" int64_t drs_split_hot_cold(
+    const int32_t* indices, int64_t n, const int64_t* offsets, int64_t T,
+    int64_t L, const int64_t* hot_ids, int64_t K, int32_t* hot_sel,
+    uint8_t* hot_mask, int32_t* cold_ids, int32_t* cold_seg,
+    int32_t n_threads) {
+  if (n == 0) return 0;
+  int nt = n_threads > 0 ? n_threads
+                         : (int)std::min<int64_t>(
+                               std::max(1u, std::thread::hardware_concurrency()), 8);
+  // Align chunk boundaries to L so group ids stay trivially computable and
+  // cold order within a group is contiguous.
+  int64_t groups = n / L;
+  int64_t groups_per_chunk = (groups + nt - 1) / nt;
+  if (groups_per_chunk == 0) groups_per_chunk = 1;
+  int n_chunks = (int)((groups + groups_per_chunk - 1) / groups_per_chunk);
+  std::vector<int64_t> chunk_cold(n_chunks, 0);
+
+  auto work = [&](int c) {
+    int64_t g_lo = (int64_t)c * groups_per_chunk;
+    int64_t g_hi = std::min(groups, g_lo + groups_per_chunk);
+    int64_t lo = g_lo * L, hi = g_hi * L;
+    int64_t w = lo;  // chunk-local cold write cursor (base = chunk start)
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t g = i / L;
+      int64_t t = g % T;
+      int64_t fused = (int64_t)indices[i] + offsets[t];
+      const int64_t* p = std::lower_bound(hot_ids, hot_ids + K, fused);
+      if (p != hot_ids + K && *p == fused) {
+        hot_sel[i] = (int32_t)(p - hot_ids);
+        hot_mask[i] = 1;
+      } else {
+        hot_sel[i] = 0;
+        hot_mask[i] = 0;
+        cold_ids[w] = (int32_t)fused;
+        cold_seg[w] = (int32_t)g;
+        ++w;
+      }
+    }
+    chunk_cold[c] = w - lo;
+  };
+
+  if (n_chunks == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(n_chunks);
+    for (int c = 0; c < n_chunks; ++c) threads.emplace_back(work, c);
+    for (auto& th : threads) th.join();
+  }
+
+  // Compact: move each chunk's cold run down to the running total.
+  int64_t total = chunk_cold[0];
+  for (int c = 1; c < n_chunks; ++c) {
+    int64_t src = (int64_t)c * groups_per_chunk * L;
+    if (chunk_cold[c] > 0 && src != total) {
+      std::memmove(cold_ids + total, cold_ids + src,
+                   chunk_cold[c] * sizeof(int32_t));
+      std::memmove(cold_seg + total, cold_seg + src,
+                   chunk_cold[c] * sizeof(int32_t));
+    }
+    total += chunk_cold[c];
+  }
+  return total;
 }
 
 }  // extern "C"

@@ -68,6 +68,15 @@ def get_lib():
     lib.drs_ring_approx_size.argtypes = [ctypes.c_void_p]
     lib.drs_precise_sleep_ns.restype = None
     lib.drs_precise_sleep_ns.argtypes = [ctypes.c_int64, ctypes.c_int64]
+    lib.drs_split_hot_cold.restype = ctypes.c_int64
+    lib.drs_split_hot_cold.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,  # indices, n
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # offsets, T, L
+        ctypes.c_void_p, ctypes.c_int64,  # hot_ids, K
+        ctypes.c_void_p, ctypes.c_void_p,  # hot_sel, hot_mask
+        ctypes.c_void_p, ctypes.c_void_p,  # cold_ids, cold_seg
+        ctypes.c_int32,  # n_threads
+    ]
     _lib = lib
     return _lib
 

@@ -119,3 +119,30 @@ def test_precise_sleep():
     native.precise_sleep_ns(2_000_000)  # 2 ms
     dt = time.perf_counter() - t0
     assert 0.0019 < dt < 0.01
+
+
+def test_native_split_hot_cold_matches_numpy():
+    import numpy as np
+
+    from deeprecsys_tpu.ops.embedding import split_hot_cold
+
+    rng = np.random.default_rng(7)
+    B, T, L = 16, 5, 9
+    rows = np.array([300, 50, 1000, 4, 220])
+    offsets = np.concatenate([[0], np.cumsum(rows[:-1])]).astype(np.int64)
+    idx = (rng.integers(0, rows[None, :, None], size=(B, T, L))).astype(np.int32)
+    hot_ids = np.sort(rng.choice(int(rows.sum()), size=64, replace=False)).astype(np.int64)
+
+    ref = split_hot_cold(idx, offsets, hot_ids, impl="numpy")
+    got = split_hot_cold(idx, offsets, hot_ids, impl="native")
+    assert got["n_cold"] == ref["n_cold"]
+    for k in ("hot_sel", "hot_mask", "cold_ids", "cold_seg"):
+        np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
+
+    # Edge cases: empty hot set (all cold) and full hot set (all hot).
+    for hids in (np.empty(0, np.int64), np.arange(rows.sum(), dtype=np.int64)):
+        ref = split_hot_cold(idx, offsets, hids, impl="numpy")
+        got = split_hot_cold(idx, offsets, hids, impl="native")
+        assert got["n_cold"] == ref["n_cold"]
+        for k in ("hot_sel", "hot_mask", "cold_ids", "cold_seg"):
+            np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
