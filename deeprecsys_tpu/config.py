@@ -75,7 +75,9 @@ class ModelConfig:
     embedding_impl: str = "xla"
     # Embedding table quantization: "none" | "int8" (symmetric per-table
     # scale; 4x HBM capacity vs f32 — gather speed is row-rate-bound so
-    # int8 costs nothing in latency). TPU-native addition.
+    # int8 costs nothing in latency) | "int8_rowwise" (per-ROW scale
+    # interleaved into the packed row — trained-table fidelity; see
+    # ops/embedding.py quantize_rowwise_int8). TPU-native addition.
     table_quant: str = "none"
     # Divide all table sizes by this factor (testing / memory-constrained runs).
     table_scale: int = 1

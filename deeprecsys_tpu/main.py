@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table_scale", type=int, default=1,
                    help="divide embedding-table rows (memory-constrained runs)")
     p.add_argument("--param_dtype", type=str, default="float32")
+    p.add_argument("--table_quant", type=str, default="none",
+                   choices=["none", "int8", "int8_rowwise"],
+                   help="embedding-table quantization (see config.py)")
     p.add_argument("--compute_dtype", type=str, default=None)
 
     # Standalone characterization (reference: inferenceEngine standalone mode)
@@ -80,6 +83,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def model_config_from_args(args) -> ModelConfig:
     overrides = {"param_dtype": args.param_dtype}
+    if args.table_quant != "none":
+        overrides["table_quant"] = args.table_quant
     if args.compute_dtype:
         overrides["compute_dtype"] = args.compute_dtype
     elif args.param_dtype:

@@ -78,10 +78,16 @@ def stacked_mlp_apply(params, x: jax.Array, sigmoid_layer: int = -1) -> jax.Arra
 def init_tables(key: jax.Array, cfg: ModelConfig):
     """Initialize the fused embedding array per the config's quantization."""
     from deeprecsys_tpu.ops import init_fused_tables
-    from deeprecsys_tpu.ops.embedding import init_fused_tables_int8
+    from deeprecsys_tpu.ops.embedding import (
+        init_fused_tables_int8,
+        init_fused_tables_int8_rowwise,
+    )
 
     if cfg.table_quant == "int8":
         return init_fused_tables_int8(key, cfg.scaled_rows, cfg.sparse_feature_size)
+    if cfg.table_quant == "int8_rowwise":
+        return {"qrows": init_fused_tables_int8_rowwise(
+            key, cfg.scaled_rows, cfg.sparse_feature_size)}
     return init_fused_tables(key, cfg.scaled_rows, cfg.sparse_feature_size,
                              param_dtype_of(cfg))
 
@@ -94,6 +100,12 @@ def pooled_lookup(tables, batch: Batch, cfg: ModelConfig) -> jax.Array:
 
     offsets = jnp.asarray(cfg.table_offsets)
     cdt = compute_dtype_of(cfg)
+    if isinstance(tables, dict) and "qrows" in tables:
+        # int8 with per-row interleaved scales (trained-table fidelity).
+        from deeprecsys_tpu.ops.embedding import embedding_bag_int8_rowwise
+
+        return embedding_bag_int8_rowwise(tables["qrows"], offsets, batch.indices,
+                                          compute_dtype=cdt)
     if isinstance(tables, dict):  # int8 symmetric, per-table scale
         # Pool in int32 (exact), dequantize once per pooled vector.
         pooled = embedding_bag(tables["q"], offsets, batch.indices,

@@ -64,6 +64,65 @@ def init_fused_tables_int8(key: jax.Array, table_rows, dim: int) -> dict:
     return {"q": u.astype(jnp.int8), "scale": jnp.asarray(bounds / 127.0)}
 
 
+def quantize_rowwise_int8(table: jax.Array) -> jax.Array:
+    """Pack a float table into per-ROW symmetric int8 with the scale
+    interleaved into the row: (R, d) float -> (R, d+4) int8, where the last
+    4 bytes are the row's float32 scale bit-pattern.
+
+    Per-table scales (``init_fused_tables_int8``) are exact for the init
+    distribution but lossy for TRAINED tables, whose row norms vary by
+    orders of magnitude (hot rows get large updates). Per-row scales keep
+    7-bit relative fidelity per row regardless of the norm spread.
+
+    Interleaving (instead of a separate (R,) scale array) matters because
+    the TPU gather is descriptor-rate-bound per ROW: one packed gather
+    fetches values + scale together; a second scale gather would double
+    descriptors for 4 bytes of payload. The +4 tail breaks 128-lane
+    alignment in VREGs, but HBM rows are dense and the gather's row-rate
+    wall (benchmarks/README.md) is indifferent to row width at this size.
+    """
+    scale = jnp.maximum(jnp.max(jnp.abs(table), axis=1), 1e-30) / 127.0  # (R,)
+    q = jnp.clip(jnp.round(table / scale[:, None]), -127, 127).astype(jnp.int8)
+    scale_bytes = jax.lax.bitcast_convert_type(scale.astype(jnp.float32), jnp.int8)
+    return jnp.concatenate([q, scale_bytes], axis=1)
+
+
+def init_fused_tables_int8_rowwise(key: jax.Array, table_rows, dim: int) -> jax.Array:
+    """Row-wise packed int8 init matching the reference distribution
+    (see ``init_fused_tables_int8``): values on the int8 grid, every row of
+    table t carrying scale sqrt(1/n_t)/127."""
+    table_rows = np.asarray(table_rows, dtype=np.int64)
+    total = int(table_rows.sum())
+    q = jax.random.randint(key, (total, dim), minval=-127, maxval=128,
+                           dtype=jnp.int32).astype(jnp.int8)
+    row_scale = np.repeat(np.sqrt(1.0 / table_rows).astype(np.float32) / 127.0, table_rows)
+    scale_bytes = jax.lax.bitcast_convert_type(jnp.asarray(row_scale), jnp.int8)
+    return jnp.concatenate([q, scale_bytes], axis=1)
+
+
+def embedding_bag_int8_rowwise(
+    packed: jax.Array,
+    offsets: jax.Array,
+    indices: jax.Array,
+    *,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Pooled lookup over row-wise packed int8 tables (``quantize_rowwise_int8``).
+
+    One gather of the packed (R, d+4) rows; each row is dequantized with its
+    own bitcast-recovered float32 scale BEFORE the pooling sum (rows in a bag
+    have different scales, so the sum cannot stay in int32 as the per-table
+    path does).
+    """
+    B, T, L = indices.shape
+    d = packed.shape[1] - 4
+    flat = (indices + offsets[None, :, None]).reshape(-1)
+    rows = jnp.take(packed, flat, axis=0)  # (B*T*L, d+4) int8: one HBM gather
+    scale = jax.lax.bitcast_convert_type(rows[:, d:], jnp.float32)  # (B*T*L,)
+    vals = rows[:, :d].astype(jnp.float32) * scale[:, None]
+    return vals.reshape(B, T, L, d).sum(axis=2).astype(compute_dtype)
+
+
 def dedup_indices(indices: np.ndarray, offsets: np.ndarray, bucket_sizes=None):
     """Host-side batch deduplication of fused lookup ids.
 

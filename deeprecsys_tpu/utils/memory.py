@@ -19,6 +19,8 @@ def model_memory_bytes(cfg: ModelConfig) -> dict:
     d = cfg.sparse_feature_size
     if cfg.table_quant == "int8":
         table_bytes = cfg.total_rows * d * 1 + cfg.num_tables * 4  # + scales
+    elif cfg.table_quant == "int8_rowwise":
+        table_bytes = cfg.total_rows * (d + 4)  # interleaved per-row scale
     else:
         table_bytes = cfg.total_rows * d * _DTYPE_BYTES[cfg.param_dtype]
 

@@ -63,3 +63,71 @@ def test_int8_capacity_halving():
     q_bytes = params["tables"]["q"].size  # int8: 1 byte/elem
     f32_bytes = q_bytes * 4
     assert q_bytes * 4 == f32_bytes  # 4x capacity vs f32 by construction
+
+
+def test_rowwise_pack_roundtrip_and_lookup_parity():
+    from deeprecsys_tpu.ops.embedding import (
+        embedding_bag_int8_rowwise,
+        quantize_rowwise_int8,
+    )
+
+    rng = np.random.default_rng(5)
+    # Rows with wildly different norms (trained-table shape): per-row scales
+    # must recover each row to 7-bit relative fidelity.
+    mags = 10.0 ** rng.uniform(-4, 2, size=(200, 1))
+    table = (rng.normal(size=(200, 12)) * mags).astype(np.float32)
+    packed = quantize_rowwise_int8(jnp.asarray(table))
+    assert packed.shape == (200, 16) and packed.dtype == jnp.int8
+
+    # Scale bytes bitcast back exactly; dequantized rows within 1/254 rel.
+    scale = np.asarray(jax.lax.bitcast_convert_type(packed[:, 12:], jnp.float32))
+    deq = np.asarray(packed[:, :12], dtype=np.float32) * scale[:, None]
+    rel = np.abs(deq - table).max(axis=1) / np.abs(table).max(axis=1)
+    assert rel.max() < 1 / 200  # half-ulp of the 127-step grid
+
+    idx = jnp.asarray(rng.integers(0, 200, (8, 1, 4)).astype(np.int32))
+    pooled = embedding_bag_int8_rowwise(packed, jnp.zeros(1, jnp.int32), idx)
+    ref = embedding_bag(jnp.asarray(deq), jnp.zeros(1, jnp.int32), idx)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_rowwise_beats_pertable_on_skewed_rows():
+    from deeprecsys_tpu.ops.embedding import quantize_rowwise_int8
+
+    rng = np.random.default_rng(6)
+    mags = 10.0 ** rng.uniform(-3, 1, size=(128, 1))
+    table = (rng.normal(size=(128, 8)) * mags).astype(np.float32)
+
+    packed = quantize_rowwise_int8(jnp.asarray(table))
+    scale = np.asarray(jax.lax.bitcast_convert_type(packed[:, 8:], jnp.float32))
+    deq_row = np.asarray(packed[:, :8], np.float32) * scale[:, None]
+
+    s_table = np.abs(table).max() / 127.0  # per-table symmetric quantizer
+    deq_tab = np.round(table / s_table).clip(-127, 127) * s_table
+
+    # Per-row RELATIVE error: per-table scales quantize small-norm rows to
+    # garbage; per-row scales hold ~7-bit fidelity on every row.
+    row_norm = np.abs(table).max(axis=1, keepdims=True)
+    rel_row = (np.abs(deq_row - table) / row_norm).mean()
+    rel_tab = (np.abs(deq_tab - table) / row_norm).mean()
+    assert rel_row < 1 / 254  # within half a quantization step everywhere
+    assert rel_row < rel_tab / 10  # order-of-magnitude fidelity win
+
+
+@pytest.mark.parametrize("name", ["rm1", "din"])
+def test_rowwise_model_end_to_end(name):
+    cfg = zoo.get_config(name, table_scale=SCALE).replace(table_quant="int8_rowwise")
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    assert params["tables"]["qrows"].shape[1] == cfg.sparse_feature_size + 4
+    batch = RecDataGenerator(cfg, seed=1).generate_batch(32)
+    out = np.asarray(model.apply(params, batch))
+    assert out.shape == (32, cfg.out_dim) and np.isfinite(out).all()
+
+
+def test_rowwise_memory_accounting():
+    from deeprecsys_tpu.utils.memory import model_memory_bytes
+
+    cfg = zoo.get_config("ncf", table_scale=SCALE).replace(table_quant="int8_rowwise")
+    m = model_memory_bytes(cfg)
+    assert m["tables_bytes"] == cfg.total_rows * (cfg.sparse_feature_size + 4)
