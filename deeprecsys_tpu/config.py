@@ -277,6 +277,11 @@ class ServingConfig:
     # up to the nearest bucket (TPU analog of the reference's pre-generate-
     # at-max-then-slice, inferenceEngine.py:200-206).
     batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+    # "static": use batch_buckets as-is. "auto": derive an optimal ladder
+    # from the configured size distribution (serving/buckets.py) — fewer
+    # compiled programs AND less padding waste than the power-of-two ladder.
+    bucket_policy: str = "static"
+    max_auto_buckets: int = 6
 
     # Tail-latency / scheduler (scheduler.py, utils.py:69-85)
     target_latency_ms: float = 10.0

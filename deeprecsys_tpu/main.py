@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_mini_batch_size", type=int, default=1024)
     p.add_argument("--batch_dist_file", type=str, default=None)
     p.add_argument("--sub_task_batch_size", type=int, default=64)
+    p.add_argument("--bucket_policy", type=str, default="static",
+                   choices=["static", "auto"],
+                   help="auto: derive the batch-bucket ladder from the size distribution")
+    p.add_argument("--max_auto_buckets", type=int, default=6)
     p.add_argument("--req_granularity", type=int, default=64)
     p.add_argument("--tune_batch_qps", action="store_true")
     p.add_argument("--tune_accel_qps", action="store_true")
@@ -108,6 +112,8 @@ def serving_config_from_args(args) -> ServingConfig:
         max_mini_batch_size=args.max_mini_batch_size,
         batch_dist_file=args.batch_dist_file,
         sub_task_batch_size=args.sub_task_batch_size,
+        bucket_policy=args.bucket_policy,
+        max_auto_buckets=args.max_auto_buckets,
         inference_engines=args.inference_engines,
         engine_backend=args.engine_backend,
         target_latency_ms=args.target_latency,

@@ -88,8 +88,10 @@ class ComputeEngine(threading.Thread):
         # (tables row-sharded over "model", batch over "data") and buckets
         # must divide the data axis.
         self.mesh = mesh
+        from deeprecsys_tpu.serving.buckets import resolve_buckets
+
         self.buckets = tuple(
-            b for b in sorted(serving_cfg.batch_buckets) if b <= serving_cfg.max_mini_batch_size
+            b for b in sorted(resolve_buckets(serving_cfg)) if b <= serving_cfg.max_mini_batch_size
         ) or (serving_cfg.max_mini_batch_size,)
         if mesh is not None:
             n_data = mesh.shape["data"]

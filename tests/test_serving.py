@@ -217,3 +217,91 @@ def test_scheduler_tunes_in_sim_loop():
     # Post-tuning (non-exp) traffic may be just a handful of queries
     # depending on when the climb converges; require completion, not rate.
     assert res.num_responses > 0
+
+
+# ---------------------------------------------------------------------------
+# Autotuned bucket ladders (serving/buckets.py)
+# ---------------------------------------------------------------------------
+
+
+def test_optimal_ladder_beats_pow2_on_normal_dist():
+    from deeprecsys_tpu.serving.buckets import expected_padded_work, optimal_bucket_ladder
+
+    rng = np.random.default_rng(0)
+    sizes = np.clip(rng.normal(165, 16, 4096), 1, 1024).astype(np.int64)
+    ladder = optimal_bucket_ladder(sizes, max_buckets=6)
+    pow2 = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+    assert len(ladder) <= 6
+    assert max(ladder) == sizes.max()  # cap covers everything
+    w_auto = expected_padded_work(sizes, ladder)
+    w_pow2 = expected_padded_work(sizes, pow2)
+    # normal(165,16) lands just above 128 -> pow2 pads most queries to 256.
+    assert w_auto < 0.8 * w_pow2
+
+
+def test_optimal_ladder_exact_small_case():
+    from deeprecsys_tpu.serving.buckets import optimal_bucket_ladder
+
+    # 90x size-10 + 10x size-100 with 2 buckets: {10, 100} is optimal
+    # (cost 90*10+10*100=1900 vs single bucket 100*100=10000).
+    sizes = np.array([10] * 90 + [100] * 10)
+    assert optimal_bucket_ladder(sizes, max_buckets=2) == (10, 100)
+    # K >= distinct sizes: every distinct size is a bucket (zero padding).
+    assert optimal_bucket_ladder(sizes, max_buckets=5) == (10, 100)
+
+
+def test_autotune_buckets_sees_engine_stream():
+    from deeprecsys_tpu.serving.buckets import autotune_buckets
+
+    # sub_task partitioning dominates: queries of 165 split into 64+64+37,
+    # so the ladder must include 64 and cover 37ish remainders - never 165.
+    cfg = ServingConfig(
+        batch_size_distribution="normal", avg_mini_batch_size=165,
+        var_mini_batch_size=16, max_mini_batch_size=1024,
+        sub_task_batch_size=64, bucket_policy="auto",
+    )
+    ladder = autotune_buckets(cfg)
+    assert max(ladder) == 64  # chunks never exceed sub_task_batch_size
+    assert ladder == autotune_buckets(cfg)  # deterministic in cfg.seed
+
+    # With accel offload, big queries bypass partitioning.
+    cfg2 = ServingConfig(
+        batch_size_distribution="normal", avg_mini_batch_size=165,
+        var_mini_batch_size=16, max_mini_batch_size=1024,
+        sub_task_batch_size=64, bucket_policy="auto",
+        model_accel=True, accel_request_size_thres=128,
+    )
+    ladder2 = autotune_buckets(cfg2)
+    assert max(ladder2) > 64  # whole queries appear in the stream
+
+
+def test_engine_uses_auto_ladder_end_to_end():
+    import time
+
+    import jax
+
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+    from deeprecsys_tpu.serving.buckets import autotune_buckets
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    cfg = ServingConfig(
+        batch_size_distribution="normal", avg_mini_batch_size=40,
+        var_mini_batch_size=4, max_mini_batch_size=64,
+        sub_task_batch_size=64, bucket_policy="auto", max_auto_buckets=3,
+        engine_backend="cpu",
+    )
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q,
+                        device=jax.devices("cpu")[0])
+    assert eng.buckets == tuple(autotune_buckets(cfg))
+    assert len(eng.buckets) <= 3
+    eng.start()
+    assert not isinstance(ready_q.get(timeout=120), Exception)
+    req_q.put(ServiceRequest(batch_id=0, epoch=0, arrival_time=time.time(),
+                             batch_size=37, total_sub_batches=1))
+    resp = resp_q.get(timeout=60)
+    assert resp.batch_size == 37
+    # served at the smallest auto bucket >= 37
+    assert resp.out_batch_size == min(b for b in eng.buckets if b >= 37)
+    req_q.put(None)
