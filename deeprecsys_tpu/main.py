@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     # Serving mode (reference: --queue)
     p.add_argument("--queue", action="store_true")
+    p.add_argument("--serve", action="store_true",
+                   help="start the HTTP serving ingress instead of a load-generator run")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8321)
     p.add_argument("--inference_engines", type=int, default=1)
     p.add_argument("--engine_backend", type=str, default="tpu",
                    choices=("tpu", "cpu", "cpu-mp", "sim"))
@@ -190,6 +194,23 @@ def main(argv=None):
     print(f"[deeprecsys_tpu] model={model_cfg.model_name} type={model_cfg.model_type} "
           f"tables={model_cfg.num_tables} rows={model_cfg.total_rows} "
           f"L={model_cfg.num_indices_per_lookup}")
+    if args.serve:
+        from deeprecsys_tpu.serving.ingress import HttpIngress, ServingServer
+
+        serving_cfg = serving_config_from_args(args)
+        server = ServingServer(model_cfg, serving_cfg)
+        server.start()
+        ingress = HttpIngress(server, host=args.host, port=args.port)
+        ingress.start()
+        host, port = ingress.address
+        print(f"[deeprecsys_tpu] serving on http://{host}:{port} "
+              f"(POST /v1/infer, GET /v1/stats, GET /v1/healthz)", flush=True)
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            ingress.stop()
+        return None
     if args.queue:
         from deeprecsys_tpu.serving import run_serving
 

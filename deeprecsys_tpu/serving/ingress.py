@@ -1,0 +1,294 @@
+"""HTTP serving ingress.
+
+The reference is single-node: queries enter only through its own load
+generator (``loadGenerator.py``) over in-process ``multiprocessing.Queue``s,
+and there is no external request API at all. For a production TPU serving
+deployment the framework needs an ingress so OTHER hosts can submit
+queries; this module adds one without changing the serving stack's
+dataflow: the HTTP front end plays the load generator's role (partition,
+route, pace) and everything downstream — engines, buckets, coalescing,
+accel offload — is the same machinery ``orchestrator.run_serving`` drives.
+
+Stack (stdlib-only, no external RPC deps):
+
+    HTTP client(s)  -- POST /v1/infer {"batch_size": N}
+        |
+    ThreadingHTTPServer (one handler thread per in-flight request)
+        |
+    ServingServer.submit(): partition into sub-requests, enqueue,
+        block on a per-query Event until the router joins all sub-responses
+        |
+    engine request queue -> ComputeEngine/SimEngine threads -> response queue
+        |
+    router thread: matches (epoch, batch_id) -> wakes the handler
+
+Endpoints:
+  POST /v1/infer   {"batch_size": N, "exp": bool?} -> 200 JSON with the
+                   reference's latency decomposition (queue wait, inference)
+  GET  /v1/healthz -> {"status": "ok", model, engines, buckets}
+  GET  /v1/stats   -> running QPS + p50/p95/p99 over completed queries
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from deeprecsys_tpu.config import ModelConfig, ServingConfig
+from deeprecsys_tpu.serving.engine import ComputeEngine, SimEngine
+from deeprecsys_tpu.serving.latency_model import LatencyModel
+from deeprecsys_tpu.serving.load_generator import partition_query
+from deeprecsys_tpu.serving.packets import ServiceRequest
+
+
+class _Pending:
+    """One submitted query awaiting its sub-batch responses."""
+
+    __slots__ = ("remaining", "responses", "event")
+
+    def __init__(self, n_sub: int):
+        self.remaining = n_sub
+        self.responses = []
+        self.event = threading.Event()
+
+
+class ServingServer:
+    """Engine pool + response router with a synchronous ``submit`` API.
+
+    Backend selection mirrors ``orchestrator.run_serving``: "tpu"/"cpu"
+    ComputeEngines or "sim" SimEngines, plus an optional accel engine for
+    big-query offload (``model_accel``).
+    """
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        serving_cfg: ServingConfig,
+        latency_model: LatencyModel | None = None,
+        accel_latency_model: LatencyModel | None = None,
+        params=None,
+    ):
+        import jax
+
+        self.model_cfg = model_cfg
+        self.cfg = serving_cfg
+        self.request_q: queue.Queue = queue.Queue(maxsize=1024)
+        self.accel_request_q: queue.Queue = queue.Queue(maxsize=32)
+        self.response_q: queue.Queue = queue.Queue()
+        self.ready_q: queue.Queue = queue.Queue()
+        self._batch_ids = itertools.count()
+        self._pending: dict[tuple, _Pending] = {}
+        self._lock = threading.Lock()
+        self._completed_ms: list[float] = []
+        self._t_start: float | None = None
+
+        cfg = serving_cfg
+        self.engines = []
+        for i in range(cfg.inference_engines):
+            if cfg.engine_backend == "sim":
+                if latency_model is None:
+                    raise ValueError("sim backend requires a latency_model")
+                self.engines.append(SimEngine(i, model_cfg, cfg, self.request_q,
+                                              self.response_q, self.ready_q, latency_model))
+            else:
+                device = (jax.devices("cpu")[0] if cfg.engine_backend == "cpu"
+                          else jax.devices()[0])
+                self.engines.append(
+                    ComputeEngine(i, model_cfg, cfg, self.request_q, self.response_q,
+                                  self.ready_q, device=device, params=params,
+                                  seed=cfg.seed + i))
+        self.n_engines = cfg.inference_engines
+        if cfg.model_accel:
+            aid = self.n_engines
+            if accel_latency_model is not None:
+                self.engines.append(SimEngine(aid, model_cfg, cfg, self.accel_request_q,
+                                              self.response_q, self.ready_q,
+                                              accel_latency_model))
+            else:
+                self.engines.append(
+                    ComputeEngine(aid, model_cfg, cfg, self.accel_request_q,
+                                  self.response_q, self.ready_q,
+                                  device=jax.devices()[0], params=params,
+                                  seed=cfg.seed + aid))
+            self.n_engines += 1
+
+        self._router = threading.Thread(target=self._route_loop, daemon=True,
+                                        name="ingress-router")
+
+    # -- lifecycle ------------------------------------------------------
+
+    def start(self, timeout: float = 300.0):
+        for e in self.engines:
+            e.start()
+        for _ in range(self.n_engines):
+            got = self.ready_q.get(timeout=timeout)
+            if isinstance(got, Exception):
+                raise RuntimeError("engine failed during warm-up") from got
+        self._router.start()
+        self._t_start = time.time()
+
+    def stop(self):
+        for e in self.engines:
+            q = self.accel_request_q if getattr(e, "request_q", None) is self.accel_request_q \
+                else self.request_q
+            q.put(None)
+        for e in self.engines:
+            e.join(timeout=30)
+
+    # -- request path ---------------------------------------------------
+
+    def submit(self, batch_size: int, exp: bool = False, timeout: float = 60.0) -> dict:
+        """Submit one query; block until all its sub-batches complete.
+
+        Returns the reference's per-query latency decomposition
+        (DeepRecSys.py:101-123 joins sub-batches the same way: min arrival,
+        max inference end).
+        """
+        cfg = self.cfg
+        batch_size = max(1, min(int(batch_size), cfg.max_mini_batch_size))
+        batch_id = next(self._batch_ids)
+        arrival = time.time()
+
+        to_accel = cfg.model_accel and batch_size >= cfg.accel_request_size_thres
+        chunks = [batch_size] if to_accel else partition_query(batch_size, cfg.sub_task_batch_size)
+        key = (0, batch_id, exp)
+        pend = _Pending(len(chunks))
+        with self._lock:
+            self._pending[key] = pend
+        target_q = self.accel_request_q if to_accel else self.request_q
+        for sub_id, chunk in enumerate(chunks):
+            target_q.put(ServiceRequest(
+                batch_id=batch_id, epoch=0, arrival_time=arrival, batch_size=chunk,
+                sub_id=sub_id, total_sub_batches=len(chunks), exp_packet=exp))
+        if not pend.event.wait(timeout):
+            with self._lock:
+                self._pending.pop(key, None)
+            raise TimeoutError(f"query {batch_id} timed out after {timeout}s")
+
+        rs = pend.responses
+        end = max(r.inference_end_time for r in rs)
+        queue_start = min(r.queue_start_time for r in rs)
+        latency_ms = (end - arrival) * 1000.0
+        if not exp:
+            with self._lock:
+                self._completed_ms.append(latency_ms)
+        return {
+            "batch_id": batch_id,
+            "batch_size": batch_size,
+            "sub_batches": len(chunks),
+            "accel": bool(to_accel),
+            "latency_ms": latency_ms,
+            "queue_wait_ms": max(queue_start - arrival, 0.0) * 1000.0,
+            "inference_ms": max(end - queue_start, 0.0) * 1000.0,
+            "engines": sorted({r.consumer_id for r in rs}),
+        }
+
+    def _route_loop(self):
+        while True:
+            r = self.response_q.get()
+            if r is None:  # an engine exited
+                continue
+            key = (r.epoch, r.batch_id, r.exp_packet)
+            with self._lock:
+                pend = self._pending.get(key)
+                if pend is None:
+                    continue  # timed-out query's stragglers
+                pend.responses.append(r)
+                pend.remaining -= 1
+                if pend.remaining == 0:
+                    del self._pending[key]
+                    pend.event.set()
+
+    # -- metrics --------------------------------------------------------
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = list(self._completed_ms)
+        wall = time.time() - self._t_start if self._t_start else float("nan")
+        out = {"completed": len(lat), "wall_s": wall,
+               "qps": len(lat) / wall if wall and wall > 0 else 0.0}
+        if lat:
+            out.update(p50_ms=float(np.percentile(lat, 50)),
+                       p95_ms=float(np.percentile(lat, 95)),
+                       p99_ms=float(np.percentile(lat, 99)))
+        return out
+
+
+def _make_handler(server: ServingServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/v1/healthz":
+                buckets = getattr(server.engines[0], "buckets", None)
+                self._json(200, {
+                    "status": "ok", "model": server.model_cfg.model_type,
+                    "engines": server.n_engines,
+                    "buckets": list(buckets) if buckets else None})
+            elif self.path == "/v1/stats":
+                self._json(200, server.stats())
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/v1/infer":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                batch_size = int(payload["batch_size"])
+                if batch_size < 1:
+                    raise ValueError("batch_size must be >= 1")
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                result = server.submit(batch_size, exp=bool(payload.get("exp", False)))
+                self._json(200, result)
+            except TimeoutError as e:
+                self._json(504, {"error": str(e)})
+
+        def log_message(self, *a):  # quiet; metrics live in /v1/stats
+            pass
+
+    return Handler
+
+
+class HttpIngress:
+    """ThreadingHTTPServer wrapper: one handler thread per in-flight query,
+    so slow (large-bucket) queries don't head-of-line-block small ones at
+    the HTTP layer — queueing discipline stays with the engine queues."""
+
+    def __init__(self, server: ServingServer, host: str = "127.0.0.1", port: int = 0):
+        self.serving = server
+        self.httpd = ThreadingHTTPServer((host, port), _make_handler(server))
+        self.httpd.daemon_threads = True
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True, name="ingress-http")
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self.httpd.server_address[:2]
+
+    def start(self):
+        self._thread.start()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.serving.stop()

@@ -1,0 +1,114 @@
+"""HTTP serving ingress (serving/ingress.py).
+
+The reference has no external request API (single-node, in-process queues
+only); these tests cover the TPU framework's ingress addition end-to-end
+over a real socket: concurrent clients, partitioning + rejoin, accel
+routing, metrics, and malformed-request handling.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from deeprecsys_tpu import zoo
+from deeprecsys_tpu.config import ServingConfig
+from deeprecsys_tpu.serving.ingress import HttpIngress, ServingServer
+from deeprecsys_tpu.serving.latency_model import LatencyModel
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture()
+def ingress():
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    cfg = ServingConfig(engine_backend="sim", inference_engines=2,
+                        sub_task_batch_size=16, max_mini_batch_size=64,
+                        model_accel=True, accel_request_size_thres=48)
+    lm = LatencyModel([1, 64], [1.0, 2.0])
+    accel_lm = LatencyModel([1, 64], [0.5, 0.6])
+    server = ServingServer(model_cfg, cfg, latency_model=lm,
+                           accel_latency_model=accel_lm)
+    server.start()
+    ing = HttpIngress(server)
+    ing.start()
+    host, port = ing.address
+    yield f"http://{host}:{port}"
+    ing.stop()
+
+
+def test_infer_partitions_and_rejoins(ingress):
+    status, out = _post(f"{ingress}/v1/infer", {"batch_size": 40})
+    assert status == 200
+    assert out["sub_batches"] == 3  # 16+16+8
+    assert not out["accel"]
+    assert out["latency_ms"] > 0
+    assert out["queue_wait_ms"] >= 0 and out["inference_ms"] > 0
+
+
+def test_infer_routes_big_queries_to_accel(ingress):
+    status, out = _post(f"{ingress}/v1/infer", {"batch_size": 50})
+    assert status == 200
+    assert out["accel"] and out["sub_batches"] == 1
+    # accel engine id is the last one
+    assert out["engines"] == [2]
+
+
+def test_concurrent_clients_and_stats(ingress):
+    results = []
+
+    def client(n):
+        results.append(_post(f"{ingress}/v1/infer", {"batch_size": n}))
+
+    threads = [threading.Thread(target=client, args=(8 + i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(s == 200 for s, _ in results)
+    assert len({r["batch_id"] for _, r in results}) == 8  # unique ids
+
+    status, stats = _get(f"{ingress}/v1/stats")
+    assert status == 200
+    assert stats["completed"] >= 8 and stats["qps"] > 0
+    assert stats["p95_ms"] >= stats["p50_ms"]
+
+
+def test_healthz(ingress):
+    status, h = _get(f"{ingress}/v1/healthz")
+    assert status == 200
+    assert h["status"] == "ok" and h["model"] == "ncf" and h["engines"] == 3
+
+
+def test_bad_requests(ingress):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{ingress}/v1/infer", {"wrong_key": 1})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{ingress}/v1/infer", {"batch_size": 0})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{ingress}/v1/nope", {"batch_size": 1})
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{ingress}/v1/unknown")
+    assert e.value.code == 404
+
+
+def test_exp_packets_excluded_from_stats(ingress):
+    _, before = _get(f"{ingress}/v1/stats")
+    _post(f"{ingress}/v1/infer", {"batch_size": 4, "exp": True})
+    _, after = _get(f"{ingress}/v1/stats")
+    assert after["completed"] == before["completed"]
