@@ -72,7 +72,12 @@ class ModelConfig:
     # Embedding lookup implementation: "xla" (gather; default — measured at
     # the descriptor-rate wall already) or "pallas" (explicit-DMA kernel,
     # ops/pallas/embedding_kernel.py).
+    # "hotcold" (serving only): static VMEM-resident hot row set + compacted
+    # cold HBM stream (models/hotcold.py; 1.61x measured on Zipf streams).
     embedding_impl: str = "xla"
+    # Hot-set size for embedding_impl="hotcold" (rows kept on-chip; size to
+    # VMEM: rows * d * 4B should stay well under ~16 MB).
+    hot_set_rows: int = 32768
     # Embedding table quantization: "none" | "int8" (symmetric per-table
     # scale; 4x HBM capacity vs f32 — gather speed is row-rate-bound so
     # int8 costs nothing in latency) | "int8_rowwise" (per-ROW scale

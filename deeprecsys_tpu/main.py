@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table_scale", type=int, default=1,
                    help="divide embedding-table rows (memory-constrained runs)")
     p.add_argument("--param_dtype", type=str, default="float32")
+    p.add_argument("--embedding_impl", type=str, default="xla",
+                   choices=["xla", "pallas", "hotcold"],
+                   help="sparse-lookup implementation (config.py)")
+    p.add_argument("--hot_set_rows", type=int, default=32768)
     p.add_argument("--table_quant", type=str, default="none",
                    choices=["none", "int8", "int8_rowwise"],
                    help="embedding-table quantization (see config.py)")
@@ -91,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def model_config_from_args(args) -> ModelConfig:
     overrides = {"param_dtype": args.param_dtype}
+    if args.embedding_impl != "xla":
+        overrides["embedding_impl"] = args.embedding_impl
+        overrides["hot_set_rows"] = args.hot_set_rows
     if args.table_quant != "none":
         overrides["table_quant"] = args.table_quant
     if args.compute_dtype:

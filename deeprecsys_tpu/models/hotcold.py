@@ -1,0 +1,99 @@
+"""Hot/cold-split serving wrapper for any model family.
+
+Takes a standard ``ModelFns`` and produces a serving variant whose sparse
+lookup runs through ``ops.embedding.embedding_bag_hotcold``: a static
+VMEM-sized hot set of rows is served from on-chip memory, and only the
+compacted cold stream pays HBM gather descriptors. Measured end-to-end on
+TPU at production scale: 1.61x over the direct gather at an 81% hot-hit
+rate (benchmarks/tpu_work_done.json ``gather:hotcold_zipf``).
+
+The reference has no analog — Caffe2's ``SparseLengthsSum`` always gathers
+from the full table; this optimization exists because the TPU gather is
+descriptor-rate-bound and its VMEM is software-managed.
+
+Split responsibilities:
+  host (per request): ``split_hot_cold`` — native C++ single-pass splitter
+    (runtime/cpp/drs_runtime.cpp), ~4 ms per 164k lookups, overlapped with
+    device compute by the engine's dispatch pipeline.
+  device (jitted): hot gather from the (K, d) hot table + cold gather from
+    the full table + segment-sum combine, then the model's own
+    ``apply_from_pooled``.
+
+The cold count is padded to a small geometric ladder so each batch bucket
+compiles at most ``len(cold_ladder)`` programs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeprecsys_tpu.models.base import Batch, ModelFns
+from deeprecsys_tpu.ops.embedding import (
+    embedding_bag_hotcold,
+    select_hot_ids,
+    split_hot_cold,
+)
+
+
+def cold_ladder(n_lookups: int) -> tuple[int, ...]:
+    """Pad buckets for the cold count: n/8, n/4, n/2, n (ascending,
+    deduplicated, min 8). Four compiles per batch bucket, and the common
+    50-90% hit rates land in the n/4..n/2 buckets."""
+    steps = sorted({max(8, -(-n_lookups // 8)), max(8, -(-n_lookups // 4)),
+                    max(8, -(-n_lookups // 2)), max(8, n_lookups)})
+    return tuple(steps)
+
+
+class HotColdModel(NamedTuple):
+    base: ModelFns
+    hot_ids: np.ndarray            # sorted fused row ids (host)
+    convert_params: Callable       # params -> params + "hot_table"
+    apply: Callable                # (params, batch, split) -> scores (jittable)
+    prepare: Callable              # host: Batch -> split dict (padded)
+
+
+def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray) -> HotColdModel:
+    cfg = model.cfg
+    offsets_np = np.asarray(cfg.table_offsets, dtype=np.int64)
+
+    def convert_params(params):
+        tables = params["tables"]
+        if not isinstance(tables, jax.Array):
+            raise NotImplementedError("hotcold serving requires float tables")
+        hot_table = jnp.take(tables, jnp.asarray(hot_ids, dtype=jnp.int32), axis=0)
+        return dict(params, hot_table=hot_table)
+
+    def prepare(batch: Batch) -> dict:
+        idx = np.asarray(batch.indices)
+        B, T, L = idx.shape
+        return split_hot_cold(idx, offsets_np, hot_ids,
+                              cold_buckets=cold_ladder(B * T * L))
+
+    def apply(params, batch: Batch, split: dict) -> jax.Array:
+        from deeprecsys_tpu.models.base import compute_dtype_of
+
+        pooled = embedding_bag_hotcold(
+            params["hot_table"], params["tables"], split,
+            compute_dtype=compute_dtype_of(cfg))
+        return model.apply_from_pooled(
+            {k: v for k, v in params.items() if k != "hot_table"}, pooled, batch)
+
+    return HotColdModel(base=model, hot_ids=hot_ids,
+                        convert_params=convert_params, apply=apply, prepare=prepare)
+
+
+def hot_ids_from_generator(cfg, seed: int, hot_rows: int, n_batches: int = 8,
+                           batch_size: int = 256) -> np.ndarray:
+    """Select the hot set by sampling the model's own data distribution
+    (the serving analog of profiling a production id trace)."""
+    from deeprecsys_tpu.data import RecDataGenerator
+
+    gen = RecDataGenerator(cfg, seed=seed)
+    samples = [np.asarray(gen.generate_batch(batch_size).indices)
+               for _ in range(n_batches)]
+    sample = np.concatenate(samples, axis=0)
+    return select_hot_ids(sample, np.asarray(cfg.table_offsets), hot_rows)

@@ -291,6 +291,21 @@ def embedding_bag_hotcold(hot_table: jax.Array, table: jax.Array, split: dict,
     return pooled_hot + pooled_cold.astype(cdt)
 
 
+def select_hot_ids(indices_sample: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
+    """Pick the hot set for ``split_hot_cold``: the k most frequent fused
+    row ids in a representative index sample (production streams are
+    Zipfian — the stack-distance locality the reference's trace machinery
+    models, ``data_generator/trace_profile.py``). Returns SORTED fused ids.
+    """
+    flat = (indices_sample.astype(np.int64)
+            + np.asarray(offsets, dtype=np.int64)[None, :, None]).reshape(-1)
+    uniq, counts = np.unique(flat, return_counts=True)
+    if len(uniq) <= k:
+        return np.sort(uniq)
+    top = np.argpartition(counts, -k)[-k:]
+    return np.sort(uniq[top])
+
+
 def embedding_bag(
     table: jax.Array,
     offsets: jax.Array,

@@ -101,12 +101,16 @@ class ComputeEngine(threading.Thread):
         self._jitted: dict[int, callable] = {}
         self._host_data: dict[int, Batch] = {}
         self._pending: "queue.Queue" = queue.Queue()
+        self._hotcold = None  # HotColdModel when embedding_impl == "hotcold"
         self.error: Exception | None = None
 
     # -- setup ---------------------------------------------------------
 
     def _setup(self):
         model = get_model(self.model_cfg)
+        if self.model_cfg.embedding_impl == "hotcold":
+            self._setup_hotcold(model)
+            return
         if self.mesh is not None:
             from deeprecsys_tpu.parallel import shard_params, sharded_apply
 
@@ -138,6 +142,55 @@ class ComputeEngine(threading.Thread):
             self._jitted[b] = apply_fn
             # Warm-up compile for this bucket shape.
             apply_fn(self.params, self._device_batch(sliced)).block_until_ready()
+
+    def _setup_hotcold(self, model):
+        """Hot/cold-split serving (models/hotcold.py): hot set selected
+        from the engine's own data distribution at warm-up; per request the
+        native splitter compacts the cold stream on the host and the jitted
+        apply gathers hot rows from VMEM-resident state."""
+        from deeprecsys_tpu.models.hotcold import (
+            cold_ladder,
+            hot_ids_from_generator,
+            make_hotcold_model,
+        )
+
+        if self.mesh is not None:
+            raise NotImplementedError("hotcold serving over a mesh")
+        hot_ids = hot_ids_from_generator(
+            self.model_cfg, seed=self.seed + 31,
+            hot_rows=self.model_cfg.hot_set_rows)
+        hc = make_hotcold_model(model, hot_ids)
+        self._hotcold = hc
+        if self.params is None:
+            with jax.default_device(self.device):
+                self.params = model.init(jax.random.PRNGKey(self.seed))
+        self.params = jax.device_put(hc.convert_params(self.params), self.device)
+        apply_fn = jax.jit(hc.apply, device=self.device)
+
+        gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17)
+        full = gen.generate_batch(max(self.buckets))
+        T, L = full.indices.shape[1], full.indices.shape[2]
+        for b in self.buckets:
+            sliced = Batch(
+                dense=None if full.dense is None else full.dense[:b],
+                indices=full.indices[:b],
+            )
+            self._host_data[b] = sliced
+            self._jitted[b] = apply_fn
+            # Warm every cold-pad bucket so no request hits a compile.
+            for c_pad in cold_ladder(b * T * L):
+                dummy = {
+                    "hot_sel": np.zeros((b, T, L), np.int32),
+                    "hot_mask": np.zeros((b, T, L), bool),
+                    "cold_ids": np.zeros(c_pad, np.int32),
+                    "cold_seg": np.full(c_pad, b * T, np.int32),
+                }
+                apply_fn(self.params, self._device_batch(sliced),
+                         self._device_split(dummy)).block_until_ready()
+
+    def _device_split(self, split: dict) -> dict:
+        return {k: jax.device_put(np.asarray(v), self.device)
+                for k, v in split.items() if k != "n_cold"}
 
     def _device_batch(self, host_batch: Batch) -> Batch:
         if self.mesh is not None:
@@ -191,7 +244,15 @@ class ComputeEngine(threading.Thread):
             # Fresh host->device transfer each execution: honest serving
             # cost (the reference re-feeds host blobs through BlobsQueues).
             dev_batch = self._device_batch(host)
-            out = self._jitted[bucket](self.params, dev_batch)
+            if self._hotcold is not None:
+                # Honest host cost: the split runs per request (native C++
+                # single-pass splitter), overlapped with device compute of
+                # the previous request by the dispatch pipeline.
+                split = self._hotcold.prepare(host)
+                out = self._jitted[bucket](self.params, dev_batch,
+                                           self._device_split(split))
+            else:
+                out = self._jitted[bucket](self.params, dev_batch)
             queue_end = time.time()
             self._pending.put((group, out, queue_start, queue_end))
         self._pending.put(_SENTINEL)
