@@ -237,6 +237,36 @@ def job_gather(variant):
         return {"variant": variant, "ms": ms, "hit_rate": hit,
                 "mlookups_s": N / ms * 1e3 / 1e6}
 
+    elif variant == "int8_rowwise":
+        # Packed per-row int8 gather (ops.embedding_bag_int8_rowwise):
+        # same descriptor count as direct bf16 but 68-byte rows instead of
+        # 128 — tests whether the row-rate wall really is width-indifferent
+        # (then int8_rowwise is free fidelity) or bandwidth kicks in.
+        from deeprecsys_tpu.ops.embedding import (
+            embedding_bag_int8_rowwise,
+            quantize_rowwise_int8,
+        )
+
+        B, T, L = 512, 32, 120
+        idx3 = idx_host[: B * T * L].reshape(B, T, L) % (R // T)
+        offs = (np.arange(T) * (R // T)).astype(np.int32)
+
+        @jax.jit
+        def prog(n, indices, offsets):
+            table = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.float32)
+            packed = quantize_rowwise_int8(table)
+            def body(i, c):
+                idx = (indices + i) % (R // T)
+                out = embedding_bag_int8_rowwise(packed, offsets, idx,
+                                                 compute_dtype=jnp.bfloat16)
+                return c + jnp.sum(out.astype(jnp.float32))
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+        ms, cs = _chain_readback(prog, jnp.asarray(idx3), jnp.asarray(offs), iters=ITERS)
+        log(f"gather {variant}: {ms:.2f} ms/iter, {N/ms*1e3/1e6:.0f} Mrows/s, "
+            f"compile {cs:.0f}s; direct_zipf (bf16) was 21.9 ms")
+        return {"variant": variant, "ms": ms, "mrows_s": N / ms * 1e3 / 1e6}
+
     elif variant == "pallas":
         from deeprecsys_tpu.ops.pallas import pallas_embedding_bag
         B, T, L = 512, 32, 120
@@ -374,6 +404,7 @@ JOBS = [
     ("gather:direct_zipf", lambda: job_gather("direct_zipf")),
     ("gather:dedup_zipf", lambda: job_gather("dedup_zipf")),
     ("serving_coalesce:rm1", lambda: job_serving_coalesce("rm1")),
+    ("gather:int8_rowwise", lambda: job_gather("int8_rowwise")),
     # Remaining model sweeps are runnable via job_sweep(<model>) but each
     # needs ~15-20 min of remote compiles (6 batch-shape programs); the
     # characterization pattern is demonstrated with rm1/ncf/din.
