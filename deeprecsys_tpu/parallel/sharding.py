@@ -46,7 +46,12 @@ def param_shardings(params, mesh: Mesh):
     def spec_for(path, leaf):
         keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
         if "tables" in keys:
-            return NamedSharding(mesh, P("model", None))
+            # Float tables are a (R, d) array; quantized tables are dicts
+            # whose 2-D leaves ("q" int8 / "qrows" packed int8) row-shard
+            # like the float path, while the 1-D per-table "scale" vector
+            # is tiny and stays replicated.
+            if getattr(leaf, "ndim", 2) == 2:
+                return NamedSharding(mesh, P("model", None))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

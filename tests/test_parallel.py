@@ -117,3 +117,28 @@ def test_train_step_runs_and_reduces_loss():
         losses.append(float(l))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]  # same batch: loss must drop
+
+
+@pytest.mark.parametrize("quant", ["int8", "int8_rowwise"])
+def test_sharded_apply_quantized_tables(quant):
+    """Quantized tables over a mesh: 2-D q leaves row-shard, the 1-D scale
+    leaf replicates, and the GSPMD apply matches single-device output."""
+    cfg = zoo.get_config("ncf", table_scale=SCALE).replace(table_quant=quant)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = RecDataGenerator(cfg, seed=3).generate_batch(8)
+
+    single = np.asarray(model.apply(params, batch))
+
+    mesh = make_mesh(data=4, model=2)
+    sp = shard_params(params, mesh)
+    tbl = sp["tables"]
+    key2d = "qrows" if quant == "int8_rowwise" else "q"
+    assert "model" in str(tbl[key2d].sharding.spec)
+    if quant == "int8":
+        assert tbl["scale"].sharding.spec == jax.sharding.PartitionSpec()
+
+    fn = sharded_apply(model.apply, params, mesh, has_dense=batch.dense is not None)
+    dev_batch = Batch(dense=None, indices=jnp.asarray(batch.indices))
+    out = np.asarray(fn(sp, dev_batch))
+    np.testing.assert_allclose(out, single, rtol=2e-4, atol=2e-5)
