@@ -77,9 +77,13 @@ def quantize_rowwise_int8(table: jax.Array) -> jax.Array:
     Interleaving (instead of a separate (R,) scale array) matters because
     the TPU gather is descriptor-rate-bound per ROW: one packed gather
     fetches values + scale together; a second scale gather would double
-    descriptors for 4 bytes of payload. The +4 tail breaks 128-lane
-    alignment in VREGs, but HBM rows are dense and the gather's row-rate
-    wall (benchmarks/README.md) is indifferent to row width at this size.
+    descriptors for 4 bytes of payload.
+
+    Measured cost (gather:int8_rowwise, benchmarks/README.md): 23% slower
+    than the bf16 direct gather — the unaligned 68-byte row + per-row
+    dequant multiply outweigh the narrower row at the descriptor wall. Use
+    for trained-table fidelity at 4x HBM capacity; per-TABLE int8 is the
+    fast quantized path.
     """
     scale = jnp.maximum(jnp.max(jnp.abs(table), axis=1), 1e-30) / 127.0  # (R,)
     q = jnp.clip(jnp.round(table / scale[:, None]), -127, 127).astype(jnp.int8)
@@ -289,6 +293,23 @@ def embedding_bag_hotcold(hot_table: jax.Array, table: jax.Array, split: dict,
         cold_rows, split["cold_seg"], num_segments=B * T + 1
     )[: B * T].reshape(B, T, -1)
     return pooled_hot + pooled_cold.astype(cdt)
+
+
+def quantize_pertable_int8(table: jax.Array, table_rows) -> dict:
+    """Quantize a TRAINED float fused table to the per-table int8 layout
+    ({"q", "scale"}, see ``init_fused_tables_int8``): scale_t = per-table
+    max|value| / 127. For tables whose row norms diverge after training,
+    prefer ``quantize_rowwise_int8``."""
+    table_rows = np.asarray(table_rows, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(table_rows)])
+    scales = []
+    qs = []
+    for t in range(len(table_rows)):
+        block = table[int(starts[t]): int(starts[t + 1])]
+        s = jnp.maximum(jnp.max(jnp.abs(block)), 1e-30) / 127.0
+        scales.append(s)
+        qs.append(jnp.clip(jnp.round(block / s), -127, 127).astype(jnp.int8))
+    return {"q": jnp.concatenate(qs, axis=0), "scale": jnp.stack(scales)}
 
 
 def select_hot_ids(indices_sample: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:

@@ -361,3 +361,33 @@ class Trainer:
         labels = self._labels(host, label_fn)
         scores = np.asarray(self.model.apply(self.params, host).astype(jnp.float32))
         return auc(scores[:, 0], labels.astype(int))
+
+
+def export_serving_params(params: dict, cfg: ModelConfig,
+                          table_quant: str = "int8_rowwise"):
+    """Convert TRAINED float params into a quantized serving bundle.
+
+    The train -> quantize -> serve path: training requires float tables
+    (gradients), serving wants int8 for 4x HBM capacity. Per-row scales
+    (``int8_rowwise``) are the fidelity-preserving choice for trained
+    tables, whose row norms diverge (hot rows accumulate large updates);
+    per-table ("int8") matches the init-time layout.
+
+    Returns ``(serving_params, serving_cfg)`` — drop into ``get_model`` /
+    the serving engines as-is (e.g. ``run_serving(..., params=...)``).
+    """
+    from deeprecsys_tpu.ops.embedding import (
+        quantize_pertable_int8,
+        quantize_rowwise_int8,
+    )
+
+    tables = params["tables"]
+    if not isinstance(tables, jax.Array):
+        raise ValueError("params already quantized")
+    if table_quant == "int8_rowwise":
+        new_tables = {"qrows": quantize_rowwise_int8(tables)}
+    elif table_quant == "int8":
+        new_tables = quantize_pertable_int8(tables, cfg.scaled_rows)
+    else:
+        raise ValueError(f"unknown table_quant {table_quant!r}")
+    return dict(params, tables=new_tables), cfg.replace(table_quant=table_quant)

@@ -136,3 +136,35 @@ def test_quantized_tables_rejected():
     cfg = zoo.get_config("ncf", table_scale=SCALE).replace(table_quant="int8")
     with pytest.raises(ValueError):
         Trainer(cfg)
+
+
+def test_export_serving_params_preserves_auc():
+    """train -> quantize -> serve: row-wise int8 export keeps the trained
+    model's ranking quality (AUC within 0.01 of float)."""
+    import numpy as np
+
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.train import Trainer, export_serving_params
+    from deeprecsys_tpu.utils.metrics_ml import auc
+
+    cfg = zoo.get_config("rm1", table_scale=5000)
+    tr = Trainer(cfg, optimizer="adagrad", learning_rate=0.3, loss="bce", seed=3)
+    tr.fit(num_steps=150, batch_size=128)
+
+    gen = RecDataGenerator(cfg, seed=77)
+    host = gen.generate_batch(512)
+    labels = tr._labels(host, None).astype(int)
+    f32_auc = auc(np.asarray(tr.model.apply(tr.params, host))[:, 0], labels)
+    assert f32_auc > 0.6  # learned signal (quant delta is the real check)
+
+    for quant in ("int8_rowwise", "int8"):
+        sp, scfg = export_serving_params(tr.params, cfg, table_quant=quant)
+        model_q = get_model(scfg)
+        q_auc = auc(np.asarray(model_q.apply(sp, host))[:, 0], labels)
+        assert abs(q_auc - f32_auc) < 0.01, (quant, q_auc, f32_auc)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        export_serving_params(sp, scfg)  # double-quantize rejected
