@@ -62,9 +62,15 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray) -> HotColdModel:
 
     def convert_params(params):
         tables = params["tables"]
-        if not isinstance(tables, jax.Array):
-            raise NotImplementedError("hotcold serving requires float tables")
-        hot_table = jnp.take(tables, jnp.asarray(hot_ids, dtype=jnp.int32), axis=0)
+        hid = jnp.asarray(hot_ids, dtype=jnp.int32)
+        if isinstance(tables, dict):
+            # Quantized tables compose with the split (int8 rows pack 4x
+            # more hot set per byte of VMEM); the hot table is the same
+            # layout's rows gathered once at conversion time.
+            key2d = "qrows" if "qrows" in tables else "q"
+            hot_table = jnp.take(tables[key2d], hid, axis=0)
+        else:
+            hot_table = jnp.take(tables, hid, axis=0)
         return dict(params, hot_table=hot_table)
 
     def prepare(batch: Batch) -> dict:
@@ -75,10 +81,23 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray) -> HotColdModel:
 
     def apply(params, batch: Batch, split: dict) -> jax.Array:
         from deeprecsys_tpu.models.base import compute_dtype_of
+        from deeprecsys_tpu.ops.embedding import (
+            embedding_bag_hotcold_int8,
+            embedding_bag_hotcold_int8_rowwise,
+        )
 
-        pooled = embedding_bag_hotcold(
-            params["hot_table"], params["tables"], split,
-            compute_dtype=compute_dtype_of(cfg))
+        cdt = compute_dtype_of(cfg)
+        tables = params["tables"]
+        if isinstance(tables, dict) and "qrows" in tables:
+            pooled = embedding_bag_hotcold_int8_rowwise(
+                params["hot_table"], tables["qrows"], split, compute_dtype=cdt)
+        elif isinstance(tables, dict):
+            pooled = embedding_bag_hotcold_int8(
+                params["hot_table"], tables["q"], tables["scale"], split,
+                compute_dtype=cdt)
+        else:
+            pooled = embedding_bag_hotcold(
+                params["hot_table"], tables, split, compute_dtype=cdt)
         return model.apply_from_pooled(
             {k: v for k, v in params.items() if k != "hot_table"}, pooled, batch)
 

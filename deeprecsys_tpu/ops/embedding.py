@@ -327,6 +327,59 @@ def select_hot_ids(indices_sample: np.ndarray, offsets: np.ndarray, k: int) -> n
     return np.sort(uniq[top])
 
 
+def embedding_bag_hotcold_int8(hot_q: jax.Array, q: jax.Array, scale: jax.Array,
+                               split: dict, *, compute_dtype=jnp.float32) -> jax.Array:
+    """Hot/cold pooled lookup over per-TABLE int8 tables — the two winning
+    serving optimizations composed: VMEM hot set (int8 rows are 4x more of
+    them per byte of VMEM) + compacted cold stream, with EXACT int32
+    pooling on both sides (per-table scales are constant within a pooling
+    bag, so hot and cold partial sums dequantize with the same factor).
+
+    Args:
+      hot_q: (K, d) int8 hot rows (q[hot_ids]).
+      q: (R, d) int8 fused table.
+      scale: (T,) float32 per-table scales.
+      split: from ``split_hot_cold``.
+    """
+    hot_sel, hot_mask = split["hot_sel"], split["hot_mask"]
+    B, T, L = hot_sel.shape
+    hot_rows = jnp.take(hot_q, hot_sel.reshape(-1), axis=0).astype(jnp.int32)
+    hot_rows = hot_rows * hot_mask.reshape(-1, 1).astype(jnp.int32)
+    pooled_hot = hot_rows.reshape(B, T, L, -1).sum(axis=2)
+
+    cold_rows = jnp.take(q, split["cold_ids"], axis=0).astype(jnp.int32)
+    pooled_cold = jax.ops.segment_sum(
+        cold_rows, split["cold_seg"], num_segments=B * T + 1
+    )[: B * T].reshape(B, T, -1)
+    pooled = (pooled_hot + pooled_cold).astype(jnp.float32)
+    return (pooled * scale[None, :, None]).astype(compute_dtype)
+
+
+def embedding_bag_hotcold_int8_rowwise(hot_packed: jax.Array, packed: jax.Array,
+                                       split: dict, *,
+                                       compute_dtype=jnp.float32) -> jax.Array:
+    """Hot/cold pooled lookup over row-wise packed int8 tables
+    (``quantize_rowwise_int8`` layout): each gathered row — hot or cold —
+    dequantizes with its own interleaved scale before the pooling sum."""
+    d = packed.shape[1] - 4
+
+    def dequant(rows):
+        s = jax.lax.bitcast_convert_type(rows[:, d:], jnp.float32)
+        return rows[:, :d].astype(jnp.float32) * s[:, None]
+
+    hot_sel, hot_mask = split["hot_sel"], split["hot_mask"]
+    B, T, L = hot_sel.shape
+    hot_rows = dequant(jnp.take(hot_packed, hot_sel.reshape(-1), axis=0))
+    hot_rows = hot_rows * hot_mask.reshape(-1, 1).astype(jnp.float32)
+    pooled_hot = hot_rows.reshape(B, T, L, d).sum(axis=2)
+
+    cold_rows = dequant(jnp.take(packed, split["cold_ids"], axis=0))
+    pooled_cold = jax.ops.segment_sum(
+        cold_rows, split["cold_seg"], num_segments=B * T + 1
+    )[: B * T].reshape(B, T, d)
+    return (pooled_hot + pooled_cold).astype(compute_dtype)
+
+
 def embedding_bag(
     table: jax.Array,
     offsets: jax.Array,

@@ -369,3 +369,54 @@ def test_engine_hotcold_end_to_end():
     assert sorted(r.batch_size for r in seen) == [3, 11, 16]
     assert all(r.inference_end_time >= r.queue_start_time for r in seen)
     req_q.put(None)
+
+
+@pytest.mark.parametrize("quant", ["int8", "int8_rowwise"])
+def test_hotcold_quantized_matches_plain_quantized(quant):
+    """Hot/cold composes with quantized tables: output identical to the
+    plain quantized lookup (same int8 grid, same dequant factors)."""
+    import jax
+
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.hotcold import hot_ids_from_generator, make_hotcold_model
+
+    cfg = zoo.get_config("rm1", table_scale=2000).replace(table_quant=quant)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    hot_ids = hot_ids_from_generator(cfg, seed=5, hot_rows=48, n_batches=2,
+                                     batch_size=32)
+    hc = make_hotcold_model(model, hot_ids)
+    hc_params = hc.convert_params(params)
+
+    batch = RecDataGenerator(cfg, seed=9).generate_batch(16)
+    split = hc.prepare(batch)
+    got = np.asarray(hc.apply(hc_params, batch,
+                              {k: v for k, v in split.items() if k != "n_cold"}))
+    want = np.asarray(model.apply(params, batch))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_engine_hotcold_int8_end_to_end():
+    import time
+
+    import jax
+
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000).replace(
+        embedding_impl="hotcold", hot_set_rows=32, table_quant="int8")
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8)
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q,
+                        device=jax.devices("cpu")[0])
+    eng.start()
+    got = ready_q.get(timeout=300)
+    assert not isinstance(got, Exception), got
+    req_q.put(ServiceRequest(batch_id=0, epoch=0, arrival_time=time.time(),
+                             batch_size=5, total_sub_batches=1))
+    resp = resp_q.get(timeout=120)
+    assert resp.batch_size == 5
+    req_q.put(None)
