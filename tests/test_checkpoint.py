@@ -30,3 +30,24 @@ def test_load_shape_mismatch_rejected(tmp_path):
     other = get_model(zoo.get_config("ncf", table_scale=500))
     with pytest.raises(ValueError):
         load_params(tmp_path / "ckpt", other.init(jax.random.PRNGKey(0)))
+
+
+def test_quantized_params_roundtrip(tmp_path):
+    """int8 / packed-rowwise tables (dict leaves, int8 dtypes) round-trip
+    bit-exactly — the serving-bundle persistence path after
+    train.export_serving_params."""
+    import jax
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.models import get_model
+
+    for quant in ("int8", "int8_rowwise"):
+        cfg = zoo.get_config("ncf", table_scale=2000).replace(table_quant=quant)
+        params = get_model(cfg).init(jax.random.PRNGKey(0))
+        p = tmp_path / f"ckpt_{quant}"
+        save_params(p, params)
+        back = load_params(p, params)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(back)):
+            assert a.dtype == b.dtype
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
