@@ -78,18 +78,36 @@ class ServingServer:
 
         self.model_cfg = model_cfg
         self.cfg = serving_cfg
-        self.request_q: queue.Queue = queue.Queue(maxsize=1024)
-        self.accel_request_q: queue.Queue = queue.Queue(maxsize=32)
-        self.response_q: queue.Queue = queue.Queue()
-        self.ready_q: queue.Queue = queue.Queue()
         self._batch_ids = itertools.count()
         self._pending: dict[tuple, _Pending] = {}
         self._lock = threading.Lock()
         self._completed_ms: list[float] = []
         self._t_start: float | None = None
+        self._stop = threading.Event()
+        self.procs: list = []
+        self._cleanup = None
+        self.accel_request_q: queue.Queue = queue.Queue(maxsize=32)
 
         cfg = serving_cfg
         self.engines = []
+        if cfg.engine_backend == "cpu-mp":
+            # Reference-topology OS-process engines over native shm rings
+            # (process_engine.py). The accel offload path needs an
+            # in-parent engine and is not supported in this mode.
+            if cfg.model_accel:
+                raise NotImplementedError("model_accel with cpu-mp ingress")
+            from deeprecsys_tpu.serving.process_engine import spawn_process_engines
+
+            (self.request_q, self.response_q, self.ready_q,
+             self.procs, self._cleanup) = spawn_process_engines(model_cfg, cfg)
+            self.n_engines = cfg.inference_engines
+            self._router = threading.Thread(target=self._route_loop, daemon=True,
+                                            name="ingress-router")
+            return
+
+        self.request_q = queue.Queue(maxsize=1024)
+        self.response_q = queue.Queue()
+        self.ready_q = queue.Queue()
         for i in range(cfg.inference_engines):
             if cfg.engine_backend == "sim":
                 if latency_model is None:
@@ -138,8 +156,16 @@ class ServingServer:
             q = self.accel_request_q if getattr(e, "request_q", None) is self.accel_request_q \
                 else self.request_q
             q.put(None)
+        for _ in self.procs:
+            self.request_q.put(None)
         for e in self.engines:
             e.join(timeout=30)
+        # Stop the router BEFORE tearing down shm (it polls the ring).
+        self._stop.set()
+        if self._router.is_alive():
+            self._router.join(timeout=5)
+        if self._cleanup is not None:
+            self._cleanup()
 
     # -- request path ---------------------------------------------------
 
@@ -190,8 +216,15 @@ class ServingServer:
         }
 
     def _route_loop(self):
-        while True:
-            r = self.response_q.get()
+        try:
+            from deeprecsys_tpu.runtime.shm_queue import Empty as ShmEmpty
+        except Exception:
+            ShmEmpty = queue.Empty
+        while not self._stop.is_set():
+            try:
+                r = self.response_q.get(timeout=0.2)
+            except (queue.Empty, ShmEmpty):
+                continue
             if r is None:  # an engine exited
                 continue
             key = (r.epoch, r.batch_id, r.exp_packet)
@@ -234,7 +267,8 @@ def _make_handler(server: ServingServer):
 
         def do_GET(self):
             if self.path == "/v1/healthz":
-                buckets = getattr(server.engines[0], "buckets", None)
+                buckets = (getattr(server.engines[0], "buckets", None)
+                           if server.engines else None)
                 self._json(200, {
                     "status": "ok", "model": server.model_cfg.model_type,
                     "engines": server.n_engines,

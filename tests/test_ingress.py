@@ -112,3 +112,33 @@ def test_exp_packets_excluded_from_stats(ingress):
     _post(f"{ingress}/v1/infer", {"batch_size": 4, "exp": True})
     _, after = _get(f"{ingress}/v1/stats")
     assert after["completed"] == before["completed"]
+
+
+def test_ingress_over_process_engines():
+    """cpu-mp backend: OS-process engines over native shm rings behind the
+    same HTTP ingress (reference topology + external API)."""
+    pytest.importorskip("deeprecsys_tpu.runtime.shm_queue")
+    from deeprecsys_tpu.runtime.native import native_available
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    cfg = ServingConfig(engine_backend="cpu-mp", inference_engines=2,
+                        sub_task_batch_size=8, max_mini_batch_size=16,
+                        batch_buckets=(8, 16))
+    server = ServingServer(model_cfg, cfg)
+    server.start(timeout=300)
+    ing = HttpIngress(server)
+    ing.start()
+    host, port = ing.address
+    base = f"http://{host}:{port}"
+    try:
+        status, out = _post(f"{base}/v1/infer", {"batch_size": 12})
+        assert status == 200
+        assert out["sub_batches"] == 2  # 8 + 4
+        assert out["latency_ms"] > 0
+        status, h = _get(f"{base}/v1/healthz")
+        assert h["engines"] == 2
+    finally:
+        ing.stop()

@@ -237,6 +237,52 @@ def job_gather(variant):
         return {"variant": variant, "ms": ms, "hit_rate": hit,
                 "mlookups_s": N / ms * 1e3 / 1e6}
 
+    elif variant == "hotcold_int8_zipf":
+        # Compound: hot/cold split over per-TABLE int8 tables. Same 8 MB
+        # VMEM budget holds a 2x bigger hot set than bf16 (128k rows), so
+        # the hit rate rises; pooling stays exact in int32.
+        from deeprecsys_tpu.ops.embedding import (
+            embedding_bag_hotcold_int8,
+            split_hot_cold,
+        )
+
+        rng = np.random.default_rng(1)
+        raw = rng.zipf(1.2, size=N).astype(np.int64) % R
+        B, T, L = 512, 32, 120
+        idx3 = raw.reshape(B, T, L).astype(np.int32) % (R // T)
+        offs = (np.arange(T) * (R // T)).astype(np.int32)
+        K_per = 4096  # 128k hot rows = 8 MB int8 (same VMEM as 64k bf16)
+        hot_ids = np.sort(np.concatenate(
+            [offs[t] + np.arange(K_per, dtype=np.int64) for t in range(T)]))
+        split = split_hot_cold(idx3, offs, hot_ids)
+        hit = 1.0 - split["n_cold"] / N
+        log(f"hotcold_int8 zipf: hit rate {hit:.1%}, cold {split['n_cold']} "
+            f"padded {split['cold_ids'].shape[0]}")
+        hs = jnp.asarray(split["hot_sel"]); hm = jnp.asarray(split["hot_mask"])
+        ci = jnp.asarray(split["cold_ids"]); cseg = jnp.asarray(split["cold_seg"])
+        hot_ids_j = jnp.asarray(hot_ids.astype(np.int32))
+
+        @jax.jit
+        def prog(n, hs, hm, ci, cseg):
+            q = jax.random.randint(jax.random.PRNGKey(0), (R, D), -127, 128,
+                                   jnp.int32).astype(jnp.int8)
+            scale = jnp.full((T,), 1e-3, jnp.float32)
+            hot_q = jnp.take(q, hot_ids_j, axis=0)
+            def body(i, c):
+                sp = {"hot_sel": jnp.roll(hs, i, axis=0),
+                      "hot_mask": jnp.roll(hm, i, axis=0),
+                      "cold_ids": jnp.roll(ci, i, axis=0),
+                      "cold_seg": cseg}
+                out = embedding_bag_hotcold_int8(hot_q, q, scale, sp,
+                                                 compute_dtype=jnp.bfloat16)
+                return c + jnp.sum(out.astype(jnp.float32))
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+        ms, cs = _chain_readback(prog, hs, hm, ci, cseg, iters=ITERS)
+        log(f"gather {variant}: {ms:.2f} ms/iter ({N/ms*1e3/1e6:.0f} Mlookups/s), "
+            f"compile {cs:.0f}s; bf16 hotcold was 13.6 ms, direct 21.9 ms")
+        return {"variant": variant, "ms": ms, "hit_rate": hit,
+                "mlookups_s": N / ms * 1e3 / 1e6}
+
     elif variant == "int8_rowwise":
         # Packed per-row int8 gather (ops.embedding_bag_int8_rowwise):
         # same descriptor count as direct bf16 but 68-byte rows instead of
@@ -405,6 +451,15 @@ JOBS = [
     ("gather:dedup_zipf", lambda: job_gather("dedup_zipf")),
     ("serving_coalesce:rm1", lambda: job_serving_coalesce("rm1")),
     ("gather:int8_rowwise", lambda: job_gather("int8_rowwise")),
+    ("gather:hotcold_int8_zipf", lambda: job_gather("hotcold_int8_zipf")),
+    # Complete the batch-ladder characterization for all 8 models
+    # (tpu_<model>.json feeds the offload latency model + speedup tables).
+    ("sweep:rm2", lambda: job_sweep("rm2")),
+    ("sweep:rm3", lambda: job_sweep("rm3")),
+    ("sweep:wnd", lambda: job_sweep("wnd")),
+    ("sweep:mtwnd", lambda: job_sweep("mtwnd")),
+    ("sweep:dien", lambda: job_sweep("dien")),
+    ("full_int8_rowwise:rm1", lambda: job_full("rm1", quant="int8_rowwise")),
     # Remaining model sweeps are runnable via job_sweep(<model>) but each
     # needs ~15-20 min of remote compiles (6 batch-shape programs); the
     # characterization pattern is demonstrated with rm1/ncf/din.
