@@ -75,9 +75,10 @@ class ModelConfig:
     # "hotcold" (serving only): static VMEM-resident hot row set + compacted
     # cold HBM stream (models/hotcold.py; 1.61x measured on Zipf streams).
     embedding_impl: str = "xla"
-    # Hot-set size for embedding_impl="hotcold" (rows kept on-chip; size to
-    # VMEM: rows * d * 4B should stay well under ~16 MB).
-    hot_set_rows: int = 32768
+    # Hot-set size for embedding_impl="hotcold" (rows kept on-chip).
+    # 0 = auto: sized to an 8 MB VMEM budget by utils.memory.suggest_hot_rows
+    # (int8 layouts fit 2-4x more rows in the same budget).
+    hot_set_rows: int = 0
     # Embedding table quantization: "none" | "int8" (symmetric per-table
     # scale; 4x HBM capacity vs f32 — gather speed is row-rate-bound so
     # int8 costs nothing in latency) | "int8_rowwise" (per-ROW scale

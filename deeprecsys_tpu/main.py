@@ -37,7 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--embedding_impl", type=str, default="xla",
                    choices=["xla", "pallas", "hotcold"],
                    help="sparse-lookup implementation (config.py)")
-    p.add_argument("--hot_set_rows", type=int, default=32768)
+    p.add_argument("--hot_set_rows", type=int, default=0,
+                   help="hotcold hot-set rows; 0 = auto (VMEM-budgeted)")
     p.add_argument("--table_quant", type=str, default="none",
                    choices=["none", "int8", "int8_rowwise"],
                    help="embedding-table quantization (see config.py)")

@@ -156,9 +156,13 @@ class ComputeEngine(threading.Thread):
 
         if self.mesh is not None:
             raise NotImplementedError("hotcold serving over a mesh")
+        hot_rows = self.model_cfg.hot_set_rows
+        if hot_rows <= 0:  # auto: size the hot set to the VMEM budget
+            from deeprecsys_tpu.utils.memory import suggest_hot_rows
+
+            hot_rows = suggest_hot_rows(self.model_cfg)
         hot_ids = hot_ids_from_generator(
-            self.model_cfg, seed=self.seed + 31,
-            hot_rows=self.model_cfg.hot_set_rows)
+            self.model_cfg, seed=self.seed + 31, hot_rows=hot_rows)
         hc = make_hotcold_model(model, hot_ids)
         self._hotcold = hc
         if self.params is None:

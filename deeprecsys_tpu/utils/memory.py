@@ -62,3 +62,22 @@ def fits_hbm(cfg: ModelConfig, hbm_bytes: int = 16 * 2**30, n_model_shards: int 
     m = model_memory_bytes(cfg)
     per_chip = m["tables_bytes"] / n_model_shards + m["dense_bytes"]
     return per_chip <= hbm_bytes * (1 - activation_reserve)
+
+
+def suggest_hot_rows(cfg: ModelConfig, vmem_budget_bytes: int = 8 * 2**20) -> int:
+    """Hot-set size for embedding_impl="hotcold" that fits the VMEM budget.
+
+    Row cost depends on the table layout: bf16/f32 rows cost d*dtype bytes;
+    per-table int8 rows cost d bytes (so the same budget holds 2-4x more
+    hot rows — higher hit rate for free); packed rowwise costs d+4.
+    Default budget 8 MB: half of a v5e core's ~16 MB VMEM, leaving room
+    for the compute pipeline (the measured 1.61x hotcold win used 8 MB).
+    """
+    d = cfg.sparse_feature_size
+    if cfg.table_quant == "int8":
+        row_bytes = d
+    elif cfg.table_quant == "int8_rowwise":
+        row_bytes = d + 4
+    else:
+        row_bytes = d * _DTYPE_BYTES[cfg.param_dtype]
+    return max(1, min(int(vmem_budget_bytes // row_bytes), cfg.total_rows))

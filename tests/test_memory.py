@@ -28,3 +28,16 @@ def test_full_scale_capacity_statements():
     big = rm1.replace(embedding_rows=(40_000_000,) * 8)
     assert not fits_hbm(big, n_model_shards=1)
     assert fits_hbm(big, n_model_shards=8)
+
+
+def test_suggest_hot_rows_scales_with_quant():
+    from deeprecsys_tpu.utils.memory import suggest_hot_rows
+
+    cfg = zoo.get_config("rm2", table_scale=8)
+    f32_rows = suggest_hot_rows(cfg.replace(param_dtype="float32"))
+    bf16_rows = suggest_hot_rows(cfg.replace(param_dtype="bfloat16"))
+    int8_rows = suggest_hot_rows(cfg.replace(table_quant="int8"))
+    assert bf16_rows == 2 * f32_rows
+    assert int8_rows == 4 * f32_rows  # same VMEM, 4x the hot rows
+    tiny = zoo.get_config("ncf", table_scale=2000)
+    assert suggest_hot_rows(tiny) == tiny.total_rows  # capped at the table

@@ -405,8 +405,9 @@ def test_engine_hotcold_int8_end_to_end():
     from deeprecsys_tpu.serving.engine import ComputeEngine
     from deeprecsys_tpu.serving.packets import ServiceRequest
 
+    # hot_set_rows=0 exercises the auto (VMEM-budgeted) sizing path.
     model_cfg = zoo.get_config("ncf", table_scale=2000).replace(
-        embedding_impl="hotcold", hot_set_rows=32, table_quant="int8")
+        embedding_impl="hotcold", hot_set_rows=0, table_quant="int8")
     cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
                         max_mini_batch_size=8)
     req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
