@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve", action="store_true",
                    help="start the HTTP serving ingress instead of a load-generator run")
     p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--serve_models", type=str, default=None,
+                   help="comma-separated zoo models for multi-model serving "
+                        "(POST /v1/models/<name>/infer); default: just --model")
     p.add_argument("--port", type=int, default=8321)
     p.add_argument("--inference_engines", type=int, default=1)
     p.add_argument("--engine_backend", type=str, default="tpu",
@@ -206,13 +209,25 @@ def main(argv=None):
         from deeprecsys_tpu.serving.ingress import HttpIngress, ServingServer
 
         serving_cfg = serving_config_from_args(args)
-        server = ServingServer(model_cfg, serving_cfg)
-        server.start()
-        ingress = HttpIngress(server, host=args.host, port=args.port)
+        if args.serve_models:
+            registry = {}
+            for name in args.serve_models.split(","):
+                m_cfg = (model_cfg if name == model_cfg.model_name else
+                         zoo.get_config(name, table_scale=args.table_scale,
+                                        param_dtype=args.param_dtype))
+                registry[name] = ServingServer(m_cfg, serving_cfg)
+            for s_ in registry.values():
+                s_.start()
+            ingress = HttpIngress(registry, host=args.host, port=args.port,
+                                  default=next(iter(registry)))
+        else:
+            server = ServingServer(model_cfg, serving_cfg)
+            server.start()
+            ingress = HttpIngress(server, host=args.host, port=args.port)
         ingress.start()
         host, port = ingress.address
         print(f"[deeprecsys_tpu] serving on http://{host}:{port} "
-              f"(POST /v1/infer, GET /v1/stats, GET /v1/healthz)", flush=True)
+              f"(POST /v1/infer, GET /v1/models, GET /v1/stats)", flush=True)
         try:
             while True:
                 time.sleep(3600)

@@ -253,7 +253,20 @@ class ServingServer:
         return out
 
 
-def _make_handler(server: ServingServer):
+def _health(server: ServingServer) -> dict:
+    buckets = (getattr(server.engines[0], "buckets", None)
+               if server.engines else None)
+    return {"status": "ok", "model": server.model_cfg.model_type,
+            "engines": server.n_engines,
+            "buckets": list(buckets) if buckets else None}
+
+
+def _make_handler(registry: dict[str, ServingServer], default: str):
+    """Routes: the single-model endpoints act on the ``default`` model;
+    ``/v1/models`` lists the registry and ``/v1/models/<name>/infer``
+    targets one — several model families can share the chip (engines are
+    threads; XLA time-slices their programs)."""
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -267,19 +280,26 @@ def _make_handler(server: ServingServer):
 
         def do_GET(self):
             if self.path == "/v1/healthz":
-                buckets = (getattr(server.engines[0], "buckets", None)
-                           if server.engines else None)
-                self._json(200, {
-                    "status": "ok", "model": server.model_cfg.model_type,
-                    "engines": server.n_engines,
-                    "buckets": list(buckets) if buckets else None})
+                self._json(200, _health(registry[default]))
             elif self.path == "/v1/stats":
-                self._json(200, server.stats())
+                self._json(200, registry[default].stats())
+            elif self.path == "/v1/models":
+                self._json(200, {name: _health(s) for name, s in registry.items()})
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != "/v1/infer":
+            if self.path == "/v1/infer":
+                server = registry[default]
+            elif (self.path.startswith("/v1/models/")
+                  and self.path.endswith("/infer")):
+                name = self.path[len("/v1/models/"):-len("/infer")]
+                server = registry.get(name)
+                if server is None:
+                    self._json(404, {"error": f"unknown model {name!r}; "
+                                              f"have {sorted(registry)}"})
+                    return
+            else:
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
             try:
@@ -306,11 +326,25 @@ def _make_handler(server: ServingServer):
 class HttpIngress:
     """ThreadingHTTPServer wrapper: one handler thread per in-flight query,
     so slow (large-bucket) queries don't head-of-line-block small ones at
-    the HTTP layer — queueing discipline stays with the engine queues."""
+    the HTTP layer — queueing discipline stays with the engine queues.
 
-    def __init__(self, server: ServingServer, host: str = "127.0.0.1", port: int = 0):
-        self.serving = server
-        self.httpd = ThreadingHTTPServer((host, port), _make_handler(server))
+    Accepts one ServingServer or a {name: ServingServer} registry for
+    multi-model serving (POST /v1/models/<name>/infer)."""
+
+    def __init__(self, server, host: str = "127.0.0.1", port: int = 0,
+                 default: str | None = None):
+        if isinstance(server, ServingServer):
+            registry = {server.model_cfg.model_name: server}
+        else:
+            registry = dict(server)
+        if not registry:
+            raise ValueError("empty model registry")
+        self.registry = registry
+        self.default = default if default is not None else next(iter(registry))
+        if self.default not in registry:
+            raise ValueError(f"default {self.default!r} not in registry")
+        self.httpd = ThreadingHTTPServer(
+            (host, port), _make_handler(registry, self.default))
         self.httpd.daemon_threads = True
         self._thread = threading.Thread(target=self.httpd.serve_forever,
                                         daemon=True, name="ingress-http")
@@ -325,4 +359,5 @@ class HttpIngress:
     def stop(self):
         self.httpd.shutdown()
         self.httpd.server_close()
-        self.serving.stop()
+        for s in self.registry.values():
+            s.stop()

@@ -142,3 +142,34 @@ def test_ingress_over_process_engines():
         assert h["engines"] == 2
     finally:
         ing.stop()
+
+
+def test_multi_model_registry():
+    """Two model families behind one ingress; per-model routing + listing."""
+    servers = {}
+    for name in ("ncf", "rm1"):
+        cfg = ServingConfig(engine_backend="sim", inference_engines=1,
+                            sub_task_batch_size=16, max_mini_batch_size=32)
+        servers[name] = ServingServer(zoo.get_config(name, table_scale=2000), cfg,
+                                      latency_model=LatencyModel([1, 64], [1.0, 2.0]))
+        servers[name].start()
+    ing = HttpIngress(servers, default="ncf")
+    ing.start()
+    host, port = ing.address
+    base = f"http://{host}:{port}"
+    try:
+        _, models = _get(f"{base}/v1/models")
+        assert set(models) == {"ncf", "rm1"}
+        assert models["rm1"]["model"] == "dlrm"
+
+        s, out = _post(f"{base}/v1/models/rm1/infer", {"batch_size": 20})
+        assert s == 200 and out["sub_batches"] == 2
+        s, out = _post(f"{base}/v1/infer", {"batch_size": 4})  # default=ncf
+        assert s == 200 and out["sub_batches"] == 1
+
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base}/v1/models/nope/infer", {"batch_size": 1})
+        assert e.value.code == 404
+    finally:
+        ing.stop()

@@ -381,6 +381,31 @@ def job_serving(model):
     return res.to_dict()
 
 
+def job_serving_auto(model):
+    """TPU serving with the autotuned bucket ladder + coalescing: fewer
+    compiled programs (3 vs 5) and less padding than the pow2 ladder at
+    the canonical normal(165,16) operating point; backlog coalescing
+    amortizes the relay round trip."""
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.serving import run_serving
+
+    cfg = ServingConfig(
+        num_batches=48, nepochs=1, inference_engines=1, engine_backend="tpu",
+        avg_arrival_rate_ms=5.0, batch_size_distribution="normal",
+        avg_mini_batch_size=165.0, var_mini_batch_size=16.0,
+        max_mini_batch_size=1024, sub_task_batch_size=64,
+        bucket_policy="auto", max_auto_buckets=3,
+        req_granularity=16, target_latency_ms=25.0, seed=3,
+        coalesce_requests=True, max_coalesce=16,
+    )
+    res = run_serving(zoo.get_config(model, table_scale=8, param_dtype="bfloat16",
+                                     compute_dtype="bfloat16"), cfg, settle_s=0.05)
+    log(f"serving_auto {model}: QPS={res.measured_qps:.1f} p50={res.p50_ms:.1f} "
+        f"p95={res.p95_ms:.1f} ms over {res.num_responses} responses")
+    return res.to_dict()
+
+
 def job_full(model, quant="none"):
     """Bench one model at FULL production table sizes (table_scale=1)."""
     import jax
@@ -460,6 +485,7 @@ JOBS = [
     ("sweep:mtwnd", lambda: job_sweep("mtwnd")),
     ("sweep:dien", lambda: job_sweep("dien")),
     ("full_int8_rowwise:rm1", lambda: job_full("rm1", quant="int8_rowwise")),
+    ("serving_auto:rm1", lambda: job_serving_auto("rm1")),
     # Remaining model sweeps are runnable via job_sweep(<model>) but each
     # needs ~15-20 min of remote compiles (6 batch-shape programs); the
     # characterization pattern is demonstrated with rm1/ncf/din.
