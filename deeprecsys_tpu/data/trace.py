@@ -123,3 +123,61 @@ def synthesize_zipf_distribution(num_lines: int, alpha: float = 1.05, num_sample
     line_accesses, sds = trace_profile(trace)
     vals, _pdf, cdf = compute_distributions(sds)
     return line_accesses, vals, cdf
+
+
+def main(argv=None):
+    """Offline CLI, the ``trace_profile.py`` / ``trace_generator.py``
+    analog (reference usage: profile a real id trace into a distribution
+    file, then synthesize arbitrarily long traces from it):
+
+      python -m deeprecsys_tpu.data.trace profile \
+          [--trace-file ids.txt | --zipf-lines 1000] --out dist.txt
+      python -m deeprecsys_tpu.data.trace generate \
+          --dist-file dist.txt --length 65536 --out trace.txt
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description="stack-distance trace tools")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("profile", help="index trace -> distribution file")
+    p.add_argument("--trace-file", help="text file of whitespace/comma-separated ids")
+    p.add_argument("--zipf-lines", type=int, default=0,
+                   help="no trace file: profile a synthetic Zipf stream over N lines")
+    p.add_argument("--zipf-alpha", type=float, default=1.05)
+    p.add_argument("--samples", type=int, default=100_000)
+    p.add_argument("--out", required=True)
+
+    g = sub.add_parser("generate", help="distribution file -> synthetic trace")
+    g.add_argument("--dist-file", required=True)
+    g.add_argument("--length", type=int, required=True)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "profile":
+        if args.trace_file:
+            text = open(args.trace_file).read().replace(",", " ")
+            trace = np.asarray([int(x) for x in text.split()], dtype=np.int64)
+            line_accesses, sds = trace_profile(trace)
+            vals, _pdf, cdf = compute_distributions(sds)
+        elif args.zipf_lines > 0:
+            line_accesses, vals, cdf = synthesize_zipf_distribution(
+                args.zipf_lines, args.zipf_alpha, args.samples)
+        else:
+            ap.error("need --trace-file or --zipf-lines")
+        write_dist_file(args.out, line_accesses, vals, cdf)
+        print(f"profiled {len(line_accesses)} unique lines, "
+              f"{len(vals)} stack-distance bins -> {args.out}")
+    else:
+        line_accesses, list_sd, cumm_sd = read_dist_from_file(args.dist_file)
+        trace = trace_generate_lru(line_accesses, list_sd, cumm_sd, args.length,
+                                   rng=np.random.default_rng(args.seed))
+        with open(args.out, "w") as f:
+            f.write("\n".join(str(x) for x in trace) + "\n")
+        print(f"generated {len(trace)} references over "
+              f"{len(set(trace))} unique lines -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -94,3 +94,27 @@ def test_synthetic_generation_mode(tmp_path):
     for t, n in enumerate(cfg.scaled_rows):
         assert batch.indices[:, t, :].max() < n
         assert batch.indices[:, t, :].min() >= 0
+
+
+def test_trace_cli_roundtrip(tmp_path):
+    """Offline trace tooling CLI (trace_profile.py / trace_generator.py
+    analog): profile -> generate -> re-profile round-trips."""
+    from deeprecsys_tpu.data.trace import main, read_dist_from_file
+
+    dist = tmp_path / "dist.txt"
+    trace = tmp_path / "trace.txt"
+    main(["profile", "--zipf-lines", "200", "--samples", "20000",
+          "--out", str(dist)])
+    la, sd, cdf = read_dist_from_file(dist)
+    assert len(la) == 200 and abs(cdf[-1] - 1.0) < 1e-9
+
+    main(["generate", "--dist-file", str(dist), "--length", "4000",
+          "--out", str(trace)])
+    ids = [int(x) for x in trace.read_text().split()]
+    assert len(ids) == 4000
+    assert set(ids) <= set(la)  # only profiled lines appear
+
+    dist2 = tmp_path / "dist2.txt"
+    main(["profile", "--trace-file", str(trace), "--out", str(dist2)])
+    la2, _, cdf2 = read_dist_from_file(dist2)
+    assert set(la2) <= set(la) and abs(cdf2[-1] - 1.0) < 1e-9

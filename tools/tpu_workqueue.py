@@ -381,6 +381,104 @@ def job_serving(model):
     return res.to_dict()
 
 
+def job_model_hotcold(model, variant):
+    """FULL-MODEL forward at production table scale on a Zipf id stream:
+    'direct' = standard apply (same-data baseline), 'hotcold' = the
+    hot/cold-split apply with a VMEM-budgeted hot set. The model-level
+    answer to the gather-level 1.61x."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.models.hotcold import make_hotcold_model
+    from deeprecsys_tpu.ops.embedding import select_hot_ids
+    from deeprecsys_tpu.utils.memory import suggest_hot_rows
+
+    tpu = [d for d in jax.devices() if d.platform != "cpu"]
+    device = tpu[0] if tpu else jax.devices()[0]
+    B = 512
+    cfg = zoo.get_config(model, table_scale=1, param_dtype="bfloat16",
+                         compute_dtype="bfloat16")
+    model_fns = get_model(cfg)
+    host = RecDataGenerator(cfg, seed=0).generate_batch(B)
+    rows_np = np.asarray(cfg.scaled_rows, dtype=np.int64)
+    rng = np.random.default_rng(2)
+    T, L = host.indices.shape[1], host.indices.shape[2]
+    idx = (rng.zipf(1.2, size=(B, T, L)) % rows_np[None, :, None]).astype(np.int32)
+    dense_host = host.dense
+
+    if variant == "hotcold":
+        offs = np.asarray(cfg.table_offsets, dtype=np.int64)
+        hot_rows = suggest_hot_rows(cfg)
+        hot_ids = select_hot_ids(idx, offs, hot_rows)
+        hc = make_hotcold_model(model_fns, hot_ids)
+        split = hc.prepare(Batch(dense=dense_host, indices=idx))
+        hit = 1.0 - split["n_cold"] / idx.size
+        log(f"model_hotcold {model}: hot {len(hot_ids)} rows, hit {hit:.1%}, "
+            f"cold padded {split['cold_ids'].shape[0]}")
+        sp_host = {k: jnp.asarray(v) for k, v in split.items() if k != "n_cold"}
+
+        def program(n, dense, indices, hs, hm, ci, cseg):
+            params = model_fns.init(jax.random.PRNGKey(0))
+            hcp = hc.convert_params(params)
+
+            def body(i, c):
+                sp = {"hot_sel": jnp.roll(hs, i, axis=0),
+                      "hot_mask": jnp.roll(hm, i, axis=0),
+                      "cold_ids": jnp.roll(ci, i, axis=0), "cold_seg": cseg}
+                d = None if dense is None else dense
+                out = hc.apply(hcp, Batch(dense=d, indices=indices), sp)
+                return c + jnp.sum(out.astype(jnp.float32))
+
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+        args = (None if dense_host is None else jnp.asarray(dense_host),
+                jnp.asarray(idx), sp_host["hot_sel"], sp_host["hot_mask"],
+                sp_host["cold_ids"], sp_host["cold_seg"])
+    else:
+        def program(n, dense, indices):
+            params = model_fns.init(jax.random.PRNGKey(0))
+            rows = jnp.asarray(rows_np.astype(np.int32))[None, :, None]
+
+            def body(i, c):
+                ii = (indices + i) % rows
+                d = None if dense is None else dense
+                out = model_fns.apply(params, Batch(dense=d, indices=ii))
+                return c + jnp.sum(out.astype(jnp.float32))
+
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+        args = (None if dense_host is None else jnp.asarray(dense_host),
+                jnp.asarray(idx))
+
+    fn = jax.jit(program, device=device, static_argnums=())
+    ITERS = 32
+    t0 = _time.perf_counter()
+    float(fn(ITERS, *args))
+    compile_s = _time.perf_counter() - t0
+    best_lo = best_hi = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter(); float(fn(ITERS // 8, *args))
+        best_lo = min(best_lo, _time.perf_counter() - t0)
+        t0 = _time.perf_counter(); float(fn(ITERS, *args))
+        best_hi = min(best_hi, _time.perf_counter() - t0)
+    ms = max(best_hi - best_lo, 1e-9) / (ITERS - ITERS // 8) * 1000.0
+    out = {"variant": variant, "ms": ms, "samples_per_s": B / (ms / 1000.0),
+           "compile_s": compile_s}
+    if variant == "hotcold":
+        out["hit_rate"] = hit
+    log(f"model_{variant} {model}: {ms:.2f} ms/iter "
+        f"({B/(ms/1000.0):.0f} samples/s), compile {compile_s:.0f}s")
+    return out
+
+
 def job_serving_auto(model):
     """TPU serving with the autotuned bucket ladder + coalescing: fewer
     compiled programs (3 vs 5) and less padding than the pow2 ladder at
@@ -486,6 +584,10 @@ JOBS = [
     ("sweep:dien", lambda: job_sweep("dien")),
     ("full_int8_rowwise:rm1", lambda: job_full("rm1", quant="int8_rowwise")),
     ("serving_auto:rm1", lambda: job_serving_auto("rm1")),
+    ("model_zipf:rm2", lambda: job_model_hotcold("rm2", "direct")),
+    ("model_hotcold:rm2", lambda: job_model_hotcold("rm2", "hotcold")),
+    ("model_zipf:rm1", lambda: job_model_hotcold("rm1", "direct")),
+    ("model_hotcold:rm1", lambda: job_model_hotcold("rm1", "hotcold")),
     # Remaining model sweeps are runnable via job_sweep(<model>) but each
     # needs ~15-20 min of remote compiles (6 batch-shape programs); the
     # characterization pattern is demonstrated with rm1/ncf/din.
