@@ -391,3 +391,108 @@ def export_serving_params(params: dict, cfg: ModelConfig,
     else:
         raise ValueError(f"unknown table_quant {table_quant!r}")
     return dict(params, tables=new_tables), cfg.replace(table_quant=table_quant)
+
+
+def _fit_batches(trainer: Trainer, batches) -> list[float]:
+    """Run the train step over an iterable of (host Batch, labels) pairs
+    (e.g. ``CriteoReader.batches``); returns per-step losses."""
+    losses = []
+    for host, labels in batches:
+        batch = Batch(
+            dense=None if host.dense is None else jnp.asarray(host.dense),
+            indices=jnp.asarray(host.indices),
+        )
+        t = jnp.asarray(np.asarray(labels, dtype=np.float32))
+        if t.ndim == 1:
+            t = jnp.broadcast_to(t[:, None], (t.shape[0], trainer.cfg.out_dim))
+        trainer.params, trainer.opt_state, loss = trainer._step(
+            trainer.params, trainer.opt_state, batch, t)
+        losses.append(float(loss))
+    return losses
+
+
+def main(argv=None):
+    """Training CLI — the capability the reference only stubs
+    (``--inference_only`` defaults True and nothing trains,
+    utils/utils.py:40):
+
+      python -m deeprecsys_tpu.train --model rm1 --steps 200 \
+          [--sparse_tables] [--criteo train.txt] [--save ckpt] \
+          [--export_quant int8_rowwise --export_out ckpt_q]
+    """
+    import argparse
+
+    from deeprecsys_tpu import zoo
+
+    ap = argparse.ArgumentParser(description="DeepRecSys-TPU trainer")
+    ap.add_argument("--model", default="rm1",
+                    help=f"zoo name {zoo.MODEL_NAMES} (ignored with --criteo)")
+    ap.add_argument("--table_scale", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--optimizer", default="adagrad",
+                    choices=["sgd", "adagrad", "adam"])
+    ap.add_argument("--lr", type=float, default=0.1)
+    ap.add_argument("--loss", default="bce", choices=["bce", "mse"])
+    ap.add_argument("--sparse_tables", action="store_true",
+                    help="touched-rows-only table updates + row-wise AdaGrad")
+    ap.add_argument("--eval_every", type=int, default=0)
+    ap.add_argument("--criteo", default=None,
+                    help="Criteo/Kaggle TSV file: train on real data instead of synthetic")
+    ap.add_argument("--criteo_rows_per_table", type=int, default=1_000_000)
+    ap.add_argument("--epochs", type=int, default=1, help="epochs over --criteo")
+    ap.add_argument("--save", default=None, help="checkpoint path for trained params")
+    ap.add_argument("--export_quant", default=None,
+                    choices=["int8", "int8_rowwise"],
+                    help="also export a quantized serving bundle")
+    ap.add_argument("--export_out", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    if args.criteo:
+        from deeprecsys_tpu.data.criteo import CriteoReader, criteo_model_config
+
+        cfg = criteo_model_config(rows_per_table=args.criteo_rows_per_table)
+        tr = Trainer(cfg, optimizer=args.optimizer, learning_rate=args.lr,
+                     loss=args.loss, seed=args.seed,
+                     sparse_tables=args.sparse_tables)
+        reader = CriteoReader(args.criteo, cfg)
+        losses = []
+        for epoch in range(args.epochs):
+            ls = _fit_batches(tr, reader.batches(args.batch_size,
+                                                 max_batches=args.steps))
+            losses.extend(ls)
+            print(f"epoch {epoch}: {len(ls)} steps, "
+                  f"loss {np.mean(ls[:4]):.4f} -> {np.mean(ls[-4:]):.4f}",
+                  flush=True)
+    else:
+        cfg = zoo.get_config(args.model, table_scale=args.table_scale)
+        tr = Trainer(cfg, optimizer=args.optimizer, learning_rate=args.lr,
+                     loss=args.loss, seed=args.seed,
+                     sparse_tables=args.sparse_tables)
+        hist = tr.fit(args.steps, batch_size=args.batch_size,
+                      eval_every=args.eval_every)
+        losses = hist.losses
+        msg = f"{len(losses)} steps, loss {np.mean(losses[:4]):.4f} -> {np.mean(losses[-4:]):.4f}"
+        if hist.eval_aucs:
+            msg += f", AUC {hist.eval_aucs[-1]:.3f}"
+        print(msg, flush=True)
+
+    if args.save:
+        from deeprecsys_tpu.utils.checkpoint import save_params
+
+        save_params(args.save, tr.params)
+        print(f"saved params -> {args.save}", flush=True)
+    if args.export_quant:
+        out = args.export_out or (args.save or "serving_params") + f"_{args.export_quant}"
+        sp, _scfg = export_serving_params(tr.params, tr.cfg,
+                                          table_quant=args.export_quant)
+        from deeprecsys_tpu.utils.checkpoint import save_params
+
+        save_params(out, sp)
+        print(f"exported {args.export_quant} serving bundle -> {out}", flush=True)
+    return losses
+
+
+if __name__ == "__main__":
+    main()

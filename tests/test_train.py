@@ -168,3 +168,37 @@ def test_export_serving_params_preserves_auc():
 
     with pytest.raises(ValueError):
         export_serving_params(sp, scfg)  # double-quantize rejected
+
+
+def test_train_cli_synthetic_and_export(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from deeprecsys_tpu.train import main
+    from deeprecsys_tpu.utils.checkpoint import load_params
+    from deeprecsys_tpu.models import get_model
+
+    ck = tmp_path / "ck"
+    losses = main(["--model", "rm1", "--table_scale", "5000", "--steps", "10",
+                   "--batch_size", "32", "--save", str(ck),
+                   "--export_quant", "int8", "--export_out", str(ck) + "_q"])
+    assert len(losses) == 10 and np.isfinite(losses).all()
+    cfg = zoo.get_config("rm1", table_scale=5000)
+    params = get_model(cfg).init(jax.random.PRNGKey(0))
+    restored = load_params(ck, params)
+    assert restored["tables"].shape == params["tables"].shape
+    qcfg = cfg.replace(table_quant="int8")
+    qparams = get_model(qcfg).init(jax.random.PRNGKey(0))
+    q = load_params(str(ck) + "_q", qparams)
+    assert q["tables"]["q"].dtype == jnp.int8
+
+
+def test_train_cli_criteo(tmp_path):
+    from deeprecsys_tpu.data.criteo import write_synthetic_criteo
+    from deeprecsys_tpu.train import main
+
+    f = tmp_path / "criteo.txt"
+    write_synthetic_criteo(f, num_rows=200, seed=2)
+    losses = main(["--criteo", str(f), "--criteo_rows_per_table", "3000",
+                   "--epochs", "2", "--batch_size", "50", "--sparse_tables"])
+    assert len(losses) == 8 and np.isfinite(losses).all()
