@@ -238,7 +238,16 @@ def main(argv=None):
         from deeprecsys_tpu.serving import run_serving
 
         serving_cfg = serving_config_from_args(args)
-        res = run_serving(model_cfg, serving_cfg, log_responses=args.log_file is not None)
+        import contextlib
+
+        import jax
+
+        profiler_ctx = (
+            jax.profiler.trace(args.profile_dir) if args.enable_profiling
+            else contextlib.nullcontext()
+        )
+        with profiler_ctx:
+            res = run_serving(model_cfg, serving_cfg, log_responses=args.log_file is not None)
         print("Measured QPS: ", res.measured_qps)
         print("Measured p95 tail-latency: ", res.p95_ms, " ms")
         print("Measured p99 tail-latency: ", res.p99_ms, " ms")

@@ -103,6 +103,11 @@ class ComputeEngine(threading.Thread):
         self._pending: "queue.Queue" = queue.Queue()
         self._hotcold = None  # HotColdModel when embedding_impl == "hotcold"
         self.error: Exception | None = None
+        # Observability: executions per bucket and coalesced-request count
+        # (read by /v1/healthz and post-run reports; single-writer, so a
+        # plain dict is safe).
+        self.bucket_counts: dict[int, int] = {}
+        self.coalesced_requests = 0
 
     # -- setup ---------------------------------------------------------
 
@@ -244,6 +249,9 @@ class ComputeEngine(threading.Thread):
                     total += nxt.batch_size
             queue_start = time.time()
             bucket = pick_bucket(self.buckets, sum(r.batch_size for r in group))
+            self.bucket_counts[bucket] = self.bucket_counts.get(bucket, 0) + 1
+            if len(group) > 1:
+                self.coalesced_requests += len(group)
             host = self._host_data[bucket]
             # Fresh host->device transfer each execution: honest serving
             # cost (the reference re-feeds host blobs through BlobsQueues).

@@ -256,9 +256,20 @@ class ServingServer:
 def _health(server: ServingServer) -> dict:
     buckets = (getattr(server.engines[0], "buckets", None)
                if server.engines else None)
-    return {"status": "ok", "model": server.model_cfg.model_type,
-            "engines": server.n_engines,
-            "buckets": list(buckets) if buckets else None}
+    live = sum(1 for e in server.engines if e.is_alive()) + \
+        sum(1 for p in server.procs if p.is_alive())
+    degraded = live < server.n_engines
+    out = {"status": "degraded" if degraded else "ok",
+           "model": server.model_cfg.model_type,
+           "engines": server.n_engines, "live_engines": live,
+           "buckets": list(buckets) if buckets else None}
+    counts = {}
+    for e in server.engines:
+        for b, c in getattr(e, "bucket_counts", {}).items():
+            counts[b] = counts.get(b, 0) + c
+    if counts:
+        out["bucket_executions"] = {str(k): v for k, v in sorted(counts.items())}
+    return out
 
 
 def _make_handler(registry: dict[str, ServingServer], default: str):

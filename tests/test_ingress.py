@@ -173,3 +173,11 @@ def test_multi_model_registry():
         assert e.value.code == 404
     finally:
         ing.stop()
+
+
+def test_healthz_reports_bucket_executions_and_liveness(ingress):
+    _post(f"{ingress}/v1/infer", {"batch_size": 10})
+    status, h = _get(f"{ingress}/v1/healthz")
+    assert h["live_engines"] == h["engines"] == 3
+    assert h["status"] == "ok"
+    # sim engines have no buckets; bucket_executions only for compute engines
