@@ -315,6 +315,13 @@ class ServingConfig:
     model_accel: bool = False
     accel_request_size_thres: int = 1024
 
+    # Engine input data (reference --data_generation / --synthetic_data_trace_file,
+    # utils/utils.py dataset group): "random" uniform ids, or "synthetic"
+    # stack-distance trace replay from a distribution file — the locality
+    # model that makes hot/cold splits representative.
+    data_generation: str = "random"
+    synthetic_trace_file: str | None = None
+
     seed: int = 123
     debug_mode: bool = False
     log_file: str | None = None

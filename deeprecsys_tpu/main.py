@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default=None)
 
     # Standalone characterization (reference: inferenceEngine standalone mode)
+    p.add_argument("--data_generation", type=str, default="random",
+                   choices=["random", "synthetic"])
+    p.add_argument("--synthetic_data_trace_file", type=str, default=None)
     p.add_argument("--num_batches", type=int, default=16)
     p.add_argument("--mini_batch_size", type=int, default=64)
     p.add_argument("--nepochs", type=int, default=1)
@@ -127,6 +130,8 @@ def serving_config_from_args(args) -> ServingConfig:
         max_mini_batch_size=args.max_mini_batch_size,
         batch_dist_file=args.batch_dist_file,
         sub_task_batch_size=args.sub_task_batch_size,
+        data_generation=args.data_generation,
+        synthetic_trace_file=args.synthetic_data_trace_file,
         bucket_policy=args.bucket_policy,
         max_auto_buckets=args.max_auto_buckets,
         inference_engines=args.inference_engines,
@@ -162,7 +167,9 @@ def run_standalone(model_cfg: ModelConfig, args) -> dict:
 
     model = get_model(model_cfg)
     params = model.init(jax.random.PRNGKey(args.numpy_rand_seed))
-    gen = RecDataGenerator(model_cfg, seed=args.numpy_rand_seed)
+    gen = RecDataGenerator(model_cfg, seed=args.numpy_rand_seed,
+                           data_generation=args.data_generation,
+                           trace_file=args.synthetic_data_trace_file)
     fn = jax.jit(model.apply)
 
     t_load = 0.0

@@ -11,6 +11,15 @@ The reference has no analog — Caffe2's ``SparseLengthsSum`` always gathers
 from the full table; this optimization exists because the TPU gather is
 descriptor-rate-bound and its VMEM is software-managed.
 
+Applicability: the win requires POPULARITY skew (Zipf head) in the id
+stream, as production embedding streams have. The reference's
+stack-distance trace model captures RECENCY locality instead — within a
+pooling group ids are unique by construction, and its LRU rotation
+round-robins line popularity — so on trace-replay streams the hit rate is
+bounded by hot-set coverage of the line space (see
+test_synthetic_data_plumbed_and_hotcold_hits). Measure your stream's
+head mass before enabling.
+
 Split responsibilities:
   host (per request): ``split_hot_cold`` — native C++ single-pass splitter
     (runtime/cpp/drs_runtime.cpp), ~4 ms per 164k lookups, overlapped with
@@ -106,12 +115,16 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray) -> HotColdModel:
 
 
 def hot_ids_from_generator(cfg, seed: int, hot_rows: int, n_batches: int = 8,
-                           batch_size: int = 256) -> np.ndarray:
+                           batch_size: int = 256, data_generation: str = "random",
+                           trace_file: str | None = None) -> np.ndarray:
     """Select the hot set by sampling the model's own data distribution
-    (the serving analog of profiling a production id trace)."""
+    (the serving analog of profiling a production id trace). Pass the
+    engine's data_generation/trace_file so the sample sees the same
+    locality the serving stream will have."""
     from deeprecsys_tpu.data import RecDataGenerator
 
-    gen = RecDataGenerator(cfg, seed=seed)
+    gen = RecDataGenerator(cfg, seed=seed, data_generation=data_generation,
+                           trace_file=trace_file)
     samples = [np.asarray(gen.generate_batch(batch_size).indices)
                for _ in range(n_batches)]
     sample = np.concatenate(samples, axis=0)

@@ -136,7 +136,9 @@ class ComputeEngine(threading.Thread):
             apply_fn = jax.jit(model.apply, device=self.device)
         # Pre-generate one max-size batch; per-bucket host slices feed each
         # request (reference: pre-generate then slice, inferenceEngine.py:200-206).
-        gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17)
+        gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17,
+                               data_generation=self.serving_cfg.data_generation,
+                               trace_file=self.serving_cfg.synthetic_trace_file)
         full = gen.generate_batch(max(self.buckets))
         for b in self.buckets:
             sliced = Batch(
@@ -167,7 +169,9 @@ class ComputeEngine(threading.Thread):
 
             hot_rows = suggest_hot_rows(self.model_cfg)
         hot_ids = hot_ids_from_generator(
-            self.model_cfg, seed=self.seed + 31, hot_rows=hot_rows)
+            self.model_cfg, seed=self.seed + 31, hot_rows=hot_rows,
+            data_generation=self.serving_cfg.data_generation,
+            trace_file=self.serving_cfg.synthetic_trace_file)
         hc = make_hotcold_model(model, hot_ids)
         self._hotcold = hc
         if self.params is None:
@@ -176,7 +180,9 @@ class ComputeEngine(threading.Thread):
         self.params = jax.device_put(hc.convert_params(self.params), self.device)
         apply_fn = jax.jit(hc.apply, device=self.device)
 
-        gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17)
+        gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17,
+                               data_generation=self.serving_cfg.data_generation,
+                               trace_file=self.serving_cfg.synthetic_trace_file)
         full = gen.generate_batch(max(self.buckets))
         T, L = full.indices.shape[1], full.indices.shape[2]
         for b in self.buckets:
