@@ -120,19 +120,33 @@ class RecDataGenerator:
             out[:, cols, :] = draws.reshape(batch_size, len(cols), L)
         return out
 
+    def _trace_state(self, t: int):
+        """Per-table parsed distribution + LRU line state, loaded ONCE and
+        kept across batches: ``trace_generate_lru`` rotates line_accesses
+        in place, so persisting it continues the stream exactly as the
+        reference's pre-generate-all-batches loop does (re-reading the file
+        per batch would reset the stack and re-bias the head)."""
+        if not hasattr(self, "_trace_cache"):
+            self._trace_cache = {}
+        if t not in self._trace_cache:
+            # Reference substitutes the table id into the trace-file name
+            # ("dist_emb_j.log".replace("j", str(i))), falling back to the
+            # same file for all tables when no placeholder is present.
+            path = (self.trace_file.replace("@", str(t))
+                    if "@" in self.trace_file else self.trace_file)
+            self._trace_cache[t] = trace_mod.read_dist_from_file(path)
+        return self._trace_cache[t]
+
     def _synthetic_indices(self, batch_size: int) -> np.ndarray:
         cfg = self.cfg
         L = cfg.num_indices_per_lookup
         out = np.empty((batch_size, cfg.num_tables, L), dtype=np.int32)
         for t, size in enumerate(cfg.scaled_rows):
-            # Reference substitutes the table id into the trace-file name
-            # ("dist_emb_j.log".replace("j", str(i))), falling back to the
-            # same file for all tables when no placeholder is present.
-            path = self.trace_file.replace("@", str(t)) if "@" in self.trace_file else self.trace_file
-            line_accesses, list_sd, cumm_sd = trace_mod.read_dist_from_file(path)
+            line_accesses, list_sd, cumm_sd = self._trace_state(t)
             for b in range(batch_size):
                 refs = trace_mod.trace_generate_lru(
-                    line_accesses, list_sd, cumm_sd, L, self.trace_enable_padding
+                    line_accesses, list_sd, cumm_sd, L, self.trace_enable_padding,
+                    rng=self.rng,
                 )
                 group = np.unique(np.asarray(refs, dtype=np.int64))
                 if group.min(initial=0) < 0 or group.max(initial=0) >= size:
@@ -140,7 +154,8 @@ class RecDataGenerator:
                 # Top up to fixed L if unique() shrank the group.
                 while group.size < L:
                     extra = trace_mod.trace_generate_lru(
-                        line_accesses, list_sd, cumm_sd, L - group.size, self.trace_enable_padding
+                        line_accesses, list_sd, cumm_sd, L - group.size,
+                        self.trace_enable_padding, rng=self.rng,
                     )
                     group = np.unique(np.concatenate([group, np.mod(np.asarray(extra, dtype=np.int64), size)]))
                 out[b, t, :] = np.sort(group[:L]).astype(np.int32)

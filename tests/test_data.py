@@ -118,3 +118,28 @@ def test_trace_cli_roundtrip(tmp_path):
     main(["profile", "--trace-file", str(trace), "--out", str(dist2)])
     la2, _, cdf2 = read_dist_from_file(dist2)
     assert set(la2) <= set(la) and abs(cdf2[-1] - 1.0) < 1e-9
+
+
+def test_synthetic_mode_deterministic_and_stateful(tmp_path):
+    """Same seed -> identical streams; the per-table LRU line state
+    persists across batches (continuing the trace, not resetting it)."""
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.data.trace import synthesize_zipf_distribution, write_dist_file
+
+    cfg = zoo.get_config("rm1", table_scale=2000)
+    dist = tmp_path / "d.txt"
+    la, sd, cdf = synthesize_zipf_distribution(min(cfg.scaled_rows), num_samples=20000)
+    write_dist_file(dist, la, sd, cdf)
+
+    g1 = RecDataGenerator(cfg, seed=7, data_generation="synthetic", trace_file=str(dist))
+    g2 = RecDataGenerator(cfg, seed=7, data_generation="synthetic", trace_file=str(dist))
+    a1, a2 = g1.generate_batch(8), g2.generate_batch(8)
+    np.testing.assert_array_equal(a1.indices, a2.indices)
+    b1 = g1.generate_batch(8)
+    assert not np.array_equal(a1.indices, b1.indices)  # stream advanced
+    # State continuity: second batch from a fresh generator differs from
+    # the continuing stream's second batch only if state persisted; verify
+    # via equality with an identically-seeded continuing twin instead.
+    b2 = g2.generate_batch(8)
+    np.testing.assert_array_equal(b1.indices, b2.indices)
