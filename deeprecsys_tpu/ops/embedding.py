@@ -327,6 +327,47 @@ def select_hot_ids(indices_sample: np.ndarray, offsets: np.ndarray, k: int) -> n
     return np.sort(uniq[top])
 
 
+def split_hot_cold_sharded(indices: np.ndarray, offsets: np.ndarray,
+                           hot_ids: np.ndarray, n_shards: int,
+                           rows_per_shard: int, cold_buckets=None,
+                           impl: str = "auto"):
+    """Hot/cold split with the cold stream PARTITIONED BY OWNING SHARD for
+    row-sharded tables (chip k owns fused rows [k*rows_per_shard, ...)).
+
+    Each chip then gathers only its own cold rows — the descriptor load
+    divides across the mesh "model" axis — while hot hits stay in
+    replicated VMEM. Built on the native single-pass splitter; the per-
+    shard partition is one stable pass over the compacted cold stream.
+
+    Returns dict with hot_sel/hot_mask as in ``split_hot_cold`` plus:
+      cold_local (M, C_pad) int32 — SHARD-LOCAL cold row ids
+      cold_seg   (M, C_pad) int32 — pooling group per slot (pad -> B*T)
+      n_cold     int               — total real cold lookups
+    C_pad is the bucketed max over shards (uniform shapes for jit).
+    """
+    base = split_hot_cold(indices, offsets, hot_ids, impl=impl)
+    B, T, L = indices.shape
+    n_cold = base["n_cold"]
+    ids = base["cold_ids"][:n_cold].astype(np.int64)
+    segs = base["cold_seg"][:n_cold]
+    owner = np.clip(ids // rows_per_shard, 0, n_shards - 1)
+    per_shard = [(ids[owner == m] - m * rows_per_shard, segs[owner == m])
+                 for m in range(n_shards)]
+    c_max = max((len(i) for i, _ in per_shard), default=0)
+    if cold_buckets is None:
+        c_pad = max(8, 1 << max(0, (c_max - 1)).bit_length())
+    else:
+        fitting = [b for b in sorted(cold_buckets) if b >= c_max]
+        c_pad = fitting[0] if fitting else c_max
+    cold_local = np.zeros((n_shards, c_pad), dtype=np.int32)
+    cold_seg = np.full((n_shards, c_pad), B * T, dtype=np.int32)
+    for m, (i, s) in enumerate(per_shard):
+        cold_local[m, : len(i)] = i
+        cold_seg[m, : len(s)] = s
+    return {"hot_sel": base["hot_sel"], "hot_mask": base["hot_mask"],
+            "cold_local": cold_local, "cold_seg": cold_seg, "n_cold": n_cold}
+
+
 def embedding_bag_hotcold_int8(hot_q: jax.Array, q: jax.Array, scale: jax.Array,
                                split: dict, *, compute_dtype=jnp.float32) -> jax.Array:
     """Hot/cold pooled lookup over per-TABLE int8 tables — the two winning

@@ -123,6 +123,52 @@ def sharded_embedding_bag(
     )(table, offsets, indices)
 
 
+def sharded_embedding_bag_hotcold(
+    hot_table: jax.Array,
+    table: jax.Array,
+    split: dict,
+    mesh: Mesh,
+    *,
+    compute_dtype=None,
+) -> jax.Array:
+    """Hot/cold pooled lookup over a ROW-SHARDED table (mesh axis "model").
+
+    The host pre-partitions the compacted cold stream by owning shard
+    (``ops.embedding.split_hot_cold_sharded``), so chip k issues HBM
+    gather descriptors ONLY for its own cold rows — the descriptor-rate
+    wall divides by the model-axis size — and one psum combines the
+    per-shard cold partial sums. Hot hits gather from the replicated
+    VMEM-sized hot table on every chip (redundant but descriptor-cheap).
+
+    Batch is replicated (pure tensor-parallel serving mode): the cold
+    stream's pooling groups span the whole batch, which is what lets the
+    host partition it by row owner instead of by batch shard.
+    """
+    from jax import shard_map
+
+    hot_sel, hot_mask = split["hot_sel"], split["hot_mask"]
+    B, T, L = hot_sel.shape
+    cdt = compute_dtype or table.dtype
+
+    hot_rows = jnp.take(hot_table, hot_sel.reshape(-1), axis=0).astype(cdt)
+    hot_rows = hot_rows * hot_mask.reshape(-1, 1).astype(cdt)
+    pooled_hot = hot_rows.reshape(B, T, L, -1).sum(axis=2)
+
+    def local_fn(table_shard, cold_local, cold_seg):
+        rows = jnp.take(table_shard, cold_local[0], axis=0).astype(cdt)
+        partial = jax.ops.segment_sum(rows, cold_seg[0], num_segments=B * T + 1)
+        return jax.lax.psum(partial[None, : B * T], "model")
+
+    pooled_cold = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("model", None), P("model", None), P("model", None)),
+        out_specs=P(None, None, None),
+        check_vma=False,  # psum replicates; the static checker can't see it
+    )(table, split["cold_local"], split["cold_seg"])[0]
+    return pooled_hot + pooled_cold.reshape(B, T, -1).astype(cdt)
+
+
 # ----------------------------------------------------------------------
 # Table-wise sharding (placement-driven)
 # ----------------------------------------------------------------------

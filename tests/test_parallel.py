@@ -142,3 +142,62 @@ def test_sharded_apply_quantized_tables(quant):
     dev_batch = Batch(dense=None, indices=jnp.asarray(batch.indices))
     out = np.asarray(fn(sp, dev_batch))
     np.testing.assert_allclose(out, single, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_hotcold_matches_single_device():
+    """Row-sharded hot/cold lookup: per-shard cold compaction + psum
+    combine matches the single-device hotcold and direct lookups."""
+    from deeprecsys_tpu.ops.embedding import (
+        split_hot_cold_sharded,
+        embedding_bag,
+    )
+    from deeprecsys_tpu.parallel.sharding import sharded_embedding_bag_hotcold
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(13)
+    R, d, M = 512, 16, 4
+    table_host = rng.normal(size=(R, d)).astype(np.float32)
+    offsets = np.array([0, 200], dtype=np.int64)
+    rows = np.array([200, 312])
+    idx = rng.integers(0, rows[None, :, None], size=(8, 2, 6)).astype(np.int32)
+    hot_ids = np.sort(rng.choice(R, size=48, replace=False)).astype(np.int64)
+
+    direct = embedding_bag(jnp.asarray(table_host), jnp.asarray(offsets, jnp.int32),
+                           jnp.asarray(idx))
+
+    mesh = make_mesh(data=2, model=M)
+    split = split_hot_cold_sharded(idx, offsets, hot_ids, n_shards=M,
+                                   rows_per_shard=R // M)
+    assert split["cold_local"].shape[0] == M
+    table = jax.device_put(jnp.asarray(table_host),
+                           NamedSharding(mesh, P("model", None)))
+    hot_table = jax.device_put(
+        jnp.take(jnp.asarray(table_host), jnp.asarray(hot_ids, jnp.int32), axis=0),
+        NamedSharding(mesh, P()))
+    dev_split = {
+        "hot_sel": jnp.asarray(split["hot_sel"]),
+        "hot_mask": jnp.asarray(split["hot_mask"]),
+        "cold_local": jax.device_put(jnp.asarray(split["cold_local"]),
+                                     NamedSharding(mesh, P("model", None))),
+        "cold_seg": jax.device_put(jnp.asarray(split["cold_seg"]),
+                                   NamedSharding(mesh, P("model", None))),
+    }
+    got = sharded_embedding_bag_hotcold(hot_table, table, dev_split, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+    # Edge: empty hot set (all cold, still sharded correctly).
+    split0 = split_hot_cold_sharded(idx, offsets, np.empty(0, np.int64),
+                                    n_shards=M, rows_per_shard=R // M)
+    assert split0["n_cold"] == idx.size
+    dev0 = {
+        "hot_sel": jnp.asarray(split0["hot_sel"]),
+        "hot_mask": jnp.asarray(split0["hot_mask"]),
+        "cold_local": jax.device_put(jnp.asarray(split0["cold_local"]),
+                                     NamedSharding(mesh, P("model", None))),
+        "cold_seg": jax.device_put(jnp.asarray(split0["cold_seg"]),
+                                   NamedSharding(mesh, P("model", None))),
+    }
+    got0 = sharded_embedding_bag_hotcold(hot_table * 0, table, dev0, mesh)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
