@@ -122,41 +122,58 @@ class RecDataGenerator:
 
     def _trace_state(self, t: int):
         """Per-table parsed distribution + LRU line state, loaded ONCE and
-        kept across batches: ``trace_generate_lru`` rotates line_accesses
-        in place, so persisting it continues the stream exactly as the
-        reference's pre-generate-all-batches loop does (re-reading the file
-        per batch would reset the stack and re-bias the head)."""
+        kept across batches: the LRU stream rotates line state in place, so
+        persisting it continues the stream exactly as the reference's
+        pre-generate-all-batches loop does (re-reading the file per batch
+        would reset the stack and re-bias the head).
+
+        When the native runtime is built, the stream runs through the C++
+        generator (runtime/cpp drs_trace_generate_lru, ~20x the Python
+        loop); each impl is deterministic under the generator seed, but
+        their random streams differ from each other.
+        """
         if not hasattr(self, "_trace_cache"):
             self._trace_cache = {}
+            from deeprecsys_tpu.runtime.native import native_available
+
+            self._trace_native = native_available()
         if t not in self._trace_cache:
             # Reference substitutes the table id into the trace-file name
             # ("dist_emb_j.log".replace("j", str(i))), falling back to the
             # same file for all tables when no placeholder is present.
             path = (self.trace_file.replace("@", str(t))
                     if "@" in self.trace_file else self.trace_file)
-            self._trace_cache[t] = trace_mod.read_dist_from_file(path)
+            la, sd, cdf = trace_mod.read_dist_from_file(path)
+            if self._trace_native:
+                self._trace_cache[t] = trace_mod.NativeLruTrace(
+                    la, sd, cdf, seed=int(self.rng.integers(1 << 62)),
+                    enable_padding=self.trace_enable_padding)
+            else:
+                self._trace_cache[t] = (la, sd, cdf)
         return self._trace_cache[t]
+
+    def _trace_refs(self, t: int, count: int) -> np.ndarray:
+        state = self._trace_state(t)
+        if self._trace_native:
+            return state.generate(count)
+        la, sd, cdf = state
+        return np.asarray(trace_mod.trace_generate_lru(
+            la, sd, cdf, count, self.trace_enable_padding, rng=self.rng,
+        ), dtype=np.int64)
 
     def _synthetic_indices(self, batch_size: int) -> np.ndarray:
         cfg = self.cfg
         L = cfg.num_indices_per_lookup
         out = np.empty((batch_size, cfg.num_tables, L), dtype=np.int32)
         for t, size in enumerate(cfg.scaled_rows):
-            line_accesses, list_sd, cumm_sd = self._trace_state(t)
             for b in range(batch_size):
-                refs = trace_mod.trace_generate_lru(
-                    line_accesses, list_sd, cumm_sd, L, self.trace_enable_padding,
-                    rng=self.rng,
-                )
-                group = np.unique(np.asarray(refs, dtype=np.int64))
+                refs = self._trace_refs(t, L)
+                group = np.unique(refs)
                 if group.min(initial=0) < 0 or group.max(initial=0) >= size:
                     group = np.mod(group, size)  # reference mod-guard (:207-215)
                 # Top up to fixed L if unique() shrank the group.
                 while group.size < L:
-                    extra = trace_mod.trace_generate_lru(
-                        line_accesses, list_sd, cumm_sd, L - group.size,
-                        self.trace_enable_padding, rng=self.rng,
-                    )
-                    group = np.unique(np.concatenate([group, np.mod(np.asarray(extra, dtype=np.int64), size)]))
+                    extra = self._trace_refs(t, L - group.size)
+                    group = np.unique(np.concatenate([group, np.mod(extra, size)]))
                 out[b, t, :] = np.sort(group[:L]).astype(np.int32)
         return out

@@ -181,3 +181,41 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+class NativeLruTrace:
+    """Stateful native LRU trace stream (C++ ``drs_trace_generate_lru``):
+    ~100x the Python loop, deterministic via its own splitmix64 state.
+    Semantically identical LRU-stack model; the random stream differs from
+    the numpy path (each impl is reproducible under its seed)."""
+
+    def __init__(self, line_accesses, list_sd, cumm_sd, seed: int = 0,
+                 enable_padding: bool = False):
+        import ctypes
+
+        from deeprecsys_tpu.runtime.native import get_lib
+
+        self._lib = get_lib()
+        self._ct = ctypes
+        self.lines = np.ascontiguousarray(line_accesses, dtype=np.int64)
+        self.sd_vals = np.ascontiguousarray(list_sd, dtype=np.int64)
+        self.sd_cdf = np.ascontiguousarray(cumm_sd, dtype=np.float64)
+        self.head = np.zeros(1, dtype=np.int64)
+        mix = (seed * 0x9E3779B97F4A7C15 + 0x632BE59BD9B4E019) % (1 << 64)
+        self.state = np.array([mix], dtype=np.uint64)
+        self.i = 0
+        self.enable_padding = enable_padding
+
+    def generate(self, out_len: int) -> np.ndarray:
+        ct = self._ct
+        out = np.empty(out_len, dtype=np.int64)
+        self.i = self._lib.drs_trace_generate_lru(
+            self.lines.ctypes.data_as(ct.c_void_p), len(self.lines),
+            self.head.ctypes.data_as(ct.c_void_p),
+            self.sd_vals.ctypes.data_as(ct.c_void_p),
+            self.sd_cdf.ctypes.data_as(ct.c_void_p), len(self.sd_vals),
+            out_len, out.ctypes.data_as(ct.c_void_p),
+            self.state.ctypes.data_as(ct.c_void_p),
+            int(self.enable_padding), self.i,
+        )
+        return out

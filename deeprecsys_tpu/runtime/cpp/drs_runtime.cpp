@@ -242,4 +242,85 @@ extern "C" int64_t drs_split_hot_cold(
   return total;
 }
 
+// LRU stack-distance trace generator (native path of
+// data/trace.py trace_generate_lru + generate_stack_distance): draw a
+// stack distance from the measured CDF; sd==0 introduces the next unseen
+// line (head of the rotation), sd>0 re-references the line at LRU depth
+// sd and moves it to the top. The Python loop costs ~14 us/reference
+// (list.pop + bisect per ref); this is the data-loader hot loop when
+// generating locality-modeled synthetic streams.
+//
+// `lines` is the logical LRU list stored as a ring with head offset *h_io
+// (pop(0)+append == advance head, value stays in place — the dominant
+// sd==0 case is O(1)). Deterministic via a caller-held splitmix64 state.
+// Returns the updated introduced-lines counter i.
+namespace {
+
+inline double drs_rand_u01(uint64_t* s) {
+  uint64_t z = (*s += 0x9e3779b97f4a7c15ULL);
+  z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+  z ^= z >> 31;
+  return (double)(z >> 11) * (1.0 / 9007199254740992.0);  // 53-bit
+}
+
+}  // namespace
+
+extern "C" int64_t drs_trace_generate_lru(
+    int64_t* lines, int64_t n, int64_t* h_io, const int64_t* sd_vals,
+    const double* sd_cdf, int64_t n_sd, int64_t out_len, int64_t* out,
+    uint64_t* rng_state, int enable_padding, int64_t i_in) {
+  int64_t h = *h_io;
+  int64_t i = i_in;
+  int64_t max_i = sd_vals[n_sd - 1];
+  for (int64_t k = 0; k < out_len; ++k) {
+    // generate_stack_distance (trace.py:72-89)
+    double u = drs_rand_u01(rng_state);
+    if (i < max_i) {
+      // bisect.bisect(cumm_val, i) - 1
+      const int64_t* p = std::upper_bound(sd_vals, sd_vals + n_sd, i);
+      int64_t j = (p - sd_vals) - 1;
+      if (j >= 0) u *= sd_cdf[j];
+    } else if (enable_padding) {
+      double fi = sd_cdf[0];
+      u = (1.0 - fi) * u + fi;
+    }
+    const double* q = std::lower_bound(sd_cdf, sd_cdf + n_sd, u);
+    int64_t j = q - sd_cdf;
+    if (j >= n_sd) j = n_sd - 1;
+    int64_t sd = sd_vals[j];
+
+    int64_t ref;
+    if (sd == 0) {
+      // pop(0) + append: head value stays physically in place.
+      ref = lines[h];
+      h = (h + 1) % n;
+      ++i;
+    } else {
+      int64_t pos = n - sd;
+      if (pos < 0) pos = 0;
+      if (pos > n - 1) pos = n - 1;
+      // Shift logical [pos+1, n) left one slot, then place ref at the
+      // logical end. Physically that is at most two contiguous memmoves
+      // (the ring wraps once at slot n-1 -> 0).
+      int64_t start = (h + pos) % n;
+      int64_t end = (h + n - 1) % n;
+      ref = lines[start];
+      if (start <= end) {
+        std::memmove(lines + start, lines + start + 1,
+                     (size_t)(end - start) * sizeof(int64_t));
+      } else {
+        std::memmove(lines + start, lines + start + 1,
+                     (size_t)(n - 1 - start) * sizeof(int64_t));
+        lines[n - 1] = lines[0];
+        std::memmove(lines, lines + 1, (size_t)end * sizeof(int64_t));
+      }
+      lines[end] = ref;
+    }
+    out[k] = ref;
+  }
+  *h_io = h;
+  return i;
+}
+
 }  // extern "C"

@@ -68,6 +68,13 @@ def get_lib():
     lib.drs_ring_approx_size.argtypes = [ctypes.c_void_p]
     lib.drs_precise_sleep_ns.restype = None
     lib.drs_precise_sleep_ns.argtypes = [ctypes.c_int64, ctypes.c_int64]
+    lib.drs_trace_generate_lru.restype = ctypes.c_int64
+    lib.drs_trace_generate_lru.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,  # lines, n, head
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # sd_vals, sd_cdf, n_sd
+        ctypes.c_int64, ctypes.c_void_p,  # out_len, out
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,  # rng_state, padding, i
+    ]
     lib.drs_split_hot_cold.restype = ctypes.c_int64
     lib.drs_split_hot_cold.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,  # indices, n

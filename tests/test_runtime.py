@@ -146,3 +146,34 @@ def test_native_split_hot_cold_matches_numpy():
         assert got["n_cold"] == ref["n_cold"]
         for k in ("hot_sel", "hot_mask", "cold_ids", "cold_seg"):
             np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
+
+
+def test_native_lru_trace_matches_python_distribution():
+    """The native LRU trace generator implements the same stack-distance
+    model as the Python path: different RNG streams, same distribution.
+    Compare hit-frequency profiles over a long stream."""
+    import numpy as np
+
+    from deeprecsys_tpu.data.trace import (
+        NativeLruTrace,
+        synthesize_zipf_distribution,
+        trace_generate_lru,
+        trace_profile,
+    )
+
+    la, sd, cdf = synthesize_zipf_distribution(300, alpha=1.2, num_samples=30000)
+    N = 30_000
+    nat = NativeLruTrace(list(la), sd, cdf, seed=3).generate(N)
+    py = trace_generate_lru(list(la), sd, cdf, N, rng=np.random.default_rng(3))
+
+    # Same line space and similar unique-introduction rate.
+    assert set(nat.tolist()) <= set(la) and set(py) <= set(la)
+    u_nat, u_py = len(set(nat.tolist())), len(set(py))
+    assert abs(u_nat - u_py) / max(u_py, 1) < 0.15
+
+    # Re-profiled stack-distance CDFs agree (the defining statistic).
+    _, sds_nat = trace_profile(np.asarray(nat))
+    _, sds_py = trace_profile(np.asarray(py))
+    q_nat = np.percentile(sds_nat, [25, 50, 75, 90])
+    q_py = np.percentile(sds_py, [25, 50, 75, 90])
+    assert np.all(np.abs(q_nat - q_py) <= np.maximum(3, 0.2 * np.abs(q_py) + 3))
