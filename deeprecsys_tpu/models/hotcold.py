@@ -65,9 +65,25 @@ class HotColdModel(NamedTuple):
     prepare: Callable              # host: Batch -> split dict (padded)
 
 
-def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray) -> HotColdModel:
+def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
+                       mesh=None) -> HotColdModel:
+    """With ``mesh`` (axis "model" = M shards), the variant is the
+    TENSOR-PARALLEL serving mode: tables row-sharded, the host partitions
+    the cold stream by owning shard (``split_hot_cold_sharded``) so each
+    chip's gather descriptors divide by M, hot hits stay in replicated
+    VMEM, one psum combines (``parallel.sharding.sharded_embedding_bag_hotcold``).
+    The batch is replicated (mesh "data" axis must be 1)."""
     cfg = model.cfg
     offsets_np = np.asarray(cfg.table_offsets, dtype=np.int64)
+    if mesh is not None:
+        if mesh.shape.get("data", 1) != 1:
+            raise NotImplementedError(
+                "sharded hotcold is the TP serving mode: mesh data axis must be 1")
+        n_shards = mesh.shape["model"]
+        if cfg.total_rows % n_shards:
+            raise ValueError(
+                f"total rows {cfg.total_rows} must divide over model axis {n_shards}")
+        rows_per_shard = cfg.total_rows // n_shards
 
     def convert_params(params):
         tables = params["tables"]
@@ -85,6 +101,12 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray) -> HotColdModel:
     def prepare(batch: Batch) -> dict:
         idx = np.asarray(batch.indices)
         B, T, L = idx.shape
+        if mesh is not None:
+            from deeprecsys_tpu.ops.embedding import split_hot_cold_sharded
+
+            return split_hot_cold_sharded(idx, offsets_np, hot_ids, n_shards,
+                                          rows_per_shard,
+                                          cold_buckets=cold_ladder(B * T * L))
         return split_hot_cold(idx, offsets_np, hot_ids,
                               cold_buckets=cold_ladder(B * T * L))
 
@@ -97,6 +119,15 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray) -> HotColdModel:
 
         cdt = compute_dtype_of(cfg)
         tables = params["tables"]
+        if mesh is not None:
+            from deeprecsys_tpu.parallel.sharding import sharded_embedding_bag_hotcold
+
+            if isinstance(tables, dict):
+                raise NotImplementedError("sharded hotcold requires float tables")
+            pooled = sharded_embedding_bag_hotcold(
+                params["hot_table"], tables, split, mesh, compute_dtype=cdt)
+            return model.apply_from_pooled(
+                {k: v for k, v in params.items() if k != "hot_table"}, pooled, batch)
         if isinstance(tables, dict) and "qrows" in tables:
             pooled = embedding_bag_hotcold_int8_rowwise(
                 params["hot_table"], tables["qrows"], split, compute_dtype=cdt)

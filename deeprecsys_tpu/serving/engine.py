@@ -161,8 +161,6 @@ class ComputeEngine(threading.Thread):
             make_hotcold_model,
         )
 
-        if self.mesh is not None:
-            raise NotImplementedError("hotcold serving over a mesh")
         hot_rows = self.model_cfg.hot_set_rows
         if hot_rows <= 0:  # auto: size the hot set to the VMEM budget
             from deeprecsys_tpu.utils.memory import suggest_hot_rows
@@ -172,13 +170,23 @@ class ComputeEngine(threading.Thread):
             self.model_cfg, seed=self.seed + 31, hot_rows=hot_rows,
             data_generation=self.serving_cfg.data_generation,
             trace_file=self.serving_cfg.synthetic_trace_file)
-        hc = make_hotcold_model(model, hot_ids)
+        hc = make_hotcold_model(model, hot_ids, mesh=self.mesh)
         self._hotcold = hc
-        if self.params is None:
-            with jax.default_device(self.device):
+        if self.mesh is not None:
+            from deeprecsys_tpu.parallel import shard_params
+
+            if self.params is None:
                 self.params = model.init(jax.random.PRNGKey(self.seed))
-        self.params = jax.device_put(hc.convert_params(self.params), self.device)
-        apply_fn = jax.jit(hc.apply, device=self.device)
+            # shard_params row-shards the fused table over "model"; the
+            # hot_table (top-level key) and MLPs replicate.
+            self.params = shard_params(hc.convert_params(self.params), self.mesh)
+            apply_fn = jax.jit(hc.apply)
+        else:
+            if self.params is None:
+                with jax.default_device(self.device):
+                    self.params = model.init(jax.random.PRNGKey(self.seed))
+            self.params = jax.device_put(hc.convert_params(self.params), self.device)
+            apply_fn = jax.jit(hc.apply, device=self.device)
 
         gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17,
                                data_generation=self.serving_cfg.data_generation,
@@ -197,13 +205,27 @@ class ComputeEngine(threading.Thread):
                 dummy = {
                     "hot_sel": np.zeros((b, T, L), np.int32),
                     "hot_mask": np.zeros((b, T, L), bool),
-                    "cold_ids": np.zeros(c_pad, np.int32),
-                    "cold_seg": np.full(c_pad, b * T, np.int32),
                 }
+                if self.mesh is not None:
+                    M = self.mesh.shape["model"]
+                    dummy["cold_local"] = np.zeros((M, c_pad), np.int32)
+                    dummy["cold_seg"] = np.full((M, c_pad), b * T, np.int32)
+                else:
+                    dummy["cold_ids"] = np.zeros(c_pad, np.int32)
+                    dummy["cold_seg"] = np.full(c_pad, b * T, np.int32)
                 apply_fn(self.params, self._device_batch(sliced),
                          self._device_split(dummy)).block_until_ready()
 
     def _device_split(self, split: dict) -> dict:
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = {"hot_sel": NamedSharding(self.mesh, P()),
+                  "hot_mask": NamedSharding(self.mesh, P()),
+                  "cold_local": NamedSharding(self.mesh, P("model", None)),
+                  "cold_seg": NamedSharding(self.mesh, P("model", None))}
+            return {k: jax.device_put(np.asarray(v), sh[k])
+                    for k, v in split.items() if k != "n_cold"}
         return {k: jax.device_put(np.asarray(v), self.device)
                 for k, v in split.items() if k != "n_cold"}
 

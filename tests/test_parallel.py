@@ -201,3 +201,64 @@ def test_sharded_hotcold_matches_single_device():
     got0 = sharded_embedding_bag_hotcold(hot_table * 0, table, dev0, mesh)
     np.testing.assert_allclose(np.asarray(got0), np.asarray(direct),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hotcold_model_tp_mode_matches_base():
+    """make_hotcold_model(mesh): TP serving mode — full-model output
+    matches the unsharded model."""
+    from deeprecsys_tpu.models.hotcold import hot_ids_from_generator, make_hotcold_model
+
+    cfg = zoo.get_config("rm1", table_scale=SCALE)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = RecDataGenerator(cfg, seed=2).generate_batch(8)
+    want = np.asarray(model.apply(params, batch))
+
+    mesh = make_mesh(data=1, model=4, devices=jax.devices()[:4])
+    hot_ids = hot_ids_from_generator(cfg, seed=5, hot_rows=64, n_batches=2,
+                                     batch_size=32)
+    hc = make_hotcold_model(model, hot_ids, mesh=mesh)
+    hc_params = shard_params(hc.convert_params(params), mesh)
+    split = hc.prepare(batch)
+    assert "cold_local" in split and split["cold_local"].shape[0] == 4
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dev_split = {
+        "hot_sel": jnp.asarray(split["hot_sel"]),
+        "hot_mask": jnp.asarray(split["hot_mask"]),
+        "cold_local": jax.device_put(jnp.asarray(split["cold_local"]),
+                                     NamedSharding(mesh, P("model", None))),
+        "cold_seg": jax.device_put(jnp.asarray(split["cold_seg"]),
+                                   NamedSharding(mesh, P("model", None))),
+    }
+    got = np.asarray(jax.jit(hc.apply)(hc_params, batch, dev_split))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_engine_hotcold_tp_serving_end_to_end():
+    """ComputeEngine with mesh + embedding_impl=hotcold: the TP serving
+    mode through the full engine loop on the virtual mesh."""
+    import queue
+    import time
+
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    model_cfg = zoo.get_config("rm1", table_scale=SCALE).replace(
+        embedding_impl="hotcold", hot_set_rows=64)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8, 16),
+                        max_mini_batch_size=16)
+    mesh = make_mesh(data=1, model=8)
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q, mesh=mesh)
+    eng.start()
+    got = ready_q.get(timeout=600)
+    assert not isinstance(got, Exception), got
+    for i, size in enumerate([5, 12]):
+        req_q.put(ServiceRequest(batch_id=i, epoch=0, arrival_time=time.time(),
+                                 batch_size=size, total_sub_batches=1))
+    seen = [resp_q.get(timeout=120) for _ in range(2)]
+    assert sorted(r.batch_size for r in seen) == [5, 12]
+    req_q.put(None)

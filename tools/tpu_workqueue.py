@@ -479,6 +479,26 @@ def job_model_hotcold(model, variant):
     return out
 
 
+def job_op_breakdown(models, batch):
+    """Per-stage (embedding/interaction/MLP/attention/RNN) device-time
+    breakdown on real TPU — the operator_breakdown experiment's output
+    for OUR operator set (reference sweep_p.py parses Caffe2 prof_dag)."""
+    import json as _json
+
+    from deeprecsys_tpu.experiments.op_breakdown import breakdown_for
+
+    rows = []
+    for m in models:
+        r = breakdown_for(m, batch, 8, "bfloat16")
+        frac = {k: round(v, 4) for k, v in r["stage_fraction"].items()}
+        log(f"breakdown {m} b={batch}: full={r['stage_ms']['full_model']:.3f}ms {frac}")
+        rows.append(r)
+    out = Path(__file__).parent.parent / "benchmarks" / "op_breakdown_tpu.json"
+    out.write_text(_json.dumps(rows, indent=2))
+    return {"models": list(models), "batch": batch,
+            "fractions": {r["model"]: r["stage_fraction"] for r in rows}}
+
+
 def job_serving_auto(model):
     """TPU serving with the autotuned bucket ladder + coalescing: fewer
     compiled programs (3 vs 5) and less padding than the pow2 ladder at
@@ -584,6 +604,7 @@ JOBS = [
     ("sweep:dien", lambda: job_sweep("dien")),
     ("full_int8_rowwise:rm1", lambda: job_full("rm1", quant="int8_rowwise")),
     ("serving_auto:rm1", lambda: job_serving_auto("rm1")),
+    ("op_breakdown:b512", lambda: job_op_breakdown(("rm1", "rm2", "din", "dien"), 512)),
     ("model_zipf:rm2", lambda: job_model_hotcold("rm2", "direct")),
     ("model_hotcold:rm2", lambda: job_model_hotcold("rm2", "hotcold")),
     ("model_zipf:rm1", lambda: job_model_hotcold("rm1", "direct")),
