@@ -78,10 +78,15 @@ class ServingServer:
 
         self.model_cfg = model_cfg
         self.cfg = serving_cfg
+        import collections
+
         self._batch_ids = itertools.count()
         self._pending: dict[tuple, _Pending] = {}
         self._lock = threading.Lock()
-        self._completed_ms: list[float] = []
+        # Bounded window: a long-running server must not grow its stats
+        # without limit; percentiles are over the most recent completions.
+        self._completed_ms = collections.deque(maxlen=100_000)
+        self._n_completed = 0
         self._t_start: float | None = None
         self._stop = threading.Event()
         self.procs: list = []
@@ -204,6 +209,7 @@ class ServingServer:
         if not exp:
             with self._lock:
                 self._completed_ms.append(latency_ms)
+                self._n_completed += 1
         return {
             "batch_id": batch_id,
             "batch_size": batch_size,
@@ -243,9 +249,10 @@ class ServingServer:
     def stats(self) -> dict:
         with self._lock:
             lat = list(self._completed_ms)
+            total = self._n_completed
         wall = time.time() - self._t_start if self._t_start else float("nan")
-        out = {"completed": len(lat), "wall_s": wall,
-               "qps": len(lat) / wall if wall and wall > 0 else 0.0}
+        out = {"completed": total, "wall_s": wall,
+               "qps": total / wall if wall and wall > 0 else 0.0}
         if lat:
             out.update(p50_ms=float(np.percentile(lat, 50)),
                        p95_ms=float(np.percentile(lat, 95)),
