@@ -149,17 +149,22 @@ class RecDataGenerator:
                     la, sd, cdf, seed=int(self.rng.integers(1 << 62)),
                     enable_padding=self.trace_enable_padding)
             else:
-                self._trace_cache[t] = (la, sd, cdf)
+                # [la, sd, cdf, introduced-lines counter]: the counter
+                # persists across calls exactly like the native path (see
+                # trace_generate_lru's i_start note).
+                self._trace_cache[t] = [la, sd, cdf, 0]
         return self._trace_cache[t]
 
     def _trace_refs(self, t: int, count: int) -> np.ndarray:
         state = self._trace_state(t)
         if self._trace_native:
             return state.generate(count)
-        la, sd, cdf = state
-        return np.asarray(trace_mod.trace_generate_lru(
+        la, sd, cdf, i = state
+        refs, state[3] = trace_mod.trace_generate_lru(
             la, sd, cdf, count, self.trace_enable_padding, rng=self.rng,
-        ), dtype=np.int64)
+            i_start=i, return_i=True,
+        )
+        return np.asarray(refs, dtype=np.int64)
 
     def _synthetic_indices(self, batch_size: int) -> np.ndarray:
         cfg = self.cfg

@@ -89,15 +89,27 @@ def generate_stack_distance(cumm_val, cumm_dist, max_i, i, rng, enable_padding=F
     return cumm_val[min(j, len(cumm_val) - 1)]
 
 
-def trace_generate_lru(line_accesses, list_sd, cumm_sd, out_trace_len, enable_padding=False, rng=None):
+def trace_generate_lru(line_accesses, list_sd, cumm_sd, out_trace_len,
+                       enable_padding=False, rng=None, i_start: int = 0,
+                       return_i: bool = False):
     """Generate ``out_trace_len`` references via the LRU stack model
     (dlrm_data_caffe2.py:251-275). ``line_accesses`` is rotated in place,
-    exactly as in the reference, so successive calls continue the stream."""
+    exactly as in the reference, so successive calls continue the stream.
+
+    ``i_start``/``return_i`` carry the introduced-lines counter across
+    calls: the reference generates the whole trace in ONE call
+    (trace_generator.py:137), so a caller issuing many short calls must
+    thread ``i`` through to sample the same distribution — the warm-up
+    phase (distances clipped to the lines seen so far) happens once per
+    STREAM, not once per call; resetting it re-biases every call toward
+    small distances. The native ``NativeLruTrace`` persists it the same
+    way.
+    """
     if rng is None:
         rng = np.random.default_rng()
     max_sd = list_sd[-1]
     l = len(line_accesses)
-    i = 0
+    i = i_start
     ztrace = []
     for _ in range(out_trace_len):
         sd = generate_stack_distance(list_sd, cumm_sd, max_sd, i, rng, enable_padding)
@@ -110,6 +122,8 @@ def trace_generate_lru(line_accesses, list_sd, cumm_sd, out_trace_len, enable_pa
             line_ref = line_accesses.pop(pos)
             line_accesses.append(line_ref)
         ztrace.append(int(line_ref))
+    if return_i:
+        return ztrace, i
     return ztrace
 
 

@@ -100,7 +100,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def model_config_from_args(args) -> ModelConfig:
+def _model_overrides(args) -> dict:
     overrides = {"param_dtype": args.param_dtype}
     if args.embedding_impl != "xla":
         overrides["embedding_impl"] = args.embedding_impl
@@ -111,9 +111,15 @@ def model_config_from_args(args) -> ModelConfig:
         overrides["compute_dtype"] = args.compute_dtype
     elif args.param_dtype:
         overrides["compute_dtype"] = args.param_dtype
-    if args.model in zoo.MODEL_NAMES:
-        return zoo.get_config(args.model, table_scale=args.table_scale, **overrides)
-    return load_model_config(args.model, table_scale=args.table_scale, **overrides)
+    return overrides
+
+
+def model_config_from_args(args, name: str | None = None) -> ModelConfig:
+    name = name if name is not None else args.model
+    overrides = _model_overrides(args)
+    if name in zoo.MODEL_NAMES:
+        return zoo.get_config(name, table_scale=args.table_scale, **overrides)
+    return load_model_config(name, table_scale=args.table_scale, **overrides)
 
 
 def serving_config_from_args(args) -> ServingConfig:
@@ -219,9 +225,10 @@ def main(argv=None):
         if args.serve_models:
             registry = {}
             for name in args.serve_models.split(","):
+                # Every model gets the FULL override set (--table_quant,
+                # --embedding_impl, dtypes), not just the default one.
                 m_cfg = (model_cfg if name == model_cfg.model_name else
-                         zoo.get_config(name, table_scale=args.table_scale,
-                                        param_dtype=args.param_dtype))
+                         model_config_from_args(args, name=name))
                 registry[name] = ServingServer(m_cfg, serving_cfg)
             for s_ in registry.values():
                 s_.start()

@@ -115,6 +115,15 @@ def pooled_lookup(tables, batch: Batch, cfg: ModelConfig) -> jax.Array:
         from deeprecsys_tpu.ops.pallas import pallas_embedding_bag
 
         return pallas_embedding_bag(tables, offsets, batch.indices).astype(cdt)
+    if cfg.embedding_impl == "hotcold":
+        # The hot/cold split needs the host-side splitter in the loop
+        # (models/hotcold.py) — the serving engines wire it up. Falling
+        # through to the plain gather here would silently benchmark the
+        # wrong thing in standalone/training paths.
+        raise ValueError(
+            "embedding_impl='hotcold' is a serving-engine path (use --queue/"
+            "--serve, or models.hotcold.make_hotcold_model directly); the "
+            "plain apply would silently run the xla gather instead")
     return embedding_bag(tables, offsets, batch.indices, compute_dtype=cdt)
 
 

@@ -255,15 +255,20 @@ class ComputeEngine(threading.Thread):
         completer.start()
         cfg = self.serving_cfg
         done = False
+        carry = None  # request drained during coalescing that didn't fit
         while not done:
-            request = self.request_q.get()
+            request = carry if carry is not None else self.request_q.get()
+            carry = None
             if request is _SENTINEL:
                 break
             group = [request]
             if cfg.coalesce_requests:
                 # Dynamic batching: drain waiting requests into one bucket
                 # execution (MXU wants big batches; the queue backlog is
-                # free batch size). Stops at the largest bucket.
+                # free batch size). The group total never exceeds the
+                # largest bucket — a drained request that would overflow
+                # is carried into the next execution instead of being
+                # silently clamped (undercomputed) by pick_bucket.
                 total = request.batch_size
                 while len(group) < cfg.max_coalesce and total < self.buckets[-1]:
                     try:
@@ -271,7 +276,14 @@ class ComputeEngine(threading.Thread):
                     except (queue.Empty, ShmEmpty):
                         break
                     if nxt is _SENTINEL or nxt is None:
+                        # Put the sentinel back: it belongs to whichever
+                        # engine blocks on the queue next (consuming it
+                        # here would leave a peer engine waiting forever).
+                        self.request_q.put(_SENTINEL)
                         done = True
+                        break
+                    if total + nxt.batch_size > self.buckets[-1]:
+                        carry = nxt
                         break
                     group.append(nxt)
                     total += nxt.batch_size
@@ -383,3 +395,57 @@ class SimEngine(threading.Thread):
                 )
             )
         self.response_q.put(_SENTINEL)
+
+
+def build_engine_pool(
+    model_cfg,
+    cfg,
+    request_q,
+    accel_request_q,
+    response_q,
+    ready_q,
+    latency_model=None,
+    accel_latency_model=None,
+    params=None,
+    mesh=None,
+    id_base: int = 0,
+):
+    """Build the thread-engine pool for a ServingConfig — the one place
+    that knows backend dispatch (tpu/cpu/sim), device selection, and the
+    accel-offload engine wiring. Shared by ``orchestrator.run_serving``
+    and the HTTP ingress (``serving/ingress.py``); cpu-mp OS-process
+    engines are spawned separately (``process_engine``).
+
+    Returns (engines, total_engine_count).
+    """
+    def device_for_backend():
+        if cfg.engine_backend == "cpu":
+            return jax.devices("cpu")[0]
+        return jax.devices()[0]
+
+    engines = []
+    for i in range(cfg.inference_engines):
+        eid = id_base + i
+        if cfg.engine_backend == "sim":
+            if latency_model is None:
+                raise ValueError("sim backend requires a latency_model")
+            engines.append(SimEngine(eid, model_cfg, cfg, request_q, response_q,
+                                     ready_q, latency_model))
+        else:
+            engines.append(
+                ComputeEngine(eid, model_cfg, cfg, request_q, response_q, ready_q,
+                              device=device_for_backend(), params=params,
+                              seed=cfg.seed + eid, mesh=mesh))
+    total = cfg.inference_engines
+    if cfg.model_accel:
+        aid = id_base + total
+        if accel_latency_model is not None:
+            engines.append(SimEngine(aid, model_cfg, cfg, accel_request_q,
+                                     response_q, ready_q, accel_latency_model))
+        else:
+            engines.append(
+                ComputeEngine(aid, model_cfg, cfg, accel_request_q, response_q,
+                              ready_q, device=jax.devices()[0], params=params,
+                              seed=cfg.seed + aid))
+        total += 1
+    return engines, total

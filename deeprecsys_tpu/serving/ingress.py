@@ -41,7 +41,6 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from deeprecsys_tpu.config import ModelConfig, ServingConfig
-from deeprecsys_tpu.serving.engine import ComputeEngine, SimEngine
 from deeprecsys_tpu.serving.latency_model import LatencyModel
 from deeprecsys_tpu.serving.load_generator import partition_query
 from deeprecsys_tpu.serving.packets import ServiceRequest
@@ -74,11 +73,10 @@ class ServingServer:
         accel_latency_model: LatencyModel | None = None,
         params=None,
     ):
-        import jax
+        import collections
 
         self.model_cfg = model_cfg
         self.cfg = serving_cfg
-        import collections
 
         self._batch_ids = itertools.count()
         self._pending: dict[tuple, _Pending] = {}
@@ -113,33 +111,12 @@ class ServingServer:
         self.request_q = queue.Queue(maxsize=1024)
         self.response_q = queue.Queue()
         self.ready_q = queue.Queue()
-        for i in range(cfg.inference_engines):
-            if cfg.engine_backend == "sim":
-                if latency_model is None:
-                    raise ValueError("sim backend requires a latency_model")
-                self.engines.append(SimEngine(i, model_cfg, cfg, self.request_q,
-                                              self.response_q, self.ready_q, latency_model))
-            else:
-                device = (jax.devices("cpu")[0] if cfg.engine_backend == "cpu"
-                          else jax.devices()[0])
-                self.engines.append(
-                    ComputeEngine(i, model_cfg, cfg, self.request_q, self.response_q,
-                                  self.ready_q, device=device, params=params,
-                                  seed=cfg.seed + i))
-        self.n_engines = cfg.inference_engines
-        if cfg.model_accel:
-            aid = self.n_engines
-            if accel_latency_model is not None:
-                self.engines.append(SimEngine(aid, model_cfg, cfg, self.accel_request_q,
-                                              self.response_q, self.ready_q,
-                                              accel_latency_model))
-            else:
-                self.engines.append(
-                    ComputeEngine(aid, model_cfg, cfg, self.accel_request_q,
-                                  self.response_q, self.ready_q,
-                                  device=jax.devices()[0], params=params,
-                                  seed=cfg.seed + aid))
-            self.n_engines += 1
+        from deeprecsys_tpu.serving.engine import build_engine_pool
+
+        self.engines, self.n_engines = build_engine_pool(
+            model_cfg, cfg, self.request_q, self.accel_request_q,
+            self.response_q, self.ready_q, latency_model, accel_latency_model,
+            params)
 
         self._router = threading.Thread(target=self._route_loop, daemon=True,
                                         name="ingress-router")

@@ -16,10 +16,7 @@ import dataclasses
 import queue
 import time
 
-import jax
-
 from deeprecsys_tpu.config import ModelConfig, ServingConfig
-from deeprecsys_tpu.serving.engine import ComputeEngine, SimEngine
 from deeprecsys_tpu.serving.latency_model import LatencyModel
 from deeprecsys_tpu.serving.load_generator import LoadGenerator
 from deeprecsys_tpu.serving.metrics import ResponseAggregator
@@ -86,38 +83,22 @@ def run_serving(
         response_q = queue.Queue()
         ready_q = queue.Queue()
 
-    def _device_for_backend():
-        if cfg.engine_backend == "cpu":
-            cpus = [d for d in jax.devices("cpu")]
-            return cpus[0]
-        return jax.devices()[0]
+    from deeprecsys_tpu.serving.engine import build_engine_pool
 
-    engines = []
-    for i in range(cfg.inference_engines):
-        if cfg.engine_backend == "cpu-mp":
-            break  # engine processes already spawned
-        if cfg.engine_backend == "sim":
-            if latency_model is None:
-                raise ValueError("sim backend requires a latency_model")
-            engines.append(SimEngine(i, model_cfg, cfg, request_q, response_q, ready_q, latency_model))
-        else:
-            engines.append(
-                ComputeEngine(i, model_cfg, cfg, request_q, response_q, ready_q,
-                              device=_device_for_backend(), params=params,
-                              seed=cfg.seed + i, mesh=mesh)
-            )
-    total_engines = cfg.inference_engines
-    if cfg.model_accel:
-        aid = total_engines
-        if accel_latency_model is not None:
-            engines.append(SimEngine(aid, model_cfg, cfg, accel_request_q, response_q, ready_q,
-                                     accel_latency_model))
-        else:
-            engines.append(
-                ComputeEngine(aid, model_cfg, cfg, accel_request_q, response_q, ready_q,
-                              device=jax.devices()[0], params=params, seed=cfg.seed + aid)
-            )
-        total_engines += 1
+    if cfg.engine_backend == "cpu-mp":
+        # Process engines already spawned; an in-parent accel engine (if
+        # any) is built by the pool helper with zero regular engines, its
+        # id offset past the process-engine ids.
+        engines, extra = build_engine_pool(
+            model_cfg, dataclasses.replace(cfg, inference_engines=0),
+            request_q, accel_request_q, response_q, ready_q,
+            latency_model, accel_latency_model, params,
+            id_base=cfg.inference_engines)
+        total_engines = cfg.inference_engines + extra
+    else:
+        engines, total_engines = build_engine_pool(
+            model_cfg, cfg, request_q, accel_request_q, response_q, ready_q,
+            latency_model, accel_latency_model, params, mesh=mesh)
 
     loadgen = LoadGenerator(cfg, request_q, accel_request_q, pid_q, ready_q, settle_s=settle_s)
 

@@ -177,3 +177,42 @@ def test_native_lru_trace_matches_python_distribution():
     q_nat = np.percentile(sds_nat, [25, 50, 75, 90])
     q_py = np.percentile(sds_py, [25, 50, 75, 90])
     assert np.all(np.abs(q_nat - q_py) <= np.maximum(3, 0.2 * np.abs(q_py) + 3))
+
+
+def test_trace_short_call_mode_matches_long_stream():
+    """Regression: the introduced-lines counter i persists across short
+    calls in BOTH impls (the generator calls in chunks of L), so chunked
+    streams sample the same stack-distance distribution as one long call."""
+    import numpy as np
+
+    from deeprecsys_tpu.data.trace import (
+        NativeLruTrace,
+        synthesize_zipf_distribution,
+        trace_generate_lru,
+        trace_profile,
+    )
+
+    la, sd, cdf = synthesize_zipf_distribution(300, alpha=1.2, num_samples=30000)
+
+    def chunked_python(n, chunk):
+        lines, i, out = list(la), 0, []
+        rng = np.random.default_rng(5)
+        while len(out) < n:
+            refs, i = trace_generate_lru(lines, sd, cdf, chunk, rng=rng,
+                                         i_start=i, return_i=True)
+            out.extend(refs)
+        return np.asarray(out[:n])
+
+    N, L = 24_000, 80
+    py_chunked = chunked_python(N, L)
+    py_long = np.asarray(trace_generate_lru(list(la), sd, cdf, N,
+                                            rng=np.random.default_rng(5)))
+    nat = NativeLruTrace(list(la), sd, cdf, seed=5)
+    nat_chunked = np.concatenate([nat.generate(L) for _ in range(N // L)])
+
+    qs = [25, 50, 75, 90]
+    ref = np.percentile(trace_profile(py_long)[1], qs)
+    for name, stream in (("py_chunked", py_chunked), ("native_chunked", nat_chunked)):
+        got = np.percentile(trace_profile(stream)[1], qs)
+        assert np.all(np.abs(got - ref) <= np.maximum(3, 0.25 * np.abs(ref) + 3)), \
+            (name, got, ref)

@@ -472,3 +472,68 @@ def test_synthetic_data_plumbed_and_hotcold_hits(tmp_path):
                          synthetic_trace_file=str(dist))
     res = run_serving(model_cfg, scfg, settle_s=0.01)
     assert res.num_responses == 6
+
+
+def test_coalesce_never_exceeds_largest_bucket():
+    """A drained request that would overflow the largest bucket is carried
+    to the next execution, not silently clamped (undercomputed)."""
+    import time
+
+    import jax
+
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8, coalesce_requests=True,
+                        max_coalesce=8)
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    # Enqueue BEFORE starting so the backlog is there to coalesce.
+    for i in range(3):
+        req_q.put(ServiceRequest(batch_id=i, epoch=0, arrival_time=time.time(),
+                                 batch_size=8, total_sub_batches=1))
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q,
+                        device=jax.devices("cpu")[0])
+    eng.start()
+    assert not isinstance(ready_q.get(timeout=120), Exception)
+    seen = [resp_q.get(timeout=60) for _ in range(3)]
+    assert sorted(r.batch_id for r in seen) == [0, 1, 2]
+    # Three full-bucket requests cannot share executions: 3 runs at bucket
+    # 8 (the clamped path would have run 2 and dropped 8 rows of work).
+    assert eng.bucket_counts == {8: 3}
+    req_q.put(None)
+    eng.join(timeout=30)
+    assert not eng.is_alive()
+
+
+def test_coalesce_sentinel_not_stolen_from_peer():
+    """A sentinel drained during coalescing is re-queued so every engine
+    receives its own shutdown signal (no peer blocks forever)."""
+    import time
+
+    import jax
+
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(16,),
+                        max_mini_batch_size=16, coalesce_requests=True,
+                        max_coalesce=8)
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    # One request followed immediately by both sentinels: the first engine
+    # to coalesce will drain a sentinel mid-group.
+    req_q.put(ServiceRequest(batch_id=0, epoch=0, arrival_time=time.time(),
+                             batch_size=4, total_sub_batches=1))
+    req_q.put(None)
+    req_q.put(None)
+    engines = [ComputeEngine(i, model_cfg, cfg, req_q, resp_q, ready_q,
+                             device=jax.devices("cpu")[0]) for i in range(2)]
+    for e in engines:
+        e.start()
+    for _ in range(2):
+        assert not isinstance(ready_q.get(timeout=120), Exception)
+    for e in engines:
+        e.join(timeout=60)
+    assert not any(e.is_alive() for e in engines)
