@@ -98,12 +98,20 @@ def autotune_buckets(
     sample_cfg = cfg.__class__(**{**cfg.__dict__, "num_batches": n_samples})
     query_sizes = model_batch_sizes(sample_cfg, rng)
 
+    # DeepRecSched tuning walks sub_task_batch_size over batch_configs at
+    # runtime; the compiled ladder must cover the chunk sizes EVERY config
+    # can produce, or tuned configs would silently clamp at the cap.
+    sub_sizes = {cfg.sub_task_batch_size}
+    if cfg.tune_batch_qps:
+        sub_sizes.update(int(b) for b in cfg.batch_configs)
+
     engine_sizes: list[int] = []
     for s in query_sizes:
         if cfg.model_accel and s >= cfg.accel_request_size_thres:
             engine_sizes.append(int(s))  # whole query to the big-batch path
         else:
-            engine_sizes.extend(partition_query(int(s), cfg.sub_task_batch_size))
+            for sub in sub_sizes:
+                engine_sizes.extend(partition_query(int(s), sub))
     if max_buckets is None:
         max_buckets = cfg.max_auto_buckets
     return optimal_bucket_ladder(engine_sizes, max_buckets)

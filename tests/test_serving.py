@@ -537,3 +537,28 @@ def test_coalesce_sentinel_not_stolen_from_peer():
     for e in engines:
         e.join(timeout=60)
     assert not any(e.is_alive() for e in engines)
+
+
+def test_auto_buckets_cover_all_tuning_configs():
+    """With DeepRecSched tuning on, the autotuned ladder must cover the
+    chunks every batch_configs candidate can produce (the tuner changes
+    sub_task_batch_size at runtime)."""
+    from deeprecsys_tpu.serving.buckets import autotune_buckets
+
+    cfg = ServingConfig(
+        batch_size_distribution="normal", avg_mini_batch_size=165,
+        var_mini_batch_size=16, max_mini_batch_size=1024,
+        sub_task_batch_size=64, bucket_policy="auto",
+        tune_batch_qps=True, batch_configs=(32, 64, 128, 256, 512),
+    )
+    ladder = autotune_buckets(cfg)
+    # A 512-sub-task config sends whole ~165-sized queries as one chunk;
+    # the cap must cover them.
+    assert max(ladder) > 128
+    # Without tuning, the cap stays at the single configured sub-task size.
+    cfg2 = ServingConfig(
+        batch_size_distribution="normal", avg_mini_batch_size=165,
+        var_mini_batch_size=16, max_mini_batch_size=1024,
+        sub_task_batch_size=64, bucket_policy="auto",
+    )
+    assert max(autotune_buckets(cfg2)) == 64
