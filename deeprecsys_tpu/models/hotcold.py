@@ -76,9 +76,7 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
     cfg = model.cfg
     offsets_np = np.asarray(cfg.table_offsets, dtype=np.int64)
     if mesh is not None:
-        if mesh.shape.get("data", 1) != 1:
-            raise NotImplementedError(
-                "sharded hotcold is the TP serving mode: mesh data axis must be 1")
+        n_data = mesh.shape.get("data", 1)
         n_shards = mesh.shape["model"]
         if cfg.total_rows % n_shards:
             raise ValueError(
@@ -101,6 +99,12 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
     def prepare(batch: Batch) -> dict:
         idx = np.asarray(batch.indices)
         B, T, L = idx.shape
+        if mesh is not None and n_data > 1:
+            from deeprecsys_tpu.ops.embedding import split_hot_cold_hybrid
+
+            return split_hot_cold_hybrid(idx, offsets_np, hot_ids, n_data,
+                                         n_shards, rows_per_shard,
+                                         cold_buckets=cold_ladder(B * T * L))
         if mesh is not None:
             from deeprecsys_tpu.ops.embedding import split_hot_cold_sharded
 
@@ -120,12 +124,17 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
         cdt = compute_dtype_of(cfg)
         tables = params["tables"]
         if mesh is not None:
-            from deeprecsys_tpu.parallel.sharding import sharded_embedding_bag_hotcold
+            from deeprecsys_tpu.parallel.sharding import (
+                hybrid_embedding_bag_hotcold,
+                sharded_embedding_bag_hotcold,
+            )
 
             if isinstance(tables, dict):
                 raise NotImplementedError("sharded hotcold requires float tables")
-            pooled = sharded_embedding_bag_hotcold(
-                params["hot_table"], tables, split, mesh, compute_dtype=cdt)
+            bag = (hybrid_embedding_bag_hotcold if n_data > 1
+                   else sharded_embedding_bag_hotcold)
+            pooled = bag(params["hot_table"], tables, split, mesh,
+                         compute_dtype=cdt)
             return model.apply_from_pooled(
                 {k: v for k, v in params.items() if k != "hot_table"}, pooled, batch)
         if isinstance(tables, dict) and "qrows" in tables:

@@ -368,6 +368,58 @@ def split_hot_cold_sharded(indices: np.ndarray, offsets: np.ndarray,
             "cold_local": cold_local, "cold_seg": cold_seg, "n_cold": n_cold}
 
 
+def split_hot_cold_hybrid(indices: np.ndarray, offsets: np.ndarray,
+                          hot_ids: np.ndarray, n_data: int, n_model: int,
+                          rows_per_shard: int, cold_buckets=None,
+                          impl: str = "auto"):
+    """Hot/cold split for the HYBRID (data x model) mesh: the cold stream
+    is partitioned by (data shard of the query row, owning table shard),
+    so each of the D*M chips gathers only the cold rows ITS table shard
+    owns for ITS batch slice — descriptors divide by M, batch work by D.
+
+    Data shard d owns batch rows [d*B/D, (d+1)*B/D); segment ids are LOCAL
+    to the shard (b_local*T + t).
+
+    Returns hot_sel/hot_mask (B, T, L) plus:
+      cold_local (D, M, C_pad) int32 — shard-local cold row ids
+      cold_seg   (D, M, C_pad) int32 — local pooling group (pad -> B/D*T)
+      n_cold     int
+    """
+    base = split_hot_cold(indices, offsets, hot_ids, impl=impl)
+    B, T, L = indices.shape
+    assert B % n_data == 0, (B, n_data)
+    b_loc = B // n_data
+    n_cold = base["n_cold"]
+    ids = base["cold_ids"][:n_cold].astype(np.int64)
+    segs = base["cold_seg"][:n_cold].astype(np.int64)  # global b*T + t
+    d_of = segs // (b_loc * T)
+    seg_local = segs % (b_loc * T)
+    m_of = np.clip(ids // rows_per_shard, 0, n_model - 1)
+    local_ids = ids - m_of * rows_per_shard
+
+    cells = [[None] * n_model for _ in range(n_data)]
+    c_max = 0
+    for d in range(n_data):
+        for m in range(n_model):
+            sel = (d_of == d) & (m_of == m)
+            cells[d][m] = (local_ids[sel], seg_local[sel])
+            c_max = max(c_max, int(sel.sum()))
+    if cold_buckets is None:
+        c_pad = max(8, 1 << max(0, (c_max - 1)).bit_length())
+    else:
+        fitting = [b for b in sorted(cold_buckets) if b >= c_max]
+        c_pad = fitting[0] if fitting else c_max
+    cold_local = np.zeros((n_data, n_model, c_pad), dtype=np.int32)
+    cold_seg = np.full((n_data, n_model, c_pad), b_loc * T, dtype=np.int32)
+    for d in range(n_data):
+        for m in range(n_model):
+            i, s = cells[d][m]
+            cold_local[d, m, : len(i)] = i
+            cold_seg[d, m, : len(s)] = s
+    return {"hot_sel": base["hot_sel"], "hot_mask": base["hot_mask"],
+            "cold_local": cold_local, "cold_seg": cold_seg, "n_cold": n_cold}
+
+
 def embedding_bag_hotcold_int8(hot_q: jax.Array, q: jax.Array, scale: jax.Array,
                                split: dict, *, compute_dtype=jnp.float32) -> jax.Array:
     """Hot/cold pooled lookup over per-TABLE int8 tables — the two winning

@@ -169,6 +169,58 @@ def sharded_embedding_bag_hotcold(
     return pooled_hot + pooled_cold.reshape(B, T, -1).astype(cdt)
 
 
+def hybrid_embedding_bag_hotcold(
+    hot_table: jax.Array,
+    table: jax.Array,
+    split: dict,
+    mesh: Mesh,
+    *,
+    compute_dtype=None,
+) -> jax.Array:
+    """Hot/cold pooled lookup on the full HYBRID (data x model) mesh.
+
+    The host pre-partitions the cold stream per (data shard, table shard)
+    cell (``ops.embedding.split_hot_cold_hybrid``): each chip gathers only
+    its own cell's cold rows — HBM descriptors divide by the model axis
+    AND the work parallelizes over the data axis — then one psum over
+    "model" completes each data shard's cold partial sums. Hot hits
+    gather from the replicated VMEM hot table, batch-sharded over "data"
+    via GSPMD.
+
+    Returns (B, T, d) sharded P("data", None, None).
+    """
+    from jax import shard_map
+
+    hot_sel, hot_mask = split["hot_sel"], split["hot_mask"]
+    B, T, L = hot_sel.shape
+    cdt = compute_dtype or table.dtype
+    n_data = mesh.shape["data"]
+    b_loc = B // n_data
+
+    hot_rows = jnp.take(hot_table, hot_sel.reshape(-1), axis=0).astype(cdt)
+    hot_rows = hot_rows * hot_mask.reshape(-1, 1).astype(cdt)
+    pooled_hot = hot_rows.reshape(B, T, L, -1).sum(axis=2)
+
+    def local_fn(table_shard, cold_local, cold_seg):
+        # table_shard (R/M, dim); cold_local/cold_seg (1, 1, C_pad)
+        rows = jnp.take(table_shard, cold_local[0, 0], axis=0).astype(cdt)
+        partial = jax.ops.segment_sum(rows, cold_seg[0, 0],
+                                      num_segments=b_loc * T + 1)
+        # (1, b_loc*T, dim): psum over "model" completes this data shard.
+        return jax.lax.psum(partial[None, : b_loc * T], "model")
+
+    pooled_cold = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("model", None), P("data", "model", None),
+                  P("data", "model", None)),
+        out_specs=P("data", None, None),
+        check_vma=False,  # psum replicates over "model"; checker can't see it
+    )(table, split["cold_local"], split["cold_seg"])
+    pooled_cold = pooled_cold.reshape(B, T, -1).astype(cdt)
+    return pooled_hot + pooled_cold
+
+
 # ----------------------------------------------------------------------
 # Table-wise sharding (placement-driven)
 # ----------------------------------------------------------------------

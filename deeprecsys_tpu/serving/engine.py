@@ -206,7 +206,12 @@ class ComputeEngine(threading.Thread):
                     "hot_sel": np.zeros((b, T, L), np.int32),
                     "hot_mask": np.zeros((b, T, L), bool),
                 }
-                if self.mesh is not None:
+                if self.mesh is not None and self.mesh.shape["data"] > 1:
+                    D, M = self.mesh.shape["data"], self.mesh.shape["model"]
+                    dummy["cold_local"] = np.zeros((D, M, c_pad), np.int32)
+                    dummy["cold_seg"] = np.full((D, M, c_pad), (b // D) * T,
+                                                np.int32)
+                elif self.mesh is not None:
                     M = self.mesh.shape["model"]
                     dummy["cold_local"] = np.zeros((M, c_pad), np.int32)
                     dummy["cold_seg"] = np.full((M, c_pad), b * T, np.int32)
@@ -220,10 +225,13 @@ class ComputeEngine(threading.Thread):
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            sh = {"hot_sel": NamedSharding(self.mesh, P()),
-                  "hot_mask": NamedSharding(self.mesh, P()),
-                  "cold_local": NamedSharding(self.mesh, P("model", None)),
-                  "cold_seg": NamedSharding(self.mesh, P("model", None))}
+            hybrid = self.mesh.shape["data"] > 1
+            hot = P("data", None, None) if hybrid else P()
+            cold = P("data", "model", None) if hybrid else P("model", None)
+            sh = {"hot_sel": NamedSharding(self.mesh, hot),
+                  "hot_mask": NamedSharding(self.mesh, hot),
+                  "cold_local": NamedSharding(self.mesh, cold),
+                  "cold_seg": NamedSharding(self.mesh, cold)}
             return {k: jax.device_put(np.asarray(v), sh[k])
                     for k, v in split.items() if k != "n_cold"}
         return {k: jax.device_put(np.asarray(v), self.device)

@@ -262,3 +262,71 @@ def test_engine_hotcold_tp_serving_end_to_end():
     seen = [resp_q.get(timeout=120) for _ in range(2)]
     assert sorted(r.batch_size for r in seen) == [5, 12]
     req_q.put(None)
+
+
+def test_hybrid_hotcold_matches_single_device():
+    """Full data x model hybrid hot/cold: per-(data,table)-shard cold
+    cells + psum combine match the direct lookup."""
+    from deeprecsys_tpu.ops.embedding import embedding_bag, split_hot_cold_hybrid
+    from deeprecsys_tpu.parallel.sharding import hybrid_embedding_bag_hotcold
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(17)
+    R, d, D, M = 512, 16, 2, 4
+    table_host = rng.normal(size=(R, d)).astype(np.float32)
+    offsets = np.array([0, 200], dtype=np.int64)
+    rows = np.array([200, 312])
+    idx = rng.integers(0, rows[None, :, None], size=(8, 2, 6)).astype(np.int32)
+    hot_ids = np.sort(rng.choice(R, size=48, replace=False)).astype(np.int64)
+
+    direct = embedding_bag(jnp.asarray(table_host), jnp.asarray(offsets, jnp.int32),
+                           jnp.asarray(idx))
+
+    mesh = make_mesh(data=D, model=M)
+    split = split_hot_cold_hybrid(idx, offsets, hot_ids, n_data=D, n_model=M,
+                                  rows_per_shard=R // M)
+    assert split["cold_local"].shape[:2] == (D, M)
+    table = jax.device_put(jnp.asarray(table_host),
+                           NamedSharding(mesh, P("model", None)))
+    hot_table = jax.device_put(
+        jnp.take(jnp.asarray(table_host), jnp.asarray(hot_ids, jnp.int32), axis=0),
+        NamedSharding(mesh, P()))
+    dev = {"hot_sel": jax.device_put(jnp.asarray(split["hot_sel"]),
+                                     NamedSharding(mesh, P("data", None, None))),
+           "hot_mask": jax.device_put(jnp.asarray(split["hot_mask"]),
+                                      NamedSharding(mesh, P("data", None, None))),
+           "cold_local": jax.device_put(jnp.asarray(split["cold_local"]),
+                                        NamedSharding(mesh, P("data", "model", None))),
+           "cold_seg": jax.device_put(jnp.asarray(split["cold_seg"]),
+                                      NamedSharding(mesh, P("data", "model", None)))}
+    got = jax.jit(lambda h, t, s: hybrid_embedding_bag_hotcold(h, t, s, mesh))(
+        hot_table, table, dev)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_engine_hotcold_hybrid_serving_end_to_end():
+    """ComputeEngine + hotcold on the full (data=2, model=4) mesh."""
+    import queue
+    import time
+
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    model_cfg = zoo.get_config("rm1", table_scale=SCALE).replace(
+        embedding_impl="hotcold", hot_set_rows=64)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8, 16),
+                        max_mini_batch_size=16)
+    mesh = make_mesh(data=2, model=4)
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q, mesh=mesh)
+    eng.start()
+    got = ready_q.get(timeout=600)
+    assert not isinstance(got, Exception), got
+    for i, size in enumerate([6, 14]):
+        req_q.put(ServiceRequest(batch_id=i, epoch=0, arrival_time=time.time(),
+                                 batch_size=size, total_sub_batches=1))
+    seen = [resp_q.get(timeout=120) for _ in range(2)]
+    assert sorted(r.batch_size for r in seen) == [6, 14]
+    req_q.put(None)
