@@ -36,23 +36,48 @@ def make_tablewise_model(model: ModelFns, mesh: Mesh,
     cfg = model.cfg
     if placement is None:
         placement = plan_tablewise_placement(cfg, mesh.shape["model"])
-    if cfg.table_quant != "none":
-        raise NotImplementedError("table-wise sharding with quantized tables")
+    quant = cfg.table_quant
 
     def convert_params(params):
-        tw = build_tablewise_tables(params["tables"], cfg, placement)
+        tables = params["tables"]
+        fused = tables["qrows"] if quant == "int8_rowwise" else (
+            tables["q"] if quant == "int8" else tables)
+        tw = build_tablewise_tables(fused, cfg, placement)
         tw = jax.device_put(tw, NamedSharding(mesh, P("model", None, None)))
         rest = {k: jax.device_put(v, NamedSharding(mesh, P()))
                 for k, v in params.items() if k != "tables"}
+        if quant == "int8":  # per-table scales replicate
+            rest["table_scale"] = jax.device_put(tables["scale"],
+                                                 NamedSharding(mesh, P()))
         return dict(rest, tables_tw=tw)
 
     cdt = jnp.dtype(cfg.compute_dtype)
+    d = cfg.sparse_feature_size
+
+    def _dequant_rowwise(rows):
+        # Packed (N, d+4) int8 -> (N, d) f32 with the interleaved scale.
+        scale = jax.lax.bitcast_convert_type(rows[:, d:], jnp.float32)
+        return rows[:, :d].astype(jnp.float32) * scale[:, None]
 
     def apply(tw_params, batch: Batch):
-        pooled = tablewise_embedding_bag(
-            tw_params["tables_tw"], batch.indices, placement, mesh, compute_dtype=cdt
-        )
-        rest = {k: v for k, v in tw_params.items() if k != "tables_tw"}
+        rest = {k: v for k, v in tw_params.items()
+                if k not in ("tables_tw", "table_scale")}
+        if quant == "int8":
+            # Pool EXACTLY in int32 per shard, dequantize per original
+            # table after the all-gather + inverse permutation.
+            pooled_q = tablewise_embedding_bag(
+                tw_params["tables_tw"], batch.indices, placement, mesh,
+                compute_dtype=jnp.int32)
+            pooled = (pooled_q.astype(jnp.float32)
+                      * tw_params["table_scale"][None, :, None]).astype(cdt)
+        elif quant == "int8_rowwise":
+            pooled = tablewise_embedding_bag(
+                tw_params["tables_tw"], batch.indices, placement, mesh,
+                compute_dtype=cdt, row_transform=_dequant_rowwise)
+        else:
+            pooled = tablewise_embedding_bag(
+                tw_params["tables_tw"], batch.indices, placement, mesh,
+                compute_dtype=cdt)
         return model.apply_from_pooled(rest, pooled, batch)
 
     batch_sh = Batch(

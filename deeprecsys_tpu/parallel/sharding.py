@@ -255,6 +255,7 @@ def tablewise_embedding_bag(
     mesh: Mesh,
     *,
     compute_dtype=None,
+    row_transform=None,
 ) -> jax.Array:
     """Pooled lookup with TABLE-WISE sharding.
 
@@ -294,6 +295,10 @@ def tablewise_embedding_bag(
         B, C, L = idx.shape
         flat = (idx + offs[0][None, :, None]).reshape(-1)
         rows = jnp.take(tbl[0], flat, axis=0)
+        if row_transform is not None:
+            # e.g. packed-int8 per-row dequantization (pad rows are all-
+            # zero, so their bitcast scale is 0.0 and they stay zero).
+            rows = row_transform(rows)
         if compute_dtype is not None:
             rows = rows.astype(compute_dtype)
         pooled = rows.reshape(B, C, L, -1).sum(axis=2)  # (B_loc, cap, d)

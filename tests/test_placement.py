@@ -100,3 +100,32 @@ def test_tablewise_on_din_scale():
     expected = embedding_bag(fused, jnp.asarray(cfg.table_offsets), idx)
     got = tablewise_embedding_bag(build_tablewise_tables(fused, cfg, pl), idx, pl, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("quant", ["int8", "int8_rowwise"])
+def test_tablewise_quantized_matches_single_device(quant):
+    """Table-wise sharding with quantized tables: int8 pools exactly in
+    int32 per shard (dequant after the gather-combine); packed rowwise
+    dequantizes per row pre-pooling. Output == single-device quantized."""
+    import jax.numpy as jnp
+
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.parallel import make_mesh
+    from deeprecsys_tpu.parallel.api import make_tablewise_model
+
+    cfg = zoo.get_config("rm1", table_scale=5000).replace(table_quant=quant)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(2))
+    batch = RecDataGenerator(cfg, seed=4).generate_batch(8)
+    single = np.asarray(model.apply(params, batch))
+
+    mesh = make_mesh(data=4, model=2)
+    tw = make_tablewise_model(model, mesh)
+    tw_params = tw.convert_params(params)
+    key2d = "qrows" if quant == "int8_rowwise" else "q"
+    assert tw_params["tables_tw"].dtype == jnp.int8
+    from deeprecsys_tpu.models.base import Batch
+    dev_batch = Batch(dense=None if batch.dense is None else jnp.asarray(batch.dense),
+                      indices=jnp.asarray(batch.indices))
+    got = np.asarray(tw.apply(tw_params, dev_batch))
+    np.testing.assert_allclose(got, single, rtol=2e-4, atol=2e-5)
