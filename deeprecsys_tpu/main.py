@@ -96,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
     # workspace.benchmark_net; here: a jax.profiler trace viewable in
     # XProf/TensorBoard).
     p.add_argument("--enable_profiling", action="store_true")
+    p.add_argument("--compilation_cache_dir", type=str, default=None,
+                   help="persistent XLA compilation cache: engine warm-up "
+                        "compiles are reused across process restarts")
     p.add_argument("--profile_dir", type=str, default="log/profile")
     return p
 
@@ -214,6 +217,11 @@ def run_standalone(model_cfg: ModelConfig, args) -> dict:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.compilation_cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     model_cfg = model_config_from_args(args)
     print(f"[deeprecsys_tpu] model={model_cfg.model_name} type={model_cfg.model_type} "
           f"tables={model_cfg.num_tables} rows={model_cfg.total_rows} "

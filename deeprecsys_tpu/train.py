@@ -447,7 +447,11 @@ def main(argv=None):
                     help="also export a quantized serving bundle")
     ap.add_argument("--export_out", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--compilation_cache_dir", default=None)
     args = ap.parse_args(argv)
+    if args.compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir", args.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     if args.criteo:
         from deeprecsys_tpu.data.criteo import CriteoReader, criteo_model_config

@@ -69,3 +69,12 @@ def test_queue_run_end_to_end(capsys):
     assert "Measured QPS:" in out
     assert res.cpu_requests == 6
     assert np.isfinite(res.p95_ms)
+
+
+def test_compilation_cache_flag(tmp_path):
+    from deeprecsys_tpu.main import main
+
+    cache = tmp_path / "cc"
+    main(["--model", "ncf", "--table_scale", "2000", "--num_batches", "2",
+          "--mini_batch_size", "8", "--compilation_cache_dir", str(cache)])
+    assert any(cache.iterdir())  # executables persisted
