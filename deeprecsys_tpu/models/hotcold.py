@@ -129,12 +129,17 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
                 sharded_embedding_bag_hotcold,
             )
 
-            if isinstance(tables, dict):
-                raise NotImplementedError("sharded hotcold requires float tables")
             bag = (hybrid_embedding_bag_hotcold if n_data > 1
                    else sharded_embedding_bag_hotcold)
-            pooled = bag(params["hot_table"], tables, split, mesh,
-                         compute_dtype=cdt)
+            if isinstance(tables, dict) and "qrows" in tables:
+                pooled = bag(params["hot_table"], tables["qrows"], split, mesh,
+                             compute_dtype=cdt, rowwise=True)
+            elif isinstance(tables, dict):
+                pooled = bag(params["hot_table"], tables["q"], split, mesh,
+                             compute_dtype=cdt, table_scale=tables["scale"])
+            else:
+                pooled = bag(params["hot_table"], tables, split, mesh,
+                             compute_dtype=cdt)
             return model.apply_from_pooled(
                 {k: v for k, v in params.items() if k != "hot_table"}, pooled, batch)
         if isinstance(tables, dict) and "qrows" in tables:

@@ -123,6 +123,34 @@ def sharded_embedding_bag(
     )(table, offsets, indices)
 
 
+def _hotcold_quant_modes(table, table_scale, rowwise, compute_dtype):
+    """Shared dequant plumbing for the sharded/hybrid hotcold bags.
+
+    Returns (row_fn, pool_dtype, finish): ``row_fn`` maps gathered rows to
+    poolable values, pooling runs in ``pool_dtype``, and ``finish`` maps
+    the combined (B, T, d') pooled array to compute_dtype.
+      - float tables: identity, cdt pooling.
+      - per-table int8 (+ scale (T,)): EXACT int32 pooling on both hot and
+        cold sides, one dequant after the combine.
+      - packed rowwise int8: per-row interleaved-scale dequant BEFORE
+        pooling (f32).
+    """
+    cdt = compute_dtype or (jnp.float32 if table.dtype == jnp.int8 else table.dtype)
+    if rowwise:
+        d = table.shape[1] - 4
+
+        def row_fn(rows):
+            s = jax.lax.bitcast_convert_type(rows[:, d:], jnp.float32)
+            return rows[:, :d].astype(jnp.float32) * s[:, None]
+
+        return row_fn, jnp.float32, lambda pooled: pooled.astype(cdt)
+    if table_scale is not None:
+        return (lambda rows: rows.astype(jnp.int32), jnp.int32,
+                lambda pooled: (pooled.astype(jnp.float32)
+                                * table_scale[None, :, None]).astype(cdt))
+    return lambda rows: rows.astype(cdt), cdt, lambda pooled: pooled
+
+
 def sharded_embedding_bag_hotcold(
     hot_table: jax.Array,
     table: jax.Array,
@@ -130,6 +158,8 @@ def sharded_embedding_bag_hotcold(
     mesh: Mesh,
     *,
     compute_dtype=None,
+    table_scale=None,
+    rowwise: bool = False,
 ) -> jax.Array:
     """Hot/cold pooled lookup over a ROW-SHARDED table (mesh axis "model").
 
@@ -148,14 +178,15 @@ def sharded_embedding_bag_hotcold(
 
     hot_sel, hot_mask = split["hot_sel"], split["hot_mask"]
     B, T, L = hot_sel.shape
-    cdt = compute_dtype or table.dtype
+    row_fn, pool_dtype, finish = _hotcold_quant_modes(
+        table, table_scale, rowwise, compute_dtype)
 
-    hot_rows = jnp.take(hot_table, hot_sel.reshape(-1), axis=0).astype(cdt)
-    hot_rows = hot_rows * hot_mask.reshape(-1, 1).astype(cdt)
+    hot_rows = row_fn(jnp.take(hot_table, hot_sel.reshape(-1), axis=0))
+    hot_rows = hot_rows * hot_mask.reshape(-1, 1).astype(pool_dtype)
     pooled_hot = hot_rows.reshape(B, T, L, -1).sum(axis=2)
 
     def local_fn(table_shard, cold_local, cold_seg):
-        rows = jnp.take(table_shard, cold_local[0], axis=0).astype(cdt)
+        rows = row_fn(jnp.take(table_shard, cold_local[0], axis=0))
         partial = jax.ops.segment_sum(rows, cold_seg[0], num_segments=B * T + 1)
         return jax.lax.psum(partial[None, : B * T], "model")
 
@@ -166,7 +197,7 @@ def sharded_embedding_bag_hotcold(
         out_specs=P(None, None, None),
         check_vma=False,  # psum replicates; the static checker can't see it
     )(table, split["cold_local"], split["cold_seg"])[0]
-    return pooled_hot + pooled_cold.reshape(B, T, -1).astype(cdt)
+    return finish(pooled_hot + pooled_cold.reshape(B, T, -1))
 
 
 def hybrid_embedding_bag_hotcold(
@@ -176,6 +207,8 @@ def hybrid_embedding_bag_hotcold(
     mesh: Mesh,
     *,
     compute_dtype=None,
+    table_scale=None,
+    rowwise: bool = False,
 ) -> jax.Array:
     """Hot/cold pooled lookup on the full HYBRID (data x model) mesh.
 
@@ -193,17 +226,18 @@ def hybrid_embedding_bag_hotcold(
 
     hot_sel, hot_mask = split["hot_sel"], split["hot_mask"]
     B, T, L = hot_sel.shape
-    cdt = compute_dtype or table.dtype
     n_data = mesh.shape["data"]
     b_loc = B // n_data
+    row_fn, pool_dtype, finish = _hotcold_quant_modes(
+        table, table_scale, rowwise, compute_dtype)
 
-    hot_rows = jnp.take(hot_table, hot_sel.reshape(-1), axis=0).astype(cdt)
-    hot_rows = hot_rows * hot_mask.reshape(-1, 1).astype(cdt)
+    hot_rows = row_fn(jnp.take(hot_table, hot_sel.reshape(-1), axis=0))
+    hot_rows = hot_rows * hot_mask.reshape(-1, 1).astype(pool_dtype)
     pooled_hot = hot_rows.reshape(B, T, L, -1).sum(axis=2)
 
     def local_fn(table_shard, cold_local, cold_seg):
         # table_shard (R/M, dim); cold_local/cold_seg (1, 1, C_pad)
-        rows = jnp.take(table_shard, cold_local[0, 0], axis=0).astype(cdt)
+        rows = row_fn(jnp.take(table_shard, cold_local[0, 0], axis=0))
         partial = jax.ops.segment_sum(rows, cold_seg[0, 0],
                                       num_segments=b_loc * T + 1)
         # (1, b_loc*T, dim): psum over "model" completes this data shard.
@@ -217,8 +251,7 @@ def hybrid_embedding_bag_hotcold(
         out_specs=P("data", None, None),
         check_vma=False,  # psum replicates over "model"; checker can't see it
     )(table, split["cold_local"], split["cold_seg"])
-    pooled_cold = pooled_cold.reshape(B, T, -1).astype(cdt)
-    return pooled_hot + pooled_cold
+    return finish(pooled_hot + pooled_cold.reshape(B, T, -1))
 
 
 # ----------------------------------------------------------------------

@@ -330,3 +330,40 @@ def test_engine_hotcold_hybrid_serving_end_to_end():
     seen = [resp_q.get(timeout=120) for _ in range(2)]
     assert sorted(r.batch_size for r in seen) == [6, 14]
     req_q.put(None)
+
+
+@pytest.mark.parametrize("quant", ["int8", "int8_rowwise"])
+@pytest.mark.parametrize("axes", [(1, 4), (2, 2)])
+def test_mesh_hotcold_quantized_matches_plain(quant, axes):
+    """Quantized tables compose with mesh hotcold (TP and hybrid): output
+    equals the plain quantized single-device model."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deeprecsys_tpu.models.hotcold import hot_ids_from_generator, make_hotcold_model
+
+    data_ax, model_ax = axes
+    cfg = zoo.get_config("rm1", table_scale=SCALE).replace(table_quant=quant)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    batch = RecDataGenerator(cfg, seed=6).generate_batch(8)
+    want = np.asarray(model.apply(params, batch))
+
+    mesh = make_mesh(data=data_ax, model=model_ax,
+                     devices=jax.devices()[: data_ax * model_ax])
+    hot_ids = hot_ids_from_generator(cfg, seed=5, hot_rows=48, n_batches=2,
+                                     batch_size=32)
+    hc = make_hotcold_model(model, hot_ids, mesh=mesh)
+    hc_params = shard_params(hc.convert_params(params), mesh)
+    split = hc.prepare(batch)
+
+    hybrid = data_ax > 1
+    hot = P("data", None, None) if hybrid else P()
+    cold = P("data", "model", None) if hybrid else P("model", None)
+    dev = {}
+    for k, v in split.items():
+        if k == "n_cold":
+            continue
+        spec = hot if k in ("hot_sel", "hot_mask") else cold
+        dev[k] = jax.device_put(jnp.asarray(v), NamedSharding(mesh, spec))
+    got = np.asarray(jax.jit(hc.apply)(hc_params, batch, dev))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
