@@ -54,3 +54,54 @@ def test_stress_multiprocess_ring_accounting():
     assert res.cpu_requests == 60
     assert res.cpu_sub_requests == 180  # 40 -> [16, 16, 8]
     assert res.num_responses == 180
+
+
+def test_stress_ingress_soak():
+    """Sustained concurrent load through the HTTP ingress: hundreds of
+    queries from many client threads; every request answered, stats
+    consistent, no stuck pendings."""
+    import json
+    import threading
+    import urllib.request
+
+    from deeprecsys_tpu.serving.ingress import HttpIngress, ServingServer
+    from deeprecsys_tpu.serving.latency_model import LatencyModel
+
+    cfg = ServingConfig(engine_backend="sim", inference_engines=4,
+                        sub_task_batch_size=32, max_mini_batch_size=128)
+    server = ServingServer(zoo.get_config("ncf", table_scale=2000), cfg,
+                           latency_model=LatencyModel([1, 128], [0.1, 0.4]))
+    server.start()
+    ing = HttpIngress(server)
+    ing.start()
+    host, port = ing.address
+    url = f"http://{host}:{port}/v1/infer"
+
+    N_CLIENTS, PER_CLIENT = 16, 20
+    errors = []
+
+    def client(cid):
+        rng = np.random.default_rng(cid)
+        for i in range(PER_CLIENT):
+            size = int(rng.integers(1, 128))
+            req = urllib.request.Request(
+                url, data=json.dumps({"batch_size": size}).encode())
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    out = json.loads(r.read())
+                    assert out["batch_size"] == size
+            except Exception as e:  # pragma: no cover
+                errors.append((cid, i, repr(e)))
+
+    threads = [threading.Thread(target=client, args=(c,)) for c in range(N_CLIENTS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors[:3]
+
+    stats = server.stats()
+    assert stats["completed"] == N_CLIENTS * PER_CLIENT
+    assert stats["p99_ms"] > 0
+    assert not server._pending  # nothing leaked
+    ing.stop()
