@@ -67,12 +67,15 @@ class HotColdModel(NamedTuple):
 
 def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
                        mesh=None) -> HotColdModel:
-    """With ``mesh`` (axis "model" = M shards), the variant is the
-    TENSOR-PARALLEL serving mode: tables row-sharded, the host partitions
-    the cold stream by owning shard (``split_hot_cold_sharded``) so each
-    chip's gather descriptors divide by M, hot hits stay in replicated
-    VMEM, one psum combines (``parallel.sharding.sharded_embedding_bag_hotcold``).
-    The batch is replicated (mesh "data" axis must be 1)."""
+    """With ``mesh``, the variant runs row-sharded: tables over the
+    "model" axis (M shards), the host partitions the cold stream by
+    owning shard so each chip's gather descriptors divide by M, hot hits
+    stay in replicated VMEM, and one psum combines. With a "data" axis of
+    1 this is the pure TP serving mode (replicated batch,
+    ``split_hot_cold_sharded``); with data > 1 the HYBRID mode
+    additionally partitions the cold stream per data shard
+    (``split_hot_cold_hybrid`` / ``hybrid_embedding_bag_hotcold``) and
+    the batch shards over "data"."""
     cfg = model.cfg
     offsets_np = np.asarray(cfg.table_offsets, dtype=np.int64)
     if mesh is not None:

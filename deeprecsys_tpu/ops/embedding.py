@@ -104,6 +104,17 @@ def init_fused_tables_int8_rowwise(key: jax.Array, table_rows, dim: int) -> jax.
     return jnp.concatenate([q, scale_bytes], axis=1)
 
 
+def dequant_packed_rows(rows: jax.Array) -> jax.Array:
+    """(N, d+4) packed int8 rows -> (N, d) float32: the last 4 int8 lanes
+    are the row's float32 scale bit-pattern (``quantize_rowwise_int8``).
+    THE single definition of the packed-row layout — every rowwise lookup
+    path (single-device, hotcold, sharded, table-wise) dequantizes
+    through here."""
+    d = rows.shape[1] - 4
+    scale = jax.lax.bitcast_convert_type(rows[:, d:], jnp.float32)
+    return rows[:, :d].astype(jnp.float32) * scale[:, None]
+
+
 def embedding_bag_int8_rowwise(
     packed: jax.Array,
     offsets: jax.Array,
@@ -122,8 +133,7 @@ def embedding_bag_int8_rowwise(
     d = packed.shape[1] - 4
     flat = (indices + offsets[None, :, None]).reshape(-1)
     rows = jnp.take(packed, flat, axis=0)  # (B*T*L, d+4) int8: one HBM gather
-    scale = jax.lax.bitcast_convert_type(rows[:, d:], jnp.float32)  # (B*T*L,)
-    vals = rows[:, :d].astype(jnp.float32) * scale[:, None]
+    vals = dequant_packed_rows(rows)
     return vals.reshape(B, T, L, d).sum(axis=2).astype(compute_dtype)
 
 
@@ -397,13 +407,16 @@ def split_hot_cold_hybrid(indices: np.ndarray, offsets: np.ndarray,
     m_of = np.clip(ids // rows_per_shard, 0, n_model - 1)
     local_ids = ids - m_of * rows_per_shard
 
-    cells = [[None] * n_model for _ in range(n_data)]
-    c_max = 0
-    for d in range(n_data):
-        for m in range(n_model):
-            sel = (d_of == d) & (m_of == m)
-            cells[d][m] = (local_ids[sel], seg_local[sel])
-            c_max = max(c_max, int(sel.sum()))
+    # One stable argsort over the flat cell id partitions the stream in
+    # O(n log n) independent of mesh size (this runs per request on the
+    # serving host path — per-cell boolean masks would cost O(D*M*n)).
+    cell = d_of * n_model + m_of
+    order = np.argsort(cell, kind="stable")
+    ids_sorted = local_ids[order]
+    segs_sorted = seg_local[order]
+    bounds = np.searchsorted(cell[order], np.arange(n_data * n_model + 1))
+    counts = np.diff(bounds)
+    c_max = int(counts.max()) if n_cold else 0
     if cold_buckets is None:
         c_pad = max(8, 1 << max(0, (c_max - 1)).bit_length())
     else:
@@ -411,11 +424,12 @@ def split_hot_cold_hybrid(indices: np.ndarray, offsets: np.ndarray,
         c_pad = fitting[0] if fitting else c_max
     cold_local = np.zeros((n_data, n_model, c_pad), dtype=np.int32)
     cold_seg = np.full((n_data, n_model, c_pad), b_loc * T, dtype=np.int32)
-    for d in range(n_data):
-        for m in range(n_model):
-            i, s = cells[d][m]
-            cold_local[d, m, : len(i)] = i
-            cold_seg[d, m, : len(s)] = s
+    for c in range(n_data * n_model):
+        lo, hi = bounds[c], bounds[c + 1]
+        if hi > lo:
+            d, m = divmod(c, n_model)
+            cold_local[d, m, : hi - lo] = ids_sorted[lo:hi]
+            cold_seg[d, m, : hi - lo] = segs_sorted[lo:hi]
     return {"hot_sel": base["hot_sel"], "hot_mask": base["hot_mask"],
             "cold_local": cold_local, "cold_seg": cold_seg, "n_cold": n_cold}
 
@@ -455,10 +469,7 @@ def embedding_bag_hotcold_int8_rowwise(hot_packed: jax.Array, packed: jax.Array,
     (``quantize_rowwise_int8`` layout): each gathered row — hot or cold —
     dequantizes with its own interleaved scale before the pooling sum."""
     d = packed.shape[1] - 4
-
-    def dequant(rows):
-        s = jax.lax.bitcast_convert_type(rows[:, d:], jnp.float32)
-        return rows[:, :d].astype(jnp.float32) * s[:, None]
+    dequant = dequant_packed_rows
 
     hot_sel, hot_mask = split["hot_sel"], split["hot_mask"]
     B, T, L = hot_sel.shape

@@ -52,12 +52,6 @@ def make_tablewise_model(model: ModelFns, mesh: Mesh,
         return dict(rest, tables_tw=tw)
 
     cdt = jnp.dtype(cfg.compute_dtype)
-    d = cfg.sparse_feature_size
-
-    def _dequant_rowwise(rows):
-        # Packed (N, d+4) int8 -> (N, d) f32 with the interleaved scale.
-        scale = jax.lax.bitcast_convert_type(rows[:, d:], jnp.float32)
-        return rows[:, :d].astype(jnp.float32) * scale[:, None]
 
     def apply(tw_params, batch: Batch):
         rest = {k: v for k, v in tw_params.items()
@@ -71,9 +65,14 @@ def make_tablewise_model(model: ModelFns, mesh: Mesh,
             pooled = (pooled_q.astype(jnp.float32)
                       * tw_params["table_scale"][None, :, None]).astype(cdt)
         elif quant == "int8_rowwise":
+            from deeprecsys_tpu.ops.embedding import dequant_packed_rows
+
+            # Pool in f32 (rows carry individual scales); cast AFTER the
+            # bag sum — matching the single-device rowwise path.
             pooled = tablewise_embedding_bag(
                 tw_params["tables_tw"], batch.indices, placement, mesh,
-                compute_dtype=cdt, row_transform=_dequant_rowwise)
+                compute_dtype=None, row_transform=dequant_packed_rows
+            ).astype(cdt)
         else:
             pooled = tablewise_embedding_bag(
                 tw_params["tables_tw"], batch.indices, placement, mesh,

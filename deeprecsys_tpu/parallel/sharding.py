@@ -137,13 +137,9 @@ def _hotcold_quant_modes(table, table_scale, rowwise, compute_dtype):
     """
     cdt = compute_dtype or (jnp.float32 if table.dtype == jnp.int8 else table.dtype)
     if rowwise:
-        d = table.shape[1] - 4
+        from deeprecsys_tpu.ops.embedding import dequant_packed_rows
 
-        def row_fn(rows):
-            s = jax.lax.bitcast_convert_type(rows[:, d:], jnp.float32)
-            return rows[:, :d].astype(jnp.float32) * s[:, None]
-
-        return row_fn, jnp.float32, lambda pooled: pooled.astype(cdt)
+        return dequant_packed_rows, jnp.float32, lambda pooled: pooled.astype(cdt)
     if table_scale is not None:
         return (lambda rows: rows.astype(jnp.int32), jnp.int32,
                 lambda pooled: (pooled.astype(jnp.float32)

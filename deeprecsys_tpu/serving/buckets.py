@@ -112,6 +112,10 @@ def autotune_buckets(
         else:
             for sub in sub_sizes:
                 engine_sizes.extend(partition_query(int(s), sub))
+    if cfg.model_accel and cfg.tune_accel_qps:
+        # The accel-threshold walk can route ANY whole query to the accel
+        # engine once the threshold drops below it; cover them all.
+        engine_sizes.extend(int(s) for s in query_sizes)
     if max_buckets is None:
         max_buckets = cfg.max_auto_buckets
     return optimal_bucket_ladder(engine_sizes, max_buckets)

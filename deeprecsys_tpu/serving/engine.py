@@ -95,8 +95,10 @@ class ComputeEngine(threading.Thread):
         ) or (serving_cfg.max_mini_batch_size,)
         if mesh is not None:
             n_data = mesh.shape["data"]
+            # Fallback must itself divide the data axis (hybrid hotcold
+            # asserts B % n_data == 0): round up to the next multiple.
             self.buckets = tuple(b for b in self.buckets if b % n_data == 0) or (
-                max(self.buckets[-1], n_data),
+                -(-max(self.buckets[-1], n_data) // n_data) * n_data,
             )
         self._jitted: dict[int, callable] = {}
         self._host_data: dict[int, Batch] = {}

@@ -9,13 +9,22 @@ tables + data-sharded batch) must produce the single-device result.
 """
 
 import multiprocessing as mp
+import socket
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
 
 def test_two_process_sharded_apply_matches_single_device():
     from tests.distributed_worker import run_worker
 
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
-    procs = [ctx.Process(target=run_worker, args=(i, 2, 29377, q))
+    port = _free_port()
+    procs = [ctx.Process(target=run_worker, args=(i, 2, port, q))
              for i in range(2)]
     for p in procs:
         p.start()

@@ -93,15 +93,17 @@ def test_stress_ingress_soak():
             except Exception as e:  # pragma: no cover
                 errors.append((cid, i, repr(e)))
 
-    threads = [threading.Thread(target=client, args=(c,)) for c in range(N_CLIENTS)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join(timeout=300)
-    assert not errors, errors[:3]
+    try:
+        threads = [threading.Thread(target=client, args=(c,)) for c in range(N_CLIENTS)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors[:3]
 
-    stats = server.stats()
-    assert stats["completed"] == N_CLIENTS * PER_CLIENT
-    assert stats["p99_ms"] > 0
-    assert not server._pending  # nothing leaked
-    ing.stop()
+        stats = server.stats()
+        assert stats["completed"] == N_CLIENTS * PER_CLIENT
+        assert stats["p99_ms"] > 0
+        assert not server._pending  # nothing leaked
+    finally:
+        ing.stop()  # stops the HTTP listener AND the server's engine pool
