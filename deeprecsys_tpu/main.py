@@ -250,11 +250,18 @@ def main(argv=None):
         host, port = ingress.address
         print(f"[deeprecsys_tpu] serving on http://{host}:{port} "
               f"(POST /v1/infer, GET /v1/models, GET /v1/stats)", flush=True)
+        import signal
+        import threading
+
+        stop_evt = threading.Event()
+        signal.signal(signal.SIGTERM, lambda *_: stop_evt.set())
         try:
-            while True:
-                time.sleep(3600)
+            while not stop_evt.is_set():
+                stop_evt.wait(3600)
         except KeyboardInterrupt:
-            ingress.stop()
+            pass
+        print("[deeprecsys_tpu] shutting down serving", flush=True)
+        ingress.stop()
         return None
     if args.queue:
         from deeprecsys_tpu.serving import run_serving
