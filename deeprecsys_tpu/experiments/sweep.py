@@ -71,6 +71,8 @@ def main(argv=None):
     ap.add_argument("--batches", nargs="+", type=int, default=list(DEFAULT_BATCHES))
     ap.add_argument("--table-scale", type=int, default=8)
     ap.add_argument("--cpu", action="store_true", help="also sweep the CPU backend")
+    ap.add_argument("--cpu-only", action="store_true",
+                    help="skip the TPU sweep; reuse existing tpu_*.json for speedups")
     ap.add_argument("--out-dir", default="benchmarks/characterization")
     args = ap.parse_args(argv)
 
@@ -83,12 +85,18 @@ def main(argv=None):
 
     speedup_table = {}
     for name in args.models:
-        r = sweep_model(name, accel, args.batches, args.table_scale, "bfloat16")
-        (out_dir / f"tpu_{name}.json").write_text(json.dumps(
-            {"batch_sizes": r["batch_sizes"], "latencies_ms": r["latencies_ms"], "base": 4.0}))
-        print(f"tpu {name}: " + " ".join(f"{b}:{l:.2f}ms" for b, l in
-                                         zip(r["batch_sizes"], r["latencies_ms"])), flush=True)
-        if args.cpu:
+        if args.cpu_only:
+            tpu_path = out_dir / f"tpu_{name}.json"
+            if not tpu_path.exists():
+                raise FileNotFoundError(f"--cpu-only needs existing {tpu_path}")
+            r = json.loads(tpu_path.read_text())
+        else:
+            r = sweep_model(name, accel, args.batches, args.table_scale, "bfloat16")
+            (out_dir / f"tpu_{name}.json").write_text(json.dumps(
+                {"batch_sizes": r["batch_sizes"], "latencies_ms": r["latencies_ms"], "base": 4.0}))
+            print(f"tpu {name}: " + " ".join(f"{b}:{l:.2f}ms" for b, l in
+                                             zip(r["batch_sizes"], r["latencies_ms"])), flush=True)
+        if args.cpu or args.cpu_only:
             c = sweep_model(name, jax.devices("cpu")[0], args.batches, args.table_scale,
                             "float32", iters=3)
             (out_dir / f"cpu_{name}.json").write_text(json.dumps(
