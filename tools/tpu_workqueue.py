@@ -611,6 +611,8 @@ JOBS = [
     ("model_hotcold:rm1", lambda: job_model_hotcold("rm1", "hotcold")),
     ("model_zipf:din", lambda: job_model_hotcold("din", "direct")),
     ("model_hotcold:din", lambda: job_model_hotcold("din", "hotcold")),
+    ("model_zipf:rm3", lambda: job_model_hotcold("rm3", "direct")),
+    ("model_hotcold:rm3", lambda: job_model_hotcold("rm3", "hotcold")),
     # Remaining model sweeps are runnable via job_sweep(<model>) but each
     # needs ~15-20 min of remote compiles (6 batch-shape programs); the
     # characterization pattern is demonstrated with rm1/ncf/din.
