@@ -91,3 +91,30 @@ def test_table_scale():
     cfg = zoo.get_config("rm1", table_scale=1000)
     assert cfg.scaled_rows == (4000,) * 8
     assert cfg.embedding_rows == (4_000_000,) * 8
+
+
+def test_all_reference_config_files_load_and_run():
+    """Migration promise: the reference's own shipped JSON configs work
+    verbatim as --model inputs (/root/reference is read-only input data)."""
+    import os
+
+    import jax
+
+    from deeprecsys_tpu.config import load_model_config
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+
+    ref_dir = "/root/reference/models/configs"
+    if not os.path.isdir(ref_dir):
+        import pytest
+
+        pytest.skip("reference checkout not present")
+    for name in sorted(os.listdir(ref_dir)):
+        # rm2's pooling factor (120) needs enough rows after scaling.
+        scale = 1000 if "rm2" in name else 5000
+        cfg = load_model_config(os.path.join(ref_dir, name), table_scale=scale)
+        model = get_model(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        batch = RecDataGenerator(cfg, seed=1).generate_batch(4)
+        out = model.apply(params, batch)
+        assert out.shape == (4, cfg.out_dim), name
