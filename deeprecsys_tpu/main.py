@@ -271,12 +271,34 @@ def main(argv=None):
 
         import jax
 
+        lm = None
+        if serving_cfg.engine_backend == "sim":
+            # Calibrated-sim: drive SimEngines with the model's measured
+            # TPU ladder (benchmarks/characterization/, the reference's
+            # accel-simulation pattern fed with OUR hardware data).
+            from pathlib import Path
+
+            from deeprecsys_tpu.serving.latency_model import LatencyModel
+
+            char = (Path(__file__).parent.parent / "benchmarks" /
+                    "characterization" / f"tpu_{model_cfg.model_name}.json")
+            if not char.exists():
+                raise SystemExit(
+                    f"engine_backend=sim needs a characterization file at {char}; "
+                    "run tools/tpu_workqueue.py or experiments.sweep first")
+            lm = LatencyModel.load(char)
+            print(f"[deeprecsys_tpu] sim engines calibrated from {char}", flush=True)
+        accel_lm = lm if serving_cfg.engine_backend == "sim" else None
         profiler_ctx = (
             jax.profiler.trace(args.profile_dir) if args.enable_profiling
             else contextlib.nullcontext()
         )
         with profiler_ctx:
-            res = run_serving(model_cfg, serving_cfg, log_responses=args.log_file is not None)
+            # In sim mode the offload engine is simulated too (the
+            # reference's accelerator is always simulated).
+            res = run_serving(model_cfg, serving_cfg, latency_model=lm,
+                              accel_latency_model=accel_lm,
+                              log_responses=args.log_file is not None)
         print("Measured QPS: ", res.measured_qps)
         print("Measured p95 tail-latency: ", res.p95_ms, " ms")
         print("Measured p99 tail-latency: ", res.p99_ms, " ms")

@@ -10,6 +10,8 @@ cd "$(dirname "$0")/.."
 MODEL="${1:-rm1}"
 BACKEND="${2:-tpu}"   # tpu | cpu | cpu-mp | sim
 ENGINES="${3:-4}"
+# Consume the positionals; anything left passes through to the CLI.
+shift $(( $# > 3 ? 3 : $# ))
 
 python -m deeprecsys_tpu.main \
   --model "$MODEL" \
