@@ -122,6 +122,17 @@ def run_serving(
             live_engines = any(e.is_alive() for e in engines) or any(
                 p.is_alive() for p in procs
             )
+            missing = total_engines - finished
+            if (not loadgen.is_alive() and dead and finished > 0
+                    and missing <= len(dead)):
+                # Partial failure: at least one engine finished cleanly and
+                # every missing done-sentinel is attributable to a crashed
+                # engine that will never send it. Survivors already
+                # absorbed the shared queue, so complete degraded instead
+                # of hanging (the reference hangs forever here, SURVEY §5).
+                print(f"[deeprecsys_tpu] WARNING: {len(dead)} engine(s) died "
+                      f"mid-run ({dead}); completing degraded", flush=True)
+                break
             if not loadgen.is_alive() and not live_engines:
                 raise RuntimeError(
                     f"serving stalled: no responses for {watchdog_s}s, load "

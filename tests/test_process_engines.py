@@ -30,3 +30,46 @@ def test_end_to_end_multiprocess_engines():
     assert res.num_responses == 24
     assert res.measured_qps > 0
     assert np.isfinite(res.p95_ms)
+
+
+def test_one_engine_crash_completes_degraded(monkeypatch):
+    """Partial engine failure: kill one of two process engines mid-run;
+    the survivor absorbs the shared queue and the run completes with a
+    degraded warning instead of hanging (the reference hangs, SURVEY §5)."""
+    import threading
+    import time
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.serving import orchestrator
+    from deeprecsys_tpu.serving import process_engine
+
+    real_spawn = process_engine.spawn_process_engines
+
+    def spawn_and_kill_one(model_cfg, cfg, capacity=1024):
+        request_q, response_q, ready, procs, cleanup = real_spawn(model_cfg, cfg, capacity)
+
+        def killer():
+            # Wait until both engines are up and serving, then crash one.
+            time.sleep(8.0)
+            procs[0].terminate()
+
+        threading.Thread(target=killer, daemon=True).start()
+        return request_q, response_q, ready, procs, cleanup
+
+    monkeypatch.setattr(orchestrator, "run_serving", orchestrator.run_serving)
+    monkeypatch.setattr(
+        "deeprecsys_tpu.serving.process_engine.spawn_process_engines",
+        spawn_and_kill_one)
+
+    cfg = ServingConfig(
+        num_batches=60, inference_engines=2, engine_backend="cpu-mp",
+        avg_arrival_rate_ms=300.0,  # ~18s of traffic: the kill lands mid-run
+        batch_size_distribution="fixed", avg_mini_batch_size=8,
+        max_mini_batch_size=16, batch_buckets=(8, 16), sub_task_batch_size=8,
+        req_granularity=8,
+    )
+    res = orchestrator.run_serving(zoo.get_config("ncf", table_scale=2000), cfg,
+                                   settle_s=0.01, watchdog_s=6.0)
+    # Every query got an answer (the survivor drained the shared ring).
+    assert res.num_responses == 60
