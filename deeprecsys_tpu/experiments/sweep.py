@@ -90,6 +90,11 @@ def main(argv=None):
             if not tpu_path.exists():
                 raise FileNotFoundError(f"--cpu-only needs existing {tpu_path}")
             r = json.loads(tpu_path.read_text())
+            if list(r["batch_sizes"]) != [int(b) for b in args.batches]:
+                raise SystemExit(
+                    f"--cpu-only batch mismatch for {name}: recorded TPU ladder "
+                    f"is {r['batch_sizes']}, requested {list(args.batches)} — "
+                    "speedups would silently misalign")
         else:
             r = sweep_model(name, accel, args.batches, args.table_scale, "bfloat16")
             (out_dir / f"tpu_{name}.json").write_text(json.dumps(

@@ -288,16 +288,16 @@ def main(argv=None):
                     "run tools/tpu_workqueue.py or experiments.sweep first")
             lm = LatencyModel.load(char)
             print(f"[deeprecsys_tpu] sim engines calibrated from {char}", flush=True)
-        accel_lm = lm if serving_cfg.engine_backend == "sim" else None
         profiler_ctx = (
             jax.profiler.trace(args.profile_dir) if args.enable_profiling
             else contextlib.nullcontext()
         )
         with profiler_ctx:
             # In sim mode the offload engine is simulated too (the
-            # reference's accelerator is always simulated).
+            # reference's accelerator is always simulated); lm is None for
+            # every other backend.
             res = run_serving(model_cfg, serving_cfg, latency_model=lm,
-                              accel_latency_model=accel_lm,
+                              accel_latency_model=lm,
                               log_responses=args.log_file is not None)
         print("Measured QPS: ", res.measured_qps)
         print("Measured p95 tail-latency: ", res.p95_ms, " ms")

@@ -122,18 +122,21 @@ def run_serving(
             live_engines = any(e.is_alive() for e in engines) or any(
                 p.is_alive() for p in procs
             )
-            missing = total_engines - finished
-            if (not loadgen.is_alive() and dead and finished > 0
-                    and missing <= len(dead)):
-                # Partial failure: at least one engine finished cleanly and
-                # every missing done-sentinel is attributable to a crashed
-                # engine that will never send it. Survivors already
-                # absorbed the shared queue, so complete degraded instead
-                # of hanging (the reference hangs forever here, SURVEY §5).
-                print(f"[deeprecsys_tpu] WARNING: {len(dead)} engine(s) died "
-                      f"mid-run ({dead}); completing degraded", flush=True)
-                break
             if not loadgen.is_alive() and not live_engines:
+                if finished > 0:
+                    # Partial failure: every engine has exited and at least
+                    # one finished cleanly (sent its done-sentinel); the
+                    # sentinels still missing belong to crashed engines
+                    # that will never send them. Survivors already
+                    # absorbed the shared queue, so complete degraded
+                    # instead of hanging (the reference hangs forever
+                    # here, SURVEY §5). NOTE: a merely SLOW engine is
+                    # still alive and keeps this branch from firing.
+                    missing = total_engines - finished
+                    print(f"[deeprecsys_tpu] WARNING: {missing} engine(s) "
+                          f"died mid-run (exited: {dead}); completing "
+                          f"degraded", flush=True)
+                    break
                 raise RuntimeError(
                     f"serving stalled: no responses for {watchdog_s}s, load "
                     f"generator and engines all exited (dead: {dead}); "

@@ -83,3 +83,56 @@ def test_compilation_cache_flag(tmp_path):
     # 19.4s -> 13.1s across process restarts); tiny CPU test programs sit
     # below the 0.5s min-compile-time persistence threshold.
     assert jax.config.jax_compilation_cache_dir == str(cache)
+
+
+def test_queue_sim_backend_auto_calibrates(capsys):
+    """--engine_backend sim loads the model's recorded TPU ladder for the
+    sim engines (and the offload engine) — the calibrated-sim CLI path."""
+    from deeprecsys_tpu.main import main
+
+    res = main(["--model", "rm1", "--table_scale", "5000", "--queue",
+                "--engine_backend", "sim", "--inference_engines", "2",
+                "--num_batches", "8", "--avg_arrival_rate", "1",
+                "--avg_mini_batch_size", "16", "--max_mini_batch_size", "32",
+                "--sub_task_batch_size", "16"])
+    assert res.num_responses == 8
+    assert "sim engines calibrated from" in capsys.readouterr().out
+
+
+def test_serve_mode_sigterm_shutdown(tmp_path):
+    """--serve exits cleanly on SIGTERM (production shutdown path)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "deeprecsys_tpu.main", "--model", "ncf",
+         "--table_scale", "2000", "--serve", "--port", "0",
+         "--engine_backend", "cpu", "--inference_engines", "1",
+         "--max_mini_batch_size", "8", "--sub_task_batch_size", "8"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        port = None
+        deadline = time.time() + 120
+        lines = []
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            lines.append(line)
+            if "serving on http" in line:
+                port = int(line.split(":")[2].split(" ")[0].split("/")[0])
+                break
+        assert port, lines[-5:]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/v1/healthz",
+                                    timeout=30) as r:
+            assert r.status == 200
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        assert "shutting down serving" in out
+        assert proc.returncode == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
