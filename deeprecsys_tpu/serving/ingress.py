@@ -338,7 +338,13 @@ class HttpIngress:
         self.default = default if default is not None else next(iter(registry))
         if self.default not in registry:
             raise ValueError(f"default {self.default!r} not in registry")
-        self.httpd = ThreadingHTTPServer(
+        # stdlib default listen backlog is 5; concurrent clients beyond that
+        # get ECONNREFUSED while handler threads contend for CPU. Raise it so
+        # admission control happens in the engine queues, not the kernel.
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = 128
+
+        self.httpd = _Server(
             (host, port), _make_handler(registry, self.default))
         self.httpd.daemon_threads = True
         self._thread = threading.Thread(target=self.httpd.serve_forever,
