@@ -562,6 +562,43 @@ def job_serving_coalesce(model):
     return res.to_dict()
 
 
+def job_serving_hotcold(model):
+    """End-to-end TPU serving with the hot/cold split enabled
+    (embedding_impl="hotcold"): engines replay a zipf stack-distance trace
+    (synthetic data mode) so the request stream has production-like
+    locality, and the hot set is selected from the same distribution at
+    warm-up. Proves the hotcold path through the FULL serving stack on
+    real hardware (virtual-mesh tests cover the sharded variants).
+    Relay-bound caveat of job_serving applies to absolute latencies."""
+    import tempfile
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.data.trace import synthesize_zipf_distribution, write_dist_file
+    from deeprecsys_tpu.serving import run_serving
+
+    cfg_m = zoo.get_config(model, table_scale=8, param_dtype="bfloat16",
+                           compute_dtype="bfloat16", embedding_impl="hotcold")
+    dist = Path(tempfile.gettempdir()) / f"drs_zipf_dist_{model}.txt"
+    if not dist.exists():
+        la, sd, cdf = synthesize_zipf_distribution(
+            min(cfg_m.scaled_rows), alpha=1.05, num_samples=200_000, seed=5)
+        write_dist_file(dist, la, sd, cdf)
+    cfg = ServingConfig(
+        num_batches=48, nepochs=1, inference_engines=1, engine_backend="tpu",
+        avg_arrival_rate_ms=5.0, batch_size_distribution="normal",
+        avg_mini_batch_size=165.0, var_mini_batch_size=16.0,
+        max_mini_batch_size=256, sub_task_batch_size=64,
+        batch_buckets=(256,),  # one bucket: 4 cold-pad compiles total
+        req_granularity=16, target_latency_ms=25.0, seed=3,
+        data_generation="synthetic", synthetic_trace_file=str(dist),
+    )
+    res = run_serving(cfg_m, cfg, settle_s=0.05)
+    log(f"serving_hotcold {model}: QPS={res.measured_qps:.1f} p50={res.p50_ms:.1f} "
+        f"p95={res.p95_ms:.1f} p99={res.p99_ms:.1f} ms over {res.num_responses} responses")
+    return res.to_dict()
+
+
 JOBS = [
     ("warm:rm1", lambda: job_warm("rm1")),
     ("warm:rm2", lambda: job_warm("rm2")),
@@ -616,6 +653,14 @@ JOBS = [
     # Remaining model sweeps are runnable via job_sweep(<model>) but each
     # needs ~15-20 min of remote compiles (6 batch-shape programs); the
     # characterization pattern is demonstrated with rm1/ncf/din.
+    # Complete the production-scale (table_scale=1) table for all 8 models.
+    ("full:rm3", lambda: job_full("rm3")),
+    ("full:wnd", lambda: job_full("wnd")),
+    ("full:mtwnd", lambda: job_full("mtwnd")),
+    ("full:ncf", lambda: job_full("ncf")),
+    ("full:dien", lambda: job_full("dien")),
+    # Hot/cold split through the full serving stack on real TPU.
+    ("serving_hotcold:rm1", lambda: job_serving_hotcold("rm1")),
 ]
 
 
