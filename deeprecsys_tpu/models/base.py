@@ -100,6 +100,16 @@ def pooled_lookup(tables, batch: Batch, cfg: ModelConfig) -> jax.Array:
 
     offsets = jnp.asarray(cfg.table_offsets)
     cdt = compute_dtype_of(cfg)
+    if cfg.embedding_impl == "hotcold":
+        # The hot/cold split needs the host-side splitter in the loop
+        # (models/hotcold.py) — the serving engines wire it up. Falling
+        # through to the plain gather here (for ANY table quantization —
+        # hotcold composes with int8/int8_rowwise) would silently
+        # benchmark the wrong thing in standalone/training paths.
+        raise ValueError(
+            "embedding_impl='hotcold' is a serving-engine path (use --queue/"
+            "--serve, or models.hotcold.make_hotcold_model directly); the "
+            "plain apply would silently run the xla gather instead")
     if isinstance(tables, dict) and "qrows" in tables:
         # int8 with per-row interleaved scales (trained-table fidelity).
         from deeprecsys_tpu.ops.embedding import embedding_bag_int8_rowwise
@@ -115,15 +125,6 @@ def pooled_lookup(tables, batch: Batch, cfg: ModelConfig) -> jax.Array:
         from deeprecsys_tpu.ops.pallas import pallas_embedding_bag
 
         return pallas_embedding_bag(tables, offsets, batch.indices).astype(cdt)
-    if cfg.embedding_impl == "hotcold":
-        # The hot/cold split needs the host-side splitter in the loop
-        # (models/hotcold.py) — the serving engines wire it up. Falling
-        # through to the plain gather here would silently benchmark the
-        # wrong thing in standalone/training paths.
-        raise ValueError(
-            "embedding_impl='hotcold' is a serving-engine path (use --queue/"
-            "--serve, or models.hotcold.make_hotcold_model directly); the "
-            "plain apply would silently run the xla gather instead")
     return embedding_bag(tables, offsets, batch.indices, compute_dtype=cdt)
 
 

@@ -49,7 +49,8 @@ def apply_from_pooled(params: dict, emb: jax.Array, batch: Batch, cfg: ModelConf
 
     seq = jnp.transpose(behavior, (1, 0, 2))  # time-major (T_b, B, m)
     out0, _ = basic_rnn_scan(params["rnn0"], seq)  # (T_b, B, H)
-    gate = jnp.dot(out0, params["gate_fc"]["w"], preferred_element_type=out0.dtype)
+    gate = jnp.dot(out0, params["gate_fc"]["w"],
+                   preferred_element_type=jnp.float32).astype(out0.dtype)
     gate = jax.nn.softmax(gate + params["gate_fc"]["b"], axis=2)
     gated = out0 + gate  # reference brew.sum of rnn_0 output and softmax gate
     _, last = basic_rnn_scan(params["rnn1"], gated)  # (B, H)

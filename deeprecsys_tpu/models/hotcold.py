@@ -57,6 +57,22 @@ def cold_ladder(n_lookups: int) -> tuple[int, ...]:
     return tuple(steps)
 
 
+def cold_buckets_for(n_lookups: int, mesh=None) -> tuple[int, ...]:
+    """Pad-bucket ladder for the cold stream, scaled to the mesh: the
+    sharded splits pad PER PARTITION CELL (M cells for TP, D*M for
+    hybrid), so buckets must scale by the partition count or every chip
+    pads to >= n/8 and the divide-by-M descriptor win is lost. One cap
+    bucket (the per-data-shard maximum a cell can hold) guards skewed
+    partitions without an uncompiled shape at runtime."""
+    if mesh is None:
+        return cold_ladder(n_lookups)
+    n_data = mesh.shape.get("data", 1)
+    parts = n_data * mesh.shape["model"]
+    cap = -(-n_lookups // n_data)  # a (d, m) cell holds at most shard d's lookups
+    n_cell = -(-n_lookups // parts)
+    return tuple(sorted(set(cold_ladder(n_cell)) | {max(8, cap)}))
+
+
 class HotColdModel(NamedTuple):
     base: ModelFns
     hot_ids: np.ndarray            # sorted fused row ids (host)
@@ -102,20 +118,20 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
     def prepare(batch: Batch) -> dict:
         idx = np.asarray(batch.indices)
         B, T, L = idx.shape
+        buckets = cold_buckets_for(B * T * L, mesh)
         if mesh is not None and n_data > 1:
             from deeprecsys_tpu.ops.embedding import split_hot_cold_hybrid
 
             return split_hot_cold_hybrid(idx, offsets_np, hot_ids, n_data,
                                          n_shards, rows_per_shard,
-                                         cold_buckets=cold_ladder(B * T * L))
+                                         cold_buckets=buckets)
         if mesh is not None:
             from deeprecsys_tpu.ops.embedding import split_hot_cold_sharded
 
             return split_hot_cold_sharded(idx, offsets_np, hot_ids, n_shards,
                                           rows_per_shard,
-                                          cold_buckets=cold_ladder(B * T * L))
-        return split_hot_cold(idx, offsets_np, hot_ids,
-                              cold_buckets=cold_ladder(B * T * L))
+                                          cold_buckets=buckets)
+        return split_hot_cold(idx, offsets_np, hot_ids, cold_buckets=buckets)
 
     def apply(params, batch: Batch, split: dict) -> jax.Array:
         from deeprecsys_tpu.models.base import compute_dtype_of

@@ -137,6 +137,16 @@ def embedding_bag_int8_rowwise(
     return vals.reshape(B, T, L, d).sum(axis=2).astype(compute_dtype)
 
 
+def _pad_bucket(n: int, buckets, floor: int = 1) -> int:
+    """Smallest configured bucket that fits ``n`` (exact ``n`` as overflow
+    fallback — an uncompiled shape, but never a wrong result); without
+    buckets, the next power of two >= max(n, floor)."""
+    if buckets is None:
+        return max(floor, 1 << max(0, (n - 1)).bit_length())
+    fitting = [b for b in sorted(buckets) if b >= n]
+    return fitting[0] if fitting else n
+
+
 def dedup_indices(indices: np.ndarray, offsets: np.ndarray, bucket_sizes=None):
     """Host-side batch deduplication of fused lookup ids.
 
@@ -161,11 +171,7 @@ def dedup_indices(indices: np.ndarray, offsets: np.ndarray, bucket_sizes=None):
     flat = (indices.astype(np.int64) + np.asarray(offsets, dtype=np.int64)[None, :, None]).reshape(-1)
     uniq, inv = np.unique(flat, return_inverse=True)
     n = int(uniq.size)
-    if bucket_sizes is None:
-        u_pad = 1 << max(0, (n - 1)).bit_length()
-    else:
-        fitting = [b for b in sorted(bucket_sizes) if b >= n]
-        u_pad = fitting[0] if fitting else n
+    u_pad = _pad_bucket(n, bucket_sizes)
     if u_pad > n:
         uniq = np.concatenate([uniq, np.full(u_pad - n, uniq[0] if n else 0)])
     return uniq.astype(np.int32), inv.reshape(B, T, L).astype(np.int32), n
@@ -270,11 +276,7 @@ def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray
         raw_cold_ids = flat[cold_positions]
         raw_cold_seg = groups[cold_positions]
 
-    if cold_buckets is None:
-        c_pad = max(1, 1 << max(0, (n_cold - 1)).bit_length())
-    else:
-        fitting = [b for b in sorted(cold_buckets) if b >= n_cold]
-        c_pad = fitting[0] if fitting else n_cold
+    c_pad = _pad_bucket(n_cold, cold_buckets)
     cold_ids = np.zeros(c_pad, dtype=np.int32)
     cold_seg = np.full(c_pad, B * T, dtype=np.int32)  # pad -> dropped segment
     cold_ids[:n_cold] = raw_cold_ids[:n_cold]
@@ -328,6 +330,8 @@ def select_hot_ids(indices_sample: np.ndarray, offsets: np.ndarray, k: int) -> n
     Zipfian — the stack-distance locality the reference's trace machinery
     models, ``data_generator/trace_profile.py``). Returns SORTED fused ids.
     """
+    if k <= 0:  # "no hot set" — [-0:] would slice EVERYTHING hot
+        return np.empty(0, dtype=np.int64)
     flat = (indices_sample.astype(np.int64)
             + np.asarray(offsets, dtype=np.int64)[None, :, None]).reshape(-1)
     uniq, counts = np.unique(flat, return_counts=True)
@@ -364,11 +368,7 @@ def split_hot_cold_sharded(indices: np.ndarray, offsets: np.ndarray,
     per_shard = [(ids[owner == m] - m * rows_per_shard, segs[owner == m])
                  for m in range(n_shards)]
     c_max = max((len(i) for i, _ in per_shard), default=0)
-    if cold_buckets is None:
-        c_pad = max(8, 1 << max(0, (c_max - 1)).bit_length())
-    else:
-        fitting = [b for b in sorted(cold_buckets) if b >= c_max]
-        c_pad = fitting[0] if fitting else c_max
+    c_pad = _pad_bucket(c_max, cold_buckets, floor=8)
     cold_local = np.zeros((n_shards, c_pad), dtype=np.int32)
     cold_seg = np.full((n_shards, c_pad), B * T, dtype=np.int32)
     for m, (i, s) in enumerate(per_shard):
@@ -417,11 +417,7 @@ def split_hot_cold_hybrid(indices: np.ndarray, offsets: np.ndarray,
     bounds = np.searchsorted(cell[order], np.arange(n_data * n_model + 1))
     counts = np.diff(bounds)
     c_max = int(counts.max()) if n_cold else 0
-    if cold_buckets is None:
-        c_pad = max(8, 1 << max(0, (c_max - 1)).bit_length())
-    else:
-        fitting = [b for b in sorted(cold_buckets) if b >= c_max]
-        c_pad = fitting[0] if fitting else c_max
+    c_pad = _pad_bucket(c_max, cold_buckets, floor=8)
     cold_local = np.zeros((n_data, n_model, c_pad), dtype=np.int32)
     cold_seg = np.full((n_data, n_model, c_pad), b_loc * T, dtype=np.int32)
     for c in range(n_data * n_model):

@@ -41,7 +41,9 @@ def dot_interaction(dense_out: jax.Array, emb_out: jax.Array, *, self_interactio
       dense features first (reference Concat order, dlrm_s_caffe2.py:352).
     """
     feats = jnp.concatenate([dense_out[:, None, :], emb_out], axis=1)  # (B, F, d)
-    z = jnp.einsum("bfd,bgd->bfg", feats, feats, preferred_element_type=feats.dtype)
+    # f32 MXU accumulation under bf16 compute, as everywhere else (ops/mlp.py).
+    z = jnp.einsum("bfd,bgd->bfg", feats, feats,
+                   preferred_element_type=jnp.float32).astype(feats.dtype)
     ii, jj = _tril_pairs(feats.shape[1], self_interaction)
     zflat = z[:, ii, jj]
     return jnp.concatenate([dense_out, zflat], axis=1)

@@ -78,7 +78,9 @@ def plan_tablewise_placement(cfg: ModelConfig, num_shards: int) -> TablePlacemen
     shard_of = np.empty(T, dtype=np.int64)
     for t in order:
         open_shards = np.flatnonzero(shard_count < cap)
-        s = open_shards[np.argmin(shard_cost[open_shards])]
+        # Primary: weighted cost; secondary: row balance (HBM per shard).
+        best = np.lexsort((shard_rows[open_shards], shard_cost[open_shards]))[0]
+        s = open_shards[best]
         shard_of[t] = s
         shard_cost[s] += cost[t]
         shard_rows[s] += rows[t]

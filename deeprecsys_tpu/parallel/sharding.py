@@ -362,8 +362,8 @@ def sharded_apply(model_apply: Callable, params, mesh: Mesh, has_dense: bool):
 
     The replicated-table gather inside the model becomes a partitioned
     gather under GSPMD; for explicit control of the collective pattern use
-    ``sharded_embedding_bag`` (models pick it up automatically when run
-    under ``parallel.api`` — see make_sharded_model).
+    ``sharded_embedding_bag`` directly (or ``parallel.api.
+    make_tablewise_model`` for the placement-sharded variant).
     """
     in_shardings = (
         param_shardings(params, mesh),

@@ -158,7 +158,7 @@ class ComputeEngine(threading.Thread):
         native splitter compacts the cold stream on the host and the jitted
         apply gathers hot rows from VMEM-resident state."""
         from deeprecsys_tpu.models.hotcold import (
-            cold_ladder,
+            cold_buckets_for,
             hot_ids_from_generator,
             make_hotcold_model,
         )
@@ -203,7 +203,8 @@ class ComputeEngine(threading.Thread):
             self._host_data[b] = sliced
             self._jitted[b] = apply_fn
             # Warm every cold-pad bucket so no request hits a compile.
-            for c_pad in cold_ladder(b * T * L):
+            # Same ladder the splitter pads with (per-cell on a mesh).
+            for c_pad in cold_buckets_for(b * T * L, self.mesh):
                 dummy = {
                     "hot_sel": np.zeros((b, T, L), np.int32),
                     "hot_mask": np.zeros((b, T, L), bool),

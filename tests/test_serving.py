@@ -344,6 +344,54 @@ def test_cold_ladder_shapes():
     assert all(b >= 8 for b in cold_ladder(3))
 
 
+def test_cold_buckets_scale_with_mesh():
+    """On a mesh the splitters pad PER PARTITION CELL, so the ladder must
+    scale by the partition count — a full-batch ladder would pad every
+    chip to >= n/8 and lose the divide-by-M descriptor win."""
+    from deeprecsys_tpu.models.hotcold import cold_buckets_for
+    from deeprecsys_tpu.parallel import make_mesh
+
+    n = 8192
+    assert cold_buckets_for(n) == (1024, 2048, 4096, 8192)
+    mesh = make_mesh(data=2, model=4)  # 8 cells, cap = n/2 per data shard
+    lad = cold_buckets_for(n, mesh)
+    assert lad[:4] == (128, 256, 512, 1024)  # scaled to n/8 per cell
+    assert lad[-1] == 4096                   # skew guard: one cell can hold n/D
+    tp = make_mesh(data=1, model=8)
+    lad_tp = cold_buckets_for(n, tp)
+    assert lad_tp[:4] == (128, 256, 512, 1024)
+    assert lad_tp[-1] == n                   # TP: a single shard can own all cold
+
+
+def test_select_hot_ids_zero_k_empty():
+    from deeprecsys_tpu.ops.embedding import select_hot_ids
+
+    idx = np.zeros((4, 2, 3), np.int32)
+    hot = select_hot_ids(idx, np.array([0, 10]), 0)
+    assert hot.size == 0  # not "everything hot" via the [-0:] slice
+
+
+def test_hotcold_guard_applies_to_quantized_tables():
+    """embedding_impl='hotcold' must be rejected by the plain apply for
+    quantized configs too — silently running the ordinary int8 gather
+    would benchmark the wrong implementation."""
+    import pytest
+
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+
+    for quant in ("int8", "int8_rowwise"):
+        cfg = zoo.get_config("ncf", table_scale=2000,
+                             embedding_impl="hotcold", table_quant=quant)
+        model = get_model(cfg)
+        import jax
+
+        params = model.init(jax.random.PRNGKey(0))
+        batch = RecDataGenerator(cfg, seed=1).generate_batch(4)
+        with pytest.raises(ValueError, match="hotcold"):
+            model.apply(params, batch)
+
+
 def test_engine_hotcold_end_to_end():
     import time
 
