@@ -285,6 +285,50 @@ def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray
             "cold_ids": cold_ids, "cold_seg": cold_seg, "n_cold": n_cold}
 
 
+def hotcold_quant_modes(table, table_scale, rowwise, compute_dtype):
+    """Shared dequant plumbing for ALL hotcold bags (single-device here,
+    sharded/hybrid in parallel/sharding.py).
+
+    Returns (row_fn, pool_dtype, finish): ``row_fn`` maps gathered rows to
+    poolable values, pooling runs in ``pool_dtype``, and ``finish`` maps
+    the combined (B, T, d') pooled array to compute_dtype.
+      - float tables: identity, cdt pooling.
+      - per-table int8 (+ scale (T,)): EXACT int32 pooling on both hot and
+        cold sides, one dequant after the combine.
+      - packed rowwise int8: per-row interleaved-scale dequant BEFORE
+        pooling (f32).
+    """
+    cdt = compute_dtype or (jnp.float32 if table.dtype == jnp.int8 else table.dtype)
+    if rowwise:
+        return dequant_packed_rows, jnp.float32, lambda pooled: pooled.astype(cdt)
+    if table_scale is not None:
+        return (lambda rows: rows.astype(jnp.int32), jnp.int32,
+                lambda pooled: (pooled.astype(jnp.float32)
+                                * table_scale[None, :, None]).astype(cdt))
+    return lambda rows: rows.astype(cdt), cdt, lambda pooled: pooled
+
+
+def _embedding_bag_hotcold_impl(hot_table, table, split, *, compute_dtype,
+                                table_scale=None, rowwise=False) -> jax.Array:
+    """One body for the three single-device hotcold bags: hot hits gather
+    from the VMEM-sized hot table and mask-pool; the compacted cold stream
+    pays the HBM descriptors and segment-sums into the (B*T, d) output
+    (pad slots target the dropped segment B*T)."""
+    row_fn, pool_dtype, finish = hotcold_quant_modes(
+        table, table_scale, rowwise, compute_dtype)
+    hot_sel, hot_mask = split["hot_sel"], split["hot_mask"]
+    B, T, L = hot_sel.shape
+    hot_rows = row_fn(jnp.take(hot_table, hot_sel.reshape(-1), axis=0))
+    hot_rows = hot_rows * hot_mask.reshape(-1, 1).astype(pool_dtype)
+    pooled_hot = hot_rows.reshape(B, T, L, -1).sum(axis=2)
+
+    cold_rows = row_fn(jnp.take(table, split["cold_ids"], axis=0))
+    pooled_cold = jax.ops.segment_sum(
+        cold_rows, split["cold_seg"], num_segments=B * T + 1
+    )[: B * T].reshape(B, T, -1)
+    return finish(pooled_hot + pooled_cold)
+
+
 def embedding_bag_hotcold(hot_table: jax.Array, table: jax.Array, split: dict,
                           *, compute_dtype=None) -> jax.Array:
     """Pooled lookup over a hot/cold split (see ``split_hot_cold``).
@@ -293,18 +337,8 @@ def embedding_bag_hotcold(hot_table: jax.Array, table: jax.Array, split: dict,
     hits gather from the VMEM-sized (K, d) hot table; cold rows are
     segment-summed straight into the (B*T, d) pooled output.
     """
-    hot_sel, hot_mask = split["hot_sel"], split["hot_mask"]
-    B, T, L = hot_sel.shape
-    cdt = compute_dtype or table.dtype
-    hot_rows = jnp.take(hot_table, hot_sel.reshape(-1), axis=0).astype(cdt)
-    hot_rows = hot_rows * hot_mask.reshape(-1, 1).astype(cdt)
-    pooled_hot = hot_rows.reshape(B, T, L, -1).sum(axis=2)
-
-    cold_rows = jnp.take(table, split["cold_ids"], axis=0).astype(cdt)
-    pooled_cold = jax.ops.segment_sum(
-        cold_rows, split["cold_seg"], num_segments=B * T + 1
-    )[: B * T].reshape(B, T, -1)
-    return pooled_hot + pooled_cold.astype(cdt)
+    return _embedding_bag_hotcold_impl(hot_table, table, split,
+                                       compute_dtype=compute_dtype)
 
 
 def quantize_pertable_int8(table: jax.Array, table_rows) -> dict:
@@ -444,18 +478,9 @@ def embedding_bag_hotcold_int8(hot_q: jax.Array, q: jax.Array, scale: jax.Array,
       scale: (T,) float32 per-table scales.
       split: from ``split_hot_cold``.
     """
-    hot_sel, hot_mask = split["hot_sel"], split["hot_mask"]
-    B, T, L = hot_sel.shape
-    hot_rows = jnp.take(hot_q, hot_sel.reshape(-1), axis=0).astype(jnp.int32)
-    hot_rows = hot_rows * hot_mask.reshape(-1, 1).astype(jnp.int32)
-    pooled_hot = hot_rows.reshape(B, T, L, -1).sum(axis=2)
-
-    cold_rows = jnp.take(q, split["cold_ids"], axis=0).astype(jnp.int32)
-    pooled_cold = jax.ops.segment_sum(
-        cold_rows, split["cold_seg"], num_segments=B * T + 1
-    )[: B * T].reshape(B, T, -1)
-    pooled = (pooled_hot + pooled_cold).astype(jnp.float32)
-    return (pooled * scale[None, :, None]).astype(compute_dtype)
+    return _embedding_bag_hotcold_impl(hot_q, q, split,
+                                       compute_dtype=compute_dtype,
+                                       table_scale=scale)
 
 
 def embedding_bag_hotcold_int8_rowwise(hot_packed: jax.Array, packed: jax.Array,
@@ -464,20 +489,9 @@ def embedding_bag_hotcold_int8_rowwise(hot_packed: jax.Array, packed: jax.Array,
     """Hot/cold pooled lookup over row-wise packed int8 tables
     (``quantize_rowwise_int8`` layout): each gathered row — hot or cold —
     dequantizes with its own interleaved scale before the pooling sum."""
-    d = packed.shape[1] - 4
-    dequant = dequant_packed_rows
-
-    hot_sel, hot_mask = split["hot_sel"], split["hot_mask"]
-    B, T, L = hot_sel.shape
-    hot_rows = dequant(jnp.take(hot_packed, hot_sel.reshape(-1), axis=0))
-    hot_rows = hot_rows * hot_mask.reshape(-1, 1).astype(jnp.float32)
-    pooled_hot = hot_rows.reshape(B, T, L, d).sum(axis=2)
-
-    cold_rows = dequant(jnp.take(packed, split["cold_ids"], axis=0))
-    pooled_cold = jax.ops.segment_sum(
-        cold_rows, split["cold_seg"], num_segments=B * T + 1
-    )[: B * T].reshape(B, T, d)
-    return (pooled_hot + pooled_cold).astype(compute_dtype)
+    return _embedding_bag_hotcold_impl(hot_packed, packed, split,
+                                       compute_dtype=compute_dtype,
+                                       rowwise=True)
 
 
 def embedding_bag(

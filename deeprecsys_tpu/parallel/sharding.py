@@ -34,6 +34,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from deeprecsys_tpu.config import ModelConfig
 from deeprecsys_tpu.models.base import Batch
 
+# Dequant plumbing shared with the single-device bags (one definition for
+# all five hotcold bag variants).
+from deeprecsys_tpu.ops.embedding import hotcold_quant_modes as _hotcold_quant_modes
+
 
 # ----------------------------------------------------------------------
 # Parameter / batch shardings
@@ -121,30 +125,6 @@ def sharded_embedding_bag(
         in_specs=(P("model", None), P(), P("data", None, None)),
         out_specs=P("data", None, None),
     )(table, offsets, indices)
-
-
-def _hotcold_quant_modes(table, table_scale, rowwise, compute_dtype):
-    """Shared dequant plumbing for the sharded/hybrid hotcold bags.
-
-    Returns (row_fn, pool_dtype, finish): ``row_fn`` maps gathered rows to
-    poolable values, pooling runs in ``pool_dtype``, and ``finish`` maps
-    the combined (B, T, d') pooled array to compute_dtype.
-      - float tables: identity, cdt pooling.
-      - per-table int8 (+ scale (T,)): EXACT int32 pooling on both hot and
-        cold sides, one dequant after the combine.
-      - packed rowwise int8: per-row interleaved-scale dequant BEFORE
-        pooling (f32).
-    """
-    cdt = compute_dtype or (jnp.float32 if table.dtype == jnp.int8 else table.dtype)
-    if rowwise:
-        from deeprecsys_tpu.ops.embedding import dequant_packed_rows
-
-        return dequant_packed_rows, jnp.float32, lambda pooled: pooled.astype(cdt)
-    if table_scale is not None:
-        return (lambda rows: rows.astype(jnp.int32), jnp.int32,
-                lambda pooled: (pooled.astype(jnp.float32)
-                                * table_scale[None, :, None]).astype(cdt))
-    return lambda rows: rows.astype(cdt), cdt, lambda pooled: pooled
 
 
 def sharded_embedding_bag_hotcold(
