@@ -50,3 +50,20 @@ def test_qps_sweep_sim_smoke():
     ]
     best = max((r for r in result_rows if r["meets_sla"]), key=lambda r: r["qps"])
     assert best["qps"] == 700.0
+
+
+def test_plots_render(tmp_path):
+    """The figure generators (reference op_breakdown/speedup png analog)
+    render from the recorded benchmark JSONs without error and produce
+    non-empty PNGs."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from deeprecsys_tpu.experiments import plots
+    from pathlib import Path
+
+    bench = Path(__file__).parent.parent / "benchmarks"
+    plots.plot_op_breakdown(bench, tmp_path / "ob.png")
+    plots.plot_model_speedup(bench, tmp_path / "sp.png")
+    plots.plot_qps_sla(bench, tmp_path / "qps.png")
+    for f in ("ob.png", "sp.png", "qps.png"):
+        assert (tmp_path / f).stat().st_size > 10_000
