@@ -238,8 +238,6 @@ def model_config_from_dict(raw: dict, table_scale: int = 1, **overrides) -> Mode
             kw[field] = conv(val)
     kw.update(overrides)
     kw.setdefault("table_scale", table_scale)
-    if "table_scale" in overrides:
-        kw["table_scale"] = overrides["table_scale"]
     cfg = ModelConfig(**kw)
     if cfg.model_type == "din" and len(cfg.embedding_rows) == 4:
         cfg = cfg.replace(

@@ -173,12 +173,35 @@ class RecDataGenerator:
         for t, size in enumerate(cfg.scaled_rows):
             for b in range(batch_size):
                 refs = self._trace_refs(t, L)
+                if refs.min(initial=0) < 0 or refs.max(initial=0) >= size:
+                    refs = np.mod(refs, size)  # reference mod-guard (:207-215)
+                # unique AFTER the mod: distinct lines can collapse to the
+                # same residue, and the sorted+unique invariant is on the
+                # final in-range ids.
                 group = np.unique(refs)
-                if group.min(initial=0) < 0 or group.max(initial=0) >= size:
-                    group = np.mod(group, size)  # reference mod-guard (:207-215)
-                # Top up to fixed L if unique() shrank the group.
+                # Top up to fixed L if unique() shrank the group. Draws
+                # double on no-progress rounds so rare tail ids of a
+                # skewed trace are still found quickly; a trace with fewer
+                # distinct residues than L can never satisfy the invariant
+                # — fail loudly (at engine warm-up) instead of spinning
+                # forever.
+                stalled = 0
+                draw = max(L - group.size, 1)
                 while group.size < L:
-                    extra = self._trace_refs(t, L - group.size)
-                    group = np.unique(np.concatenate([group, np.mod(extra, size)]))
+                    extra = self._trace_refs(t, draw)
+                    new = np.unique(np.concatenate([group, np.mod(extra, size)]))
+                    if new.size == group.size:
+                        stalled += 1
+                        draw = min(draw * 2, 4096)
+                    else:
+                        stalled = 0
+                        draw = max(L - new.size, 1)
+                    group = new
+                    if stalled >= 24:
+                        raise ValueError(
+                            f"synthetic trace for table {t} yields only "
+                            f"{group.size} distinct ids under mod {size}, "
+                            f"< num_indices_per_lookup={L}; use a richer "
+                            "distribution file or a smaller L")
                 out[b, t, :] = np.sort(group[:L]).astype(np.int32)
         return out

@@ -126,8 +126,7 @@ def model_config_from_args(args, name: str | None = None) -> ModelConfig:
 
 
 def serving_config_from_args(args) -> ServingConfig:
-    def dims(s):
-        return tuple(int(x) for x in s.split("-"))
+    from deeprecsys_tpu.config import _parse_dims as dims
 
     return ServingConfig(
         num_batches=args.num_batches,
@@ -164,6 +163,26 @@ def serving_config_from_args(args) -> ServingConfig:
     )
 
 
+def _calibrated_latency_model(model_cfg: ModelConfig):
+    """Calibrated-sim support: drive SimEngines with the model's measured
+    TPU ladder (benchmarks/characterization/, the reference's
+    accel-simulation pattern fed with OUR hardware data). Used by both
+    --queue and --serve when engine_backend=sim."""
+    from pathlib import Path
+
+    from deeprecsys_tpu.serving.latency_model import LatencyModel
+
+    char = (Path(__file__).parent.parent / "benchmarks" /
+            "characterization" / f"tpu_{model_cfg.model_name}.json")
+    if not char.exists():
+        raise SystemExit(
+            f"engine_backend=sim needs a characterization file at {char}; "
+            "run tools/tpu_workqueue.py or experiments.sweep first")
+    lm = LatencyModel.load(char)
+    print(f"[deeprecsys_tpu] sim engines calibrated from {char}", flush=True)
+    return lm
+
+
 def run_standalone(model_cfg: ModelConfig, args) -> dict:
     """Characterization loop (reference inferenceEngine.py:137-173 and each
     model's __main__): separates data-generation time from device compute
@@ -197,13 +216,36 @@ def run_standalone(model_cfg: ModelConfig, args) -> dict:
         jax.profiler.trace(args.profile_dir) if args.enable_profiling
         else contextlib.nullcontext()
     )
-    t_comp = 0.0
-    t0 = time.perf_counter()
     with profiler_ctx:
         for _ in range(args.nepochs):
             outs = [fn(params, b) for b in dev]
             jax.block_until_ready(outs)
-    t_comp = time.perf_counter() - t0
+    # The compute total comes from a chained-readback measurement, not the
+    # loop above: through relayed PJRT backends block_until_ready is not a
+    # trustworthy fence and per-call dispatch dominates (utils/timing.py).
+    # The loop still runs every batch (profiler coverage + output parity).
+    from deeprecsys_tpu.utils.timing import time_step_chain
+
+    import numpy as np
+
+    rows = jnp.asarray(np.asarray(model_cfg.scaled_rows, np.int32)[None, :, None])
+
+    def step(i, c, dense, indices):
+        idx = (indices + i) % rows
+        out = model.apply(params, Batch(dense=dense, indices=idx))
+        return c + jnp.sum(out.astype(jnp.float32))
+
+    iters = max(8, min(64, args.num_batches))
+    per_iter_ms = time_step_chain(step, jnp.zeros((), jnp.float32),
+                                  dev[0].dense, dev[0].indices, iters=iters)
+    # Adaptive: fast models need longer chains to rise above the timing
+    # noise floor (same compiled program — the trip count is a runtime
+    # argument; bench.py uses the same escalation).
+    while per_iter_ms * iters < 50.0 and iters < 16384:
+        iters *= 8
+        per_iter_ms = time_step_chain(step, jnp.zeros((), jnp.float32),
+                                      dev[0].dense, dev[0].indices, iters=iters)
+    t_comp = per_iter_ms * args.num_batches * args.nepochs / 1000.0
 
     total_ms = (t_load + t_comp) * 1000.0
     print(f"Total data loading time: *** {t_load * 1000.0:.3f} ms")
@@ -230,6 +272,7 @@ def main(argv=None):
         from deeprecsys_tpu.serving.ingress import HttpIngress, ServingServer
 
         serving_cfg = serving_config_from_args(args)
+        need_lm = serving_cfg.engine_backend == "sim"
         if args.serve_models:
             registry = {}
             for name in args.serve_models.split(","):
@@ -237,13 +280,16 @@ def main(argv=None):
                 # --embedding_impl, dtypes), not just the default one.
                 m_cfg = (model_cfg if name == model_cfg.model_name else
                          model_config_from_args(args, name=name))
-                registry[name] = ServingServer(m_cfg, serving_cfg)
+                lm = _calibrated_latency_model(m_cfg) if need_lm else None
+                registry[name] = ServingServer(m_cfg, serving_cfg,
+                                               latency_model=lm)
             for s_ in registry.values():
                 s_.start()
             ingress = HttpIngress(registry, host=args.host, port=args.port,
                                   default=next(iter(registry)))
         else:
-            server = ServingServer(model_cfg, serving_cfg)
+            lm = _calibrated_latency_model(model_cfg) if need_lm else None
+            server = ServingServer(model_cfg, serving_cfg, latency_model=lm)
             server.start()
             ingress = HttpIngress(server, host=args.host, port=args.port)
         ingress.start()
@@ -271,23 +317,8 @@ def main(argv=None):
 
         import jax
 
-        lm = None
-        if serving_cfg.engine_backend == "sim":
-            # Calibrated-sim: drive SimEngines with the model's measured
-            # TPU ladder (benchmarks/characterization/, the reference's
-            # accel-simulation pattern fed with OUR hardware data).
-            from pathlib import Path
-
-            from deeprecsys_tpu.serving.latency_model import LatencyModel
-
-            char = (Path(__file__).parent.parent / "benchmarks" /
-                    "characterization" / f"tpu_{model_cfg.model_name}.json")
-            if not char.exists():
-                raise SystemExit(
-                    f"engine_backend=sim needs a characterization file at {char}; "
-                    "run tools/tpu_workqueue.py or experiments.sweep first")
-            lm = LatencyModel.load(char)
-            print(f"[deeprecsys_tpu] sim engines calibrated from {char}", flush=True)
+        lm = (_calibrated_latency_model(model_cfg)
+              if serving_cfg.engine_backend == "sim" else None)
         profiler_ctx = (
             jax.profiler.trace(args.profile_dir) if args.enable_profiling
             else contextlib.nullcontext()

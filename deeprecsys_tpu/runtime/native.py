@@ -33,7 +33,10 @@ def _build() -> Path:
     if out.exists():
         return out
     out.parent.mkdir(parents=True, exist_ok=True)
-    tmp = out.with_suffix(".so.tmp")
+    # Per-process tmp name: concurrent cold-cache builds (separate CLI
+    # jobs, cpu-mp children) must not interleave writes into one file
+    # before the atomic os.replace.
+    tmp = out.with_suffix(f".so.tmp.{os.getpid()}")
     subprocess.run(
         ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(tmp)],
         check=True, capture_output=True,

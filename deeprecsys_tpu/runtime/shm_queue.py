@@ -18,8 +18,11 @@ from deeprecsys_tpu.runtime import native
 from deeprecsys_tpu.serving.packets import ServiceRequest, ServiceResponse
 
 # kind: 0=request, 1=response, 2=sentinel(None)
-_FMT = "<BB7i4d"  # kind, exp, [consumer,epoch,batch,bsz,sub,total,out], 4 times
-assert struct.calcsize(_FMT) <= 64
+# Padded to EXACTLY the 64-byte slot: the C++ side memcpy's 64 bytes from
+# the buffer (drs_runtime.cpp drs_ring_push), so a shorter bytes object
+# would be over-read past its allocation.
+_FMT = "<BB7i4d2x"  # kind, exp, [consumer,epoch,batch,bsz,sub,total,out], 4 times, pad
+assert struct.calcsize(_FMT) == 64
 
 _K_REQUEST, _K_RESPONSE, _K_SENTINEL = 0, 1, 2
 

@@ -382,8 +382,12 @@ def export_serving_params(params: dict, cfg: ModelConfig,
     )
 
     tables = params["tables"]
-    if not isinstance(tables, jax.Array):
+    if isinstance(tables, dict):  # {"q"/"qrows", ...} layouts
         raise ValueError("params already quantized")
+    # Accept numpy leaves too: load_params (utils/checkpoint.py) restores
+    # checkpoints as np.ndarray, and the train->checkpoint->quantize->serve
+    # path must work.
+    tables = jnp.asarray(tables)
     if table_quant == "int8_rowwise":
         new_tables = {"qrows": quantize_rowwise_int8(tables)}
     elif table_quant == "int8":

@@ -68,6 +68,9 @@ def time_step_chain(
         leaves = jax.tree_util.tree_leaves(out)
         return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
 
+    if iters < 2:
+        raise ValueError("iters must be >= 2: the two-point slope needs "
+                         "distinct chain lengths")
     fn = jax.jit(chain, device=device)
     n_lo, n_hi = max(iters // 8, 1), iters
     float(fn(n_hi, init_carry, *args))  # compile + warm

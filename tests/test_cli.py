@@ -136,3 +136,45 @@ def test_serve_mode_sigterm_shutdown(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_serve_mode_sim_calibrated(tmp_path):
+    """--serve with engine_backend=sim auto-loads the model's TPU
+    characterization (it used to crash at startup: the calibrated-sim
+    loader was only wired into --queue)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "deeprecsys_tpu.main", "--model", "rm1",
+         "--table_scale", "2000", "--serve", "--port", "0",
+         "--engine_backend", "sim", "--inference_engines", "1",
+         "--max_mini_batch_size", "8", "--sub_task_batch_size", "8"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        port = None
+        calibrated = False
+        deadline = time.time() + 120
+        lines = []
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            lines.append(line)
+            calibrated = calibrated or "sim engines calibrated from" in line
+            if "serving on http" in line:
+                port = int(line.split(":")[2].split(" ")[0].split("/")[0])
+                break
+        assert port, lines[-5:]
+        assert calibrated, lines
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/infer",
+            data=json.dumps({"batch_size": 4}).encode())
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert json.loads(r.read())["batch_size"] == 4
+    finally:
+        proc.kill()
+        proc.wait(timeout=30)

@@ -143,3 +143,22 @@ def test_synthetic_mode_deterministic_and_stateful(tmp_path):
     # via equality with an identically-seeded continuing twin instead.
     b2 = g2.generate_batch(8)
     np.testing.assert_array_equal(b1.indices, b2.indices)
+
+
+def test_synthetic_trace_degenerate_raises(tmp_path):
+    """A trace whose distinct residues can never reach L must fail loudly
+    (at engine warm-up) instead of spinning forever in the top-up loop."""
+    import pytest
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.data.trace import write_dist_file
+
+    cfg = zoo.get_config("rm1", table_scale=2000,
+                         num_indices_per_lookup=4)
+    p = tmp_path / "one_line.txt"
+    write_dist_file(p, [7], [0], [1.0])  # a single distinct line
+    gen = RecDataGenerator(cfg, seed=0, data_generation="synthetic",
+                           trace_file=str(p))
+    with pytest.raises(ValueError, match="distinct ids"):
+        gen.generate_batch(2)

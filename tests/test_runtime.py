@@ -216,3 +216,11 @@ def test_trace_short_call_mode_matches_long_stream():
         got = np.percentile(trace_profile(stream)[1], qs)
         assert np.all(np.abs(got - ref) <= np.maximum(3, 0.25 * np.abs(ref) + 3)), \
             (name, got, ref)
+
+
+def test_packet_is_exactly_slot_sized():
+    """The native ring memcpy's exactly 64 bytes per slot; a shorter bytes
+    object would be over-read past its allocation (C++ drs_ring_push)."""
+    from deeprecsys_tpu.runtime.shm_queue import pack_packet
+
+    assert len(pack_packet(None)) == 64

@@ -202,3 +202,23 @@ def test_train_cli_criteo(tmp_path):
     losses = main(["--criteo", str(f), "--criteo_rows_per_table", "3000",
                    "--epochs", "2", "--batch_size", "50", "--sparse_tables"])
     assert len(losses) == 8 and np.isfinite(losses).all()
+
+
+def test_export_after_checkpoint_roundtrip(tmp_path):
+    """train -> save -> load -> quantized export: load_params returns
+    numpy leaves, which export_serving_params must accept (it used to
+    reject them as 'already quantized')."""
+    import jax
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.train import export_serving_params
+    from deeprecsys_tpu.utils.checkpoint import load_params, save_params
+
+    cfg = zoo.get_config("ncf", table_scale=2000)
+    params = get_model(cfg).init(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ckpt.npz"
+    save_params(ckpt, params)
+    restored = load_params(ckpt, params)
+    sp, scfg = export_serving_params(restored, cfg, table_quant="int8_rowwise")
+    assert "qrows" in sp["tables"] and scfg.table_quant == "int8_rowwise"
