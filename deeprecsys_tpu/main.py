@@ -281,15 +281,19 @@ def main(argv=None):
                 m_cfg = (model_cfg if name == model_cfg.model_name else
                          model_config_from_args(args, name=name))
                 lm = _calibrated_latency_model(m_cfg) if need_lm else None
+                # In sim mode the offload engine is simulated too (the
+                # reference's accelerator is always simulated).
                 registry[name] = ServingServer(m_cfg, serving_cfg,
-                                               latency_model=lm)
+                                               latency_model=lm,
+                                               accel_latency_model=lm)
             for s_ in registry.values():
                 s_.start()
             ingress = HttpIngress(registry, host=args.host, port=args.port,
                                   default=next(iter(registry)))
         else:
             lm = _calibrated_latency_model(model_cfg) if need_lm else None
-            server = ServingServer(model_cfg, serving_cfg, latency_model=lm)
+            server = ServingServer(model_cfg, serving_cfg, latency_model=lm,
+                                   accel_latency_model=lm)
             server.start()
             ingress = HttpIngress(server, host=args.host, port=args.port)
         ingress.start()

@@ -62,8 +62,7 @@ def unpack_packet(buf: bytes):
                            exp_packet=bool(exp))
 
 
-class Empty(Exception):
-    pass
+from deeprecsys_tpu.runtime import Empty  # noqa: E402 — canonical home
 
 
 class ShmRingQueue:

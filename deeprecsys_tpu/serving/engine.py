@@ -33,8 +33,8 @@ import threading
 import time
 
 try:
-    from deeprecsys_tpu.runtime.shm_queue import Empty as ShmEmpty
-except Exception:  # native runtime unavailable: alias to the stdlib type
+    from deeprecsys_tpu.runtime import Empty as ShmEmpty  # dependency-free
+except Exception:  # pragma: no cover — defensive
     ShmEmpty = queue.Empty
 
 import jax
@@ -73,6 +73,7 @@ class ComputeEngine(threading.Thread):
         params=None,
         seed: int = 0,
         mesh=None,
+        buckets=None,
     ):
         super().__init__(name=f"engine-{engine_id}", daemon=True)
         self.engine_id = engine_id
@@ -88,18 +89,24 @@ class ComputeEngine(threading.Thread):
         # (tables row-sharded over "model", batch over "data") and buckets
         # must divide the data axis.
         self.mesh = mesh
-        from deeprecsys_tpu.serving.buckets import resolve_buckets
+        if buckets is None:
+            # Pools pass the resolved ladder in (autotuning re-samples the
+            # size distribution — doing it once per engine is N-fold waste).
+            from deeprecsys_tpu.serving.buckets import resolve_buckets
 
+            buckets = resolve_buckets(serving_cfg)
         self.buckets = tuple(
-            b for b in sorted(resolve_buckets(serving_cfg)) if b <= serving_cfg.max_mini_batch_size
+            b for b in sorted(buckets) if b <= serving_cfg.max_mini_batch_size
         ) or (serving_cfg.max_mini_batch_size,)
         if mesh is not None:
             n_data = mesh.shape["data"]
-            # Fallback must itself divide the data axis (hybrid hotcold
-            # asserts B % n_data == 0): round up to the next multiple.
-            self.buckets = tuple(b for b in self.buckets if b % n_data == 0) or (
-                -(-max(self.buckets[-1], n_data) // n_data) * n_data,
-            )
+            # Every bucket must divide the data axis (hybrid hotcold
+            # asserts B % n_data == 0). Round non-divisible buckets UP to
+            # the next multiple — dropping them would silently serve large
+            # requests at a smaller bucket via pick_bucket's cap clamp
+            # (undercompute).
+            self.buckets = tuple(sorted({-(-b // n_data) * n_data
+                                         for b in self.buckets}))
         self._jitted: dict[int, callable] = {}
         self._host_data: dict[int, Batch] = {}
         self._pending: "queue.Queue" = queue.Queue()
@@ -264,6 +271,32 @@ class ComputeEngine(threading.Thread):
 
         completer = threading.Thread(target=self._completion_loop, daemon=True)
         completer.start()
+        try:
+            self._serve_loop()
+        except Exception as e:
+            # A mid-run crash must not deadlock the fabric: with no
+            # consumer, the load generator eventually blocks on the
+            # bounded request queue and the watchdog sees only live
+            # threads. Record the error, then SINK requests until the
+            # shutdown sentinel so the producer can finish; the dropped
+            # requests surface as in-flight loss in the degraded-run
+            # accounting.
+            self.error = e
+            print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id} "
+                  f"crashed mid-run ({e!r}); sinking its queue until "
+                  f"shutdown", flush=True)
+            self._sink_requests()
+        self._pending.put(_SENTINEL)
+        completer.join()
+        self.response_q.put(_SENTINEL)
+
+    def _sink_requests(self):
+        while True:
+            request = self.request_q.get()
+            if request is _SENTINEL or request is None:
+                return
+
+    def _serve_loop(self):
         cfg = self.serving_cfg
         done = False
         carry = None  # request drained during coalescing that didn't fit
@@ -318,9 +351,6 @@ class ComputeEngine(threading.Thread):
                 out = self._jitted[bucket](self.params, dev_batch)
             queue_end = time.time()
             self._pending.put((group, out, queue_start, queue_end))
-        self._pending.put(_SENTINEL)
-        completer.join()
-        self.response_q.put(_SENTINEL)
 
     def _completion_loop(self):
         while True:
@@ -335,6 +365,14 @@ class ComputeEngine(threading.Thread):
             scores = np.asarray(out)
             end = time.time()
             for request in group:
+                # out_batch_size = executed rows attributable to THIS
+                # request (reference measures the output blob,
+                # inferenceEngine.py:52-58): a singleton owns the whole
+                # padded execution; coalesced members report their own
+                # share (summing bucket-size per member would overstate
+                # the execution N-fold).
+                out_rows = (int(scores.shape[0]) if len(group) == 1
+                            else request.batch_size)
                 self.response_q.put(
                     ServiceResponse(
                         consumer_id=self.engine_id,
@@ -345,7 +383,7 @@ class ComputeEngine(threading.Thread):
                         queue_start_time=queue_start,
                         queue_end_time=queue_end,
                         inference_end_time=end,
-                        out_batch_size=int(scores.shape[0]),
+                        out_batch_size=out_rows,
                         sub_id=request.sub_id,
                         total_sub_batches=request.total_sub_batches,
                         exp_packet=request.exp_packet,
@@ -434,6 +472,11 @@ def build_engine_pool(
             return jax.devices("cpu")[0]
         return jax.devices()[0]
 
+    from deeprecsys_tpu.serving.buckets import resolve_buckets
+
+    # Resolve the bucket ladder ONCE for the pool: it is deterministic in
+    # the config, and autotuning re-samples the whole size distribution.
+    buckets = resolve_buckets(cfg)
     engines = []
     for i in range(cfg.inference_engines):
         eid = id_base + i
@@ -446,7 +489,7 @@ def build_engine_pool(
             engines.append(
                 ComputeEngine(eid, model_cfg, cfg, request_q, response_q, ready_q,
                               device=device_for_backend(), params=params,
-                              seed=cfg.seed + eid, mesh=mesh))
+                              seed=cfg.seed + eid, mesh=mesh, buckets=buckets))
     total = cfg.inference_engines
     if cfg.model_accel:
         aid = id_base + total
@@ -457,6 +500,6 @@ def build_engine_pool(
             engines.append(
                 ComputeEngine(aid, model_cfg, cfg, accel_request_q, response_q,
                               ready_q, device=jax.devices()[0], params=params,
-                              seed=cfg.seed + aid))
+                              seed=cfg.seed + aid, buckets=buckets))
         total += 1
     return engines, total

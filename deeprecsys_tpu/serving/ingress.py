@@ -176,8 +176,13 @@ class ServingServer:
                 sub_id=sub_id, total_sub_batches=len(chunks), exp_packet=exp))
         if not pend.event.wait(timeout):
             with self._lock:
-                self._pending.pop(key, None)
-            raise TimeoutError(f"query {batch_id} timed out after {timeout}s")
+                # Re-check under the lock: the router may have delivered
+                # the last sub-response between the wait expiring and here
+                # — a query that completed in time must not 504.
+                if not pend.event.is_set():
+                    self._pending.pop(key, None)
+                    raise TimeoutError(
+                        f"query {batch_id} timed out after {timeout}s")
 
         rs = pend.responses
         end = max(r.inference_end_time for r in rs)
@@ -199,10 +204,7 @@ class ServingServer:
         }
 
     def _route_loop(self):
-        try:
-            from deeprecsys_tpu.runtime.shm_queue import Empty as ShmEmpty
-        except Exception:
-            ShmEmpty = queue.Empty
+        from deeprecsys_tpu.runtime import Empty as ShmEmpty
         while not self._stop.is_set():
             try:
                 r = self.response_q.get(timeout=0.2)
@@ -249,7 +251,9 @@ def _health(server: ServingServer) -> dict:
            "buckets": list(buckets) if buckets else None}
     counts = {}
     for e in server.engines:
-        for b, c in getattr(e, "bucket_counts", {}).items():
+        # Snapshot: the engine thread may insert a new bucket key while we
+        # iterate (dict() of a mutating dict is safe; iteration is not).
+        for b, c in dict(getattr(e, "bucket_counts", {})).items():
             counts[b] = counts.get(b, 0) + c
     if counts:
         out["bucket_executions"] = {str(k): v for k, v in sorted(counts.items())}
@@ -300,10 +304,12 @@ def _make_handler(registry: dict[str, ServingServer], default: str):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("body must be a JSON object")
                 batch_size = int(payload["batch_size"])
                 if batch_size < 1:
                     raise ValueError("batch_size must be >= 1")
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             try:

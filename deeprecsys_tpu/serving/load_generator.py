@@ -120,10 +120,7 @@ class LoadGenerator(threading.Thread):
     def _drain_and_settle(self):
         # Queues may be stdlib Queues or native shm rings; each raises its
         # own Empty type on get_nowait.
-        try:
-            from deeprecsys_tpu.runtime.shm_queue import Empty as ShmEmpty
-        except Exception:  # native runtime unavailable
-            ShmEmpty = queue.Empty
+        from deeprecsys_tpu.runtime import Empty as ShmEmpty
         for q in (self.request_q, self.accel_request_q):
             while True:
                 try:

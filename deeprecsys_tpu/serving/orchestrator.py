@@ -109,6 +109,7 @@ def run_serving(
 
     agg = ResponseAggregator(cfg.req_granularity)
     finished = 0
+    shutdown_injected = False
     # Watchdog: the reference hangs forever if an engine dies mid-run
     # (SURVEY §5 "a crashed engine would hang the run"); we abort after a
     # quiet period once the load generator has exited with no live engine.
@@ -122,6 +123,22 @@ def run_serving(
             live_engines = any(e.is_alive() for e in engines) or any(
                 p.is_alive() for p in procs
             )
+            if (not loadgen.is_alive() and loadgen.error is not None
+                    and not shutdown_injected):
+                # The load generator DIED (it only sends done-sentinels on
+                # clean completion), so live engines would block on
+                # request_q.get() forever. Inject the sentinels it never
+                # sent; engines drain, the loop completes, and the
+                # loadgen error is raised after the joins below.
+                shutdown_injected = True
+                print("[deeprecsys_tpu] WARNING: load generator died "
+                      f"({loadgen.error!r}); shutting engines down",
+                      flush=True)
+                for _ in range(cfg.inference_engines):
+                    request_q.put(None)
+                if cfg.model_accel:
+                    accel_request_q.put(None)
+                continue
             if not loadgen.is_alive() and not live_engines:
                 if finished > 0:
                     # Partial failure: every engine has exited and at least

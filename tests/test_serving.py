@@ -610,3 +610,76 @@ def test_auto_buckets_cover_all_tuning_configs():
         sub_task_batch_size=64, bucket_policy="auto",
     )
     assert max(autotune_buckets(cfg2)) == 64
+
+
+def test_loadgen_death_shuts_engines_down():
+    """If the load generator dies mid-run (e.g. a bad size-distribution
+    file), live engines used to block on request_q.get() forever — the
+    watchdog only handled the all-engines-dead quadrant. Now it injects
+    the missing shutdown sentinels and surfaces the loadgen error."""
+    import pytest
+
+    from deeprecsys_tpu.serving import run_serving
+    from deeprecsys_tpu.serving.latency_model import LatencyModel
+
+    model_cfg = zoo.get_config("ncf", table_scale=5000)
+    cfg = ServingConfig(
+        num_batches=8, nepochs=1, inference_engines=2, engine_backend="sim",
+        batch_size_distribution="file", batch_dist_file="/nonexistent/dist",
+        avg_arrival_rate_ms=1.0, max_mini_batch_size=32,
+        sub_task_batch_size=16, req_granularity=4, seed=5,
+    )
+    lm = LatencyModel([1, 32], [0.05, 0.2])
+    with pytest.raises(RuntimeError, match="load generator failed"):
+        run_serving(model_cfg, cfg, latency_model=lm, settle_s=0.01,
+                    watchdog_s=1.0)
+
+
+def test_engine_midrun_crash_completes_degraded():
+    """A ComputeEngine whose serving loop raises must sink its queue (so
+    the producer can finish) and still send its done-sentinel."""
+    import queue as _q
+
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    model_cfg = zoo.get_config("ncf", table_scale=5000)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8)
+    req_q, resp_q, ready_q = _q.Queue(), _q.Queue(), _q.Queue()
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q)
+
+    def boom():
+        raise RuntimeError("injected mid-run failure")
+
+    eng._serve_loop = boom
+    eng.start()
+    assert not isinstance(ready_q.get(timeout=120), Exception)
+    # Producer keeps feeding; a crashed engine must consume (sink) these.
+    for i in range(5):
+        req_q.put(ServiceRequest(batch_id=i, epoch=0, arrival_time=0.0,
+                                 batch_size=8, sub_id=0, total_sub_batches=1))
+    req_q.put(None)  # shutdown sentinel
+    assert resp_q.get(timeout=60) is None  # done-sentinel despite the crash
+    eng.join(timeout=30)
+    assert not eng.is_alive()
+    assert isinstance(eng.error, RuntimeError)
+    assert req_q.qsize() == 0  # queue fully drained
+
+
+def test_mesh_buckets_round_up_not_drop():
+    """Non-divisible buckets round UP to the data axis instead of being
+    dropped — dropping the cap bucket silently served large requests at a
+    smaller bucket (undercompute)."""
+    import queue as _q
+
+    from deeprecsys_tpu.parallel import make_mesh
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+
+    model_cfg = zoo.get_config("ncf", table_scale=5000)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8, 64, 118, 997),
+                        max_mini_batch_size=1024)
+    mesh = make_mesh(data=8, model=1)
+    eng = ComputeEngine(0, model_cfg, cfg, _q.Queue(), _q.Queue(), _q.Queue(),
+                        mesh=mesh)
+    assert eng.buckets == (8, 64, 120, 1000)  # rounded, none dropped
