@@ -20,3 +20,7 @@ for m in rm1 rm2 rm3 wnd mtwnd ncf din dien; do
       --num-batches "${QPS_BATCHES:-96}" --sla-ms "${SLA_MS:-25}"
 done
 echo "experiment artifacts written to benchmarks/"
+
+# Render the figures from the recorded artifacts (reference png analog).
+python -m deeprecsys_tpu.experiments.plots
+echo "figures written to benchmarks/png/"
