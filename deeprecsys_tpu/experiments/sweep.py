@@ -80,8 +80,9 @@ def main(argv=None):
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    tpu_devices = [d for d in jax.devices() if d.platform != "cpu"]
-    accel = tpu_devices[0] if tpu_devices else jax.devices()[0]
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+
+    accel = pick_accel_device()
 
     speedup_table = {}
     for name in args.models:
@@ -95,10 +96,23 @@ def main(argv=None):
                     f"--cpu-only batch mismatch for {name}: recorded TPU ladder "
                     f"is {r['batch_sizes']}, requested {list(args.batches)} — "
                     "speedups would silently misalign")
+            # Same guard for table_scale (recorded by newer sweeps; legacy
+            # files lack it — warn rather than die, but never divide
+            # silently across operating points).
+            rec_scale = r.get("table_scale")
+            if rec_scale is not None and rec_scale != args.table_scale:
+                raise SystemExit(
+                    f"--cpu-only table_scale mismatch for {name}: recorded "
+                    f"TPU sweep used {rec_scale}, requested {args.table_scale}")
+            if rec_scale is None:
+                print(f"# WARNING: {tpu_path} predates table_scale recording; "
+                      f"verify it was measured at table_scale={args.table_scale}",
+                      flush=True)
         else:
             r = sweep_model(name, accel, args.batches, args.table_scale, "bfloat16")
             (out_dir / f"tpu_{name}.json").write_text(json.dumps(
-                {"batch_sizes": r["batch_sizes"], "latencies_ms": r["latencies_ms"], "base": 4.0}))
+                {"batch_sizes": r["batch_sizes"], "latencies_ms": r["latencies_ms"],
+                 "base": 4.0, "table_scale": args.table_scale, "dtype": "bfloat16"}))
             print(f"tpu {name}: " + " ".join(f"{b}:{l:.2f}ms" for b, l in
                                              zip(r["batch_sizes"], r["latencies_ms"])), flush=True)
         if args.cpu or args.cpu_only:

@@ -30,12 +30,10 @@ def log(*a):
 
 
 def job_warm(model):
-    import jax
     import bench
+    from deeprecsys_tpu.utils.devices import pick_accel_device
 
-    tpu = [d for d in jax.devices() if d.platform != "cpu"]
-    device = tpu[0] if tpu else jax.devices()[0]
-    r = bench.measure_model(model, device, 512, 8, "bfloat16", iters=64)
+    r = bench.measure_model(model, pick_accel_device(), 512, 8, "bfloat16", iters=64)
     log(f"warm {model}: {r['latency_ms']:.3f} ms/iter, compile {r['compile_s']:.0f}s")
     return r
 
@@ -340,16 +338,16 @@ def job_gather(variant):
 def job_sweep(model):
     """Batch-ladder characterization on the TPU -> LatencyModel JSON
     (accelerator/generate_data.py analog for our own accelerator)."""
-    import jax
     from deeprecsys_tpu.experiments.sweep import sweep_model
+    from deeprecsys_tpu.utils.devices import pick_accel_device
 
-    tpu = [d for d in jax.devices() if d.platform != "cpu"]
-    device = tpu[0] if tpu else jax.devices()[0]
-    r = sweep_model(model, device, (1, 4, 16, 64, 256, 1024), 8, "bfloat16", iters=16)
+    r = sweep_model(model, pick_accel_device(), (1, 4, 16, 64, 256, 1024), 8,
+                    "bfloat16", iters=16)
     out = Path(__file__).parent.parent / "benchmarks" / "characterization"
     out.mkdir(parents=True, exist_ok=True)
     (out / f"tpu_{model}.json").write_text(json.dumps(
-        {"batch_sizes": r["batch_sizes"], "latencies_ms": r["latencies_ms"], "base": 4.0}))
+        {"batch_sizes": r["batch_sizes"], "latencies_ms": r["latencies_ms"],
+         "base": 4.0, "table_scale": 8, "dtype": "bfloat16"}))
     log(f"sweep {model}: " + " ".join(
         f"{b}:{l:.2f}ms" for b, l in zip(r["batch_sizes"], r["latencies_ms"])))
     return r
@@ -401,8 +399,9 @@ def job_model_hotcold(model, variant):
     from deeprecsys_tpu.ops.embedding import select_hot_ids
     from deeprecsys_tpu.utils.memory import suggest_hot_rows
 
-    tpu = [d for d in jax.devices() if d.platform != "cpu"]
-    device = tpu[0] if tpu else jax.devices()[0]
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+
+    device = pick_accel_device()
     B = 512
     cfg = zoo.get_config(model, table_scale=1, param_dtype="bfloat16",
                          compute_dtype="bfloat16")
@@ -526,13 +525,11 @@ def job_serving_auto(model):
 
 def job_full(model, quant="none"):
     """Bench one model at FULL production table sizes (table_scale=1)."""
-    import jax
     import bench
+    from deeprecsys_tpu.utils.devices import pick_accel_device
 
-    tpu = [d for d in jax.devices() if d.platform != "cpu"]
-    device = tpu[0] if tpu else jax.devices()[0]
-    r = bench.measure_model(model, device, 512, 1, "bfloat16", iters=32,
-                            table_quant=quant)
+    r = bench.measure_model(model, pick_accel_device(), 512, 1, "bfloat16",
+                            iters=32, table_quant=quant)
     log(f"full-scale {model} (quant={quant}): {r['latency_ms']:.3f} ms/iter "
         f"({r['samples_per_s']:.0f} samples/s), compile {r['compile_s']:.0f}s")
     return r
@@ -664,12 +661,29 @@ JOBS = [
 ]
 
 
+def _save_state(done: dict):
+    """Atomic: a kill mid-write must not corrupt the resume state (hours
+    of cached remote compiles hang off this file)."""
+    import os
+
+    STATE.parent.mkdir(exist_ok=True)
+    tmp = STATE.with_suffix(f".tmp.{os.getpid()}")
+    tmp.write_text(json.dumps(done, indent=2))
+    os.replace(tmp, STATE)
+
+
 def main():
-    max_jobs = int(sys.argv[1]) if len(sys.argv) > 1 else 99
+    args = [a for a in sys.argv[1:] if a != "--retry-errors"]
+    retry_errors = "--retry-errors" in sys.argv[1:]
+    max_jobs = int(args[0]) if args else 99
     done = json.loads(STATE.read_text()) if STATE.exists() else {}
     ran = 0
     for name, fn in JOBS:
-        if name in done:
+        prior = done.get(name)
+        failed = isinstance(prior, dict) and "error" in prior
+        # Completed jobs always skip; FAILED jobs (e.g. a transient relay
+        # timeout) re-run under --retry-errors instead of being poisoned.
+        if name in done and not (retry_errors and failed):
             continue
         if ran >= max_jobs:
             break
@@ -681,11 +695,11 @@ def main():
             done[name] = {"error": str(e)[:500]}
         else:
             done[name] = result
-        STATE.parent.mkdir(exist_ok=True)
-        STATE.write_text(json.dumps(done, indent=2))
+        _save_state(done)
         ran += 1
-    log(f"{sum(1 for k in done if 'error' not in (done[k] or {}))} ok / {len(done)} done "
-        f"of {len(JOBS)} jobs")
+    n_err = sum(1 for k in done if isinstance(done[k], dict) and "error" in done[k])
+    log(f"{len(done) - n_err} ok / {len(done)} done of {len(JOBS)} jobs"
+        + (f" ({n_err} FAILED; re-run with --retry-errors)" if n_err else ""))
 
 
 if __name__ == "__main__":

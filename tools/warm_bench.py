@@ -9,15 +9,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
-import jax
-
 import bench
+from deeprecsys_tpu.utils.devices import pick_accel_device
 
 
 def main():
     models = sys.argv[1:] or list(bench.MODELS)
-    tpu = [d for d in jax.devices() if d.platform != "cpu"]
-    device = tpu[0] if tpu else jax.devices()[0]
+    device = pick_accel_device()
     for name in models:
         r = bench.measure_model(name, device, 512, 8, "bfloat16", iters=64)
         print(f"warmed {name}: {r['latency_ms']:.3f} ms/iter "
