@@ -11,8 +11,17 @@ Concat[gru_hidden, profile, ad, context] = H + 3*m (:414-426), all-ReLU.
 TPU-native redesign: both RNNs are ``jax.lax.scan`` loops with the input
 projection hoisted into one large MXU matmul (ops/rnn.py); the per-step
 FC+softmax gate is a single batched matmul over the (T_b, B, H) tensor.
-``initial_h`` is zeros (the reference feeds zeros per request through a
-dedicated BlobsQueue, :156-194).
+
+Ragged histories: the reference plumbs per-request ``seq_lengths`` and
+``initial_h`` through dedicated BlobsQueues (:112-132, :156-194) even
+though every shipped config feeds the constant T_b and zeros. The same
+contract is exposed here as optional ``seq_lengths``/``initial_h``
+arguments on ``apply``/``apply_from_pooled``: a masked scan freezes each
+request's hidden state at its own length (Caffe2 recurrent-net semantics),
+so a padded batched run scores each request exactly as an unpadded run of
+its own length (``test_models.py::test_dien_variable_length_histories``).
+Defaults (None) preserve the shipped constant-length behavior and the
+dense fast path.
 """
 
 from __future__ import annotations
@@ -40,7 +49,9 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
     }
 
 
-def apply_from_pooled(params: dict, emb: jax.Array, batch: Batch, cfg: ModelConfig) -> jax.Array:
+def apply_from_pooled(params: dict, emb: jax.Array, batch: Batch, cfg: ModelConfig,
+                      seq_lengths: jax.Array | None = None,
+                      initial_h: jax.Array | None = None) -> jax.Array:
     T = cfg.num_tables
     profile = emb[:, 0, :]
     behavior = emb[:, 1 : T - 2, :]  # (B, T_b, m)
@@ -48,16 +59,21 @@ def apply_from_pooled(params: dict, emb: jax.Array, batch: Batch, cfg: ModelConf
     ctx = emb[:, T - 1, :]
 
     seq = jnp.transpose(behavior, (1, 0, 2))  # time-major (T_b, B, m)
-    out0, _ = basic_rnn_scan(params["rnn0"], seq)  # (T_b, B, H)
+    out0, _ = basic_rnn_scan(params["rnn0"], seq, h0=initial_h,
+                             seq_lengths=seq_lengths)  # (T_b, B, H)
     gate = jnp.dot(out0, params["gate_fc"]["w"],
                    preferred_element_type=jnp.float32).astype(out0.dtype)
     gate = jax.nn.softmax(gate + params["gate_fc"]["b"], axis=2)
     gated = out0 + gate  # reference brew.sum of rnn_0 output and softmax gate
-    _, last = basic_rnn_scan(params["rnn1"], gated)  # (B, H)
+    _, last = basic_rnn_scan(params["rnn1"], gated, h0=initial_h,
+                             seq_lengths=seq_lengths)  # (B, H)
 
     z = jnp.concatenate([last, profile, ad, ctx], axis=1)  # (B, H + 3m)
     return mlp_apply(params["top"], z)  # all-ReLU
 
 
-def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
-    return apply_from_pooled(params, pooled_lookup(params["tables"], batch, cfg), batch, cfg)
+def apply(params: dict, batch: Batch, cfg: ModelConfig,
+          seq_lengths: jax.Array | None = None,
+          initial_h: jax.Array | None = None) -> jax.Array:
+    return apply_from_pooled(params, pooled_lookup(params["tables"], batch, cfg),
+                             batch, cfg, seq_lengths=seq_lengths, initial_h=initial_h)

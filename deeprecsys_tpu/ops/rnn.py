@@ -30,26 +30,50 @@ def basic_rnn_init(key: jax.Array, input_size: int, hidden_size: int, dtype=jnp.
     }
 
 
-def basic_rnn_scan(params: dict, xs: jax.Array, h0: jax.Array | None = None):
+def basic_rnn_scan(params: dict, xs: jax.Array, h0: jax.Array | None = None,
+                   seq_lengths: jax.Array | None = None):
     """Run the RNN over time-major ``xs`` of shape (T, B, in).
 
     Returns ``(all_hidden (T, B, H), last_hidden (B, H))`` — the same pair
     Caffe2's BasicRNN exposes.
+
+    ``seq_lengths`` (B,) int enables the reference's ragged-history
+    semantics (Caffe2 recurrent nets with a per-element ``seq_lengths``
+    input, ``dien.py:332-344``): once ``t >= seq_lengths[b]`` element b's
+    hidden state stops updating, so ``last_hidden[b]`` equals the state at
+    b's own length — identical to an unpadded run of length
+    ``seq_lengths[b]``. None keeps the dense fast path (no select in the
+    scan body).
     """
     T, B, _ = xs.shape
     H = params["h2h_w"].shape[0]
     out_dtype = xs.dtype
     if h0 is None:
         h0 = jnp.zeros((B, H), dtype=out_dtype)
+    else:
+        h0 = h0.astype(out_dtype)
     # Hoisted input projection: one big matmul instead of T small ones.
     # f32 accumulation throughout; hidden state stored in the input dtype.
     xproj = jnp.dot(xs.reshape(T * B, -1), params["i2h_w"], preferred_element_type=jnp.float32)
     xproj = (xproj + params["i2h_b"].astype(jnp.float32)).reshape(T, B, H)
 
-    def step(h, xp):
+    if seq_lengths is None:
+        def step(h, xp):
+            z = xp + jnp.dot(h, params["h2h_w"], preferred_element_type=jnp.float32)
+            h = jnp.tanh(z + params["h2h_b"].astype(jnp.float32)).astype(out_dtype)
+            return h, h
+
+        last, all_h = jax.lax.scan(step, h0, xproj)
+        return all_h, last
+
+    alive = jnp.arange(T, dtype=jnp.int32)[:, None] < seq_lengths[None, :].astype(jnp.int32)
+
+    def step_masked(h, inp):
+        xp, alive_t = inp
         z = xp + jnp.dot(h, params["h2h_w"], preferred_element_type=jnp.float32)
-        h = jnp.tanh(z + params["h2h_b"].astype(jnp.float32)).astype(out_dtype)
+        new_h = jnp.tanh(z + params["h2h_b"].astype(jnp.float32)).astype(out_dtype)
+        h = jnp.where(alive_t[:, None], new_h, h)
         return h, h
 
-    last, all_h = jax.lax.scan(step, h0, xproj)
+    last, all_h = jax.lax.scan(step_masked, h0, (xproj, alive))
     return all_h, last

@@ -102,3 +102,63 @@ def test_bf16_compute_path():
     batch = RecDataGenerator(cfg, seed=7).generate_batch(4)
     out = np.asarray(model.apply(params, batch).astype(jnp.float32))
     assert np.isfinite(out).all()
+
+
+def test_dien_variable_length_histories():
+    """Ragged DIEN histories (reference seq_lengths queue, dien.py:112-132):
+    a padded batch with per-request seq_lengths must score each request
+    exactly as an UNPADDED run of that request's own history length."""
+    from deeprecsys_tpu.models import dien
+
+    cfg = zoo.get_config("dien", table_scale=SCALE)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    gen = RecDataGenerator(cfg, seed=11)
+    batch = gen.generate_batch(3)
+    T = cfg.num_tables
+    T_b = T - 3
+    lengths = np.array([2, T_b // 2, T_b], dtype=np.int32)
+
+    from deeprecsys_tpu.models.base import pooled_lookup
+
+    emb = pooled_lookup(params["tables"], batch, cfg)
+    padded = np.asarray(dien.apply_from_pooled(
+        params, emb, batch, cfg, seq_lengths=jnp.asarray(lengths)))
+
+    for b, l in enumerate(lengths):
+        # Unpadded run: keep only request b's first l behavior steps
+        # (tables 1..l), plus profile/ad/ctx. Weights are shared across
+        # steps, so the same params apply at any T_b.
+        emb_b = jnp.concatenate(
+            [emb[b : b + 1, :1], emb[b : b + 1, 1 : 1 + l],
+             emb[b : b + 1, T - 2 :]], axis=1)
+        cfg_b = cfg.replace(embedding_rows=cfg.embedding_rows[: int(l) + 3])
+        solo = np.asarray(dien.apply_from_pooled(params, emb_b, None, cfg_b))
+        np.testing.assert_allclose(padded[b : b + 1], solo, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"request {b} (len {l})")
+
+
+def test_dien_seq_lengths_match_oracle():
+    """The masked JAX scan must agree with the oracle's stepwise masked RNN
+    (tests/oracle/np_reference.py::basic_rnn) on ragged histories, with
+    recurrent weights in the stable regime (see test_parity oracle notes)."""
+    from tests.oracle.np_reference import (
+        csr_from_batch, dien_forward, oracle_weights_from_params)
+    from deeprecsys_tpu.models import dien
+
+    cfg = zoo.get_config("dien", table_scale=SCALE)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(2))
+    for rnn in ("rnn0", "rnn1"):
+        params[rnn] = {k: v * 0.05 for k, v in params[rnn].items()}
+    batch = RecDataGenerator(cfg, seed=13).generate_batch(4)
+    T_b = cfg.num_tables - 3
+    lengths = np.array([1, 3, T_b // 2, T_b], dtype=np.int32)
+
+    ours = np.asarray(dien.apply(params, batch, cfg,
+                                 seq_lengths=jnp.asarray(lengths)),
+                      dtype=np.float64)
+    w = oracle_weights_from_params(jax.device_get(params), cfg)
+    S_indices, S_lengths = csr_from_batch(batch.indices)
+    ref = dien_forward(w, S_indices, S_lengths, seq_lengths=lengths)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
