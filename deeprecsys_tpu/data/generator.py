@@ -144,6 +144,14 @@ class RecDataGenerator:
             path = (self.trace_file.replace("@", str(t))
                     if "@" in self.trace_file else self.trace_file)
             la, sd, cdf = trace_mod.read_dist_from_file(path)
+            if la is None:
+                # 2-line file (the reference's shipped profile/sd_cumm,
+                # trace_generator.py:33-45): no line accesses in-file; the
+                # reference bootstraps a random permutation of the table's
+                # rows (trace_generator.py:70). Same here, sized to THIS
+                # table.
+                la = trace_mod.random_line_accesses(
+                    int(self.cfg.scaled_rows[t]), rng=self.rng)
             if self._trace_native:
                 self._trace_cache[t] = trace_mod.NativeLruTrace(
                     la, sd, cdf, seed=int(self.rng.integers(1 << 62)),

@@ -61,12 +61,58 @@ def write_dist_file(path, line_accesses, list_sd, cumm_sd):
 
 
 def read_dist_from_file(path):
+    """Read a stack-distance distribution file, auto-detecting both formats
+    the reference ships:
+
+    - 3-line (``dlrm_data_caffe2.py:355-367``): line accesses, SD support,
+      SD CDF — returned as ``(line_accesses, list_sd, cumm_sd)``.
+    - 2-line (``trace_generator.py:33-45``, the format of the shipped
+      ``profile/sd_cumm`` / ``sd_prob``): SD support, SD values only —
+      returned as ``(None, list_sd, vals)``. The reference synthesizes
+      ``line_accesses`` separately from ``--table_size``
+      (``trace_generator.py:70``); callers here do the same (see
+      :func:`random_line_accesses`).
+    """
     with open(path) as f:
-        lines = f.readlines()
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    if len(lines) == 2:
+        list_sd = [int(float(x)) for x in lines[0].strip().split(",")]
+        vals = [float(x) for x in lines[1].strip().split(",")]
+        return None, list_sd, vals
     line_accesses = [int(float(x)) for x in lines[0].strip().split(",")]
     list_sd = [int(float(x)) for x in lines[1].strip().split(",")]
     cumm_sd = [float(x) for x in lines[2].strip().split(",")]
     return line_accesses, list_sd, cumm_sd
+
+
+def write_dist_file_2line(path, list_sd, vals):
+    """Write the reference's offline 2-line distribution format
+    (``trace_profile.py:67-77`` ``write_dist_to_file``): SD support on
+    line 1, SD probabilities or CDF on line 2 — byte-compatible with the
+    shipped ``profile/sd_cumm`` / ``sd_prob`` consumed by
+    ``trace_generator.py``."""
+    with open(path, "w") as f:
+        f.write(", ".join(str(int(x)) for x in list_sd) + "\n")
+        f.write(", ".join(repr(float(x)) for x in vals) + "\n")
+
+
+def read_trace_file(path):
+    """Read a raw index trace, tolerant of both the reference's shipped
+    comma-separated single-line format (``syn_traces/tbl1``, written by
+    ``trace_generator.py:100-108``) and whitespace/newline-separated ids
+    (``trace_profile.py:32-36`` reads with ``sep=' '``)."""
+    text = open(path).read().replace(",", " ")
+    return np.asarray([int(float(x)) for x in text.split()], dtype=np.int64)
+
+
+def random_line_accesses(table_size: int, rng=None):
+    """The reference's ``line_accesses`` bootstrap for generation from a
+    2-line distribution file: a random permutation of the table's row ids
+    (``trace_generator.py:70`` ``random.sample(range(table_size),
+    table_size)``)."""
+    if rng is None:
+        rng = np.random.default_rng()
+    return [int(x) for x in rng.permutation(table_size)]
 
 
 def generate_stack_distance(cumm_val, cumm_dist, max_i, i, rng, enable_padding=False):
@@ -161,32 +207,53 @@ def main(argv=None):
     p.add_argument("--zipf-alpha", type=float, default=1.05)
     p.add_argument("--samples", type=int, default=100_000)
     p.add_argument("--out", required=True)
+    p.add_argument("--format", choices=("3line", "2line"), default="3line",
+                   help="3line: self-contained (with line accesses, "
+                        "dlrm_data_caffe2.py:355-367); 2line: the reference's "
+                        "offline profile/sd_cumm format (trace_profile.py:67-77)")
+    p.add_argument("--out-prob", default=None,
+                   help="with --format 2line: also write the PDF companion "
+                        "file (the reference's profile/sd_prob)")
 
     g = sub.add_parser("generate", help="distribution file -> synthetic trace")
     g.add_argument("--dist-file", required=True)
     g.add_argument("--length", type=int, required=True)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--out", required=True)
+    g.add_argument("--table-size", type=int, default=1_000_000,
+                   help="for 2-line dist files (no line accesses): table row "
+                        "count to draw the random line-access order from "
+                        "(trace_generator.py:70,119)")
 
     args = ap.parse_args(argv)
     if args.cmd == "profile":
         if args.trace_file:
-            text = open(args.trace_file).read().replace(",", " ")
-            trace = np.asarray([int(x) for x in text.split()], dtype=np.int64)
+            trace = read_trace_file(args.trace_file)
             line_accesses, sds = trace_profile(trace)
-            vals, _pdf, cdf = compute_distributions(sds)
+            vals, pdf, cdf = compute_distributions(sds)
         elif args.zipf_lines > 0:
             line_accesses, vals, cdf = synthesize_zipf_distribution(
                 args.zipf_lines, args.zipf_alpha, args.samples)
+            pdf = None
         else:
             ap.error("need --trace-file or --zipf-lines")
-        write_dist_file(args.out, line_accesses, vals, cdf)
+        if args.format == "2line":
+            write_dist_file_2line(args.out, vals, cdf)
+            if args.out_prob:
+                if pdf is None:
+                    pdf = np.diff(np.asarray(cdf), prepend=0.0).tolist()
+                write_dist_file_2line(args.out_prob, vals, pdf)
+        else:
+            write_dist_file(args.out, line_accesses, vals, cdf)
         print(f"profiled {len(line_accesses)} unique lines, "
               f"{len(vals)} stack-distance bins -> {args.out}")
     else:
+        rng = np.random.default_rng(args.seed)
         line_accesses, list_sd, cumm_sd = read_dist_from_file(args.dist_file)
+        if line_accesses is None:  # 2-line file: synthesize the access order
+            line_accesses = random_line_accesses(args.table_size, rng)
         trace = trace_generate_lru(line_accesses, list_sd, cumm_sd, args.length,
-                                   rng=np.random.default_rng(args.seed))
+                                   rng=rng)
         with open(args.out, "w") as f:
             f.write("\n".join(str(x) for x in trace) + "\n")
         print(f"generated {len(trace)} references over "

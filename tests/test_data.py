@@ -1,3 +1,5 @@
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -118,6 +120,73 @@ def test_trace_cli_roundtrip(tmp_path):
     main(["profile", "--trace-file", str(trace), "--out", str(dist2)])
     la2, _, cdf2 = read_dist_from_file(dist2)
     assert set(la2) <= set(la) and abs(cdf2[-1] - 1.0) < 1e-9
+
+
+REF_DATAGEN = Path("/root/reference/data_generator")
+
+
+@pytest.mark.skipif(not REF_DATAGEN.exists(), reason="reference assets absent")
+def test_reference_shipped_sd_cumm_generates(tmp_path):
+    """The reference's checked-in 2-line profile/sd_cumm
+    (trace_generator.py:33-45 format) must load and drive generation
+    verbatim — a migrating user's first command works unmodified."""
+    la, sd, cdf = trace_mod.read_dist_from_file(REF_DATAGEN / "profile" / "sd_cumm")
+    assert la is None and len(sd) == len(cdf) == 941
+    assert sd[0] == 0 and all(a < b for a, b in zip(sd, sd[1:]))
+    assert abs(cdf[-1] - 1.0) < 1e-6
+
+    out = tmp_path / "trace.txt"
+    trace_mod.main(["generate", "--dist-file",
+                    str(REF_DATAGEN / "profile" / "sd_cumm"),
+                    "--length", "2560", "--table-size", "1000000",
+                    "--out", str(out)])
+    ids = trace_mod.read_trace_file(out)
+    assert len(ids) == 2560
+    assert 0 <= ids.min() and ids.max() < 1_000_000
+    # temporal locality materializes: far fewer uniques than references
+    assert len(set(ids.tolist())) < 2560
+
+
+@pytest.mark.skipif(not REF_DATAGEN.exists(), reason="reference assets absent")
+def test_reference_shipped_tbl1_profiles(tmp_path):
+    """The reference's shipped raw trace syn_traces/tbl1 (single-line,
+    comma-separated, trace_generator.py:100-108) must profile through the
+    CLI into BOTH output formats, and the 2-line output must itself feed
+    generation (the reference's own profile->generate pipeline)."""
+    tbl1 = REF_DATAGEN / "syn_traces" / "tbl1"
+    ids = trace_mod.read_trace_file(tbl1)
+    assert len(ids) == 2560  # 1 batch x 32 mini-batch x 80 pooling
+
+    cumm = tmp_path / "sd_cumm"
+    prob = tmp_path / "sd_prob"
+    trace_mod.main(["profile", "--trace-file", str(tbl1), "--format", "2line",
+                    "--out", str(cumm), "--out-prob", str(prob)])
+    la, sd, cdf = trace_mod.read_dist_from_file(cumm)
+    assert la is None and abs(cdf[-1] - 1.0) < 1e-9
+    _, sd_p, pdf = trace_mod.read_dist_from_file(prob)
+    assert sd_p == sd
+    np.testing.assert_allclose(np.cumsum(pdf), cdf, atol=1e-9)
+
+    out = tmp_path / "regen.txt"
+    trace_mod.main(["generate", "--dist-file", str(cumm), "--length", "512",
+                    "--table-size", "4096", "--out", str(out)])
+    regen = trace_mod.read_trace_file(out)
+    assert len(regen) == 512 and regen.max() < 4096
+
+
+@pytest.mark.skipif(not REF_DATAGEN.exists(), reason="reference assets absent")
+def test_generator_synthetic_mode_accepts_2line_trace_file():
+    """--data_generation synthetic --trace_file <shipped sd_cumm> works
+    end-to-end: the generator bootstraps per-table line accesses from the
+    table's own row count (trace_generator.py:70 analog)."""
+    cfg = zoo.get_config("ncf", table_scale=100)
+    gen = RecDataGenerator(cfg, seed=0, data_generation="synthetic",
+                           trace_file=str(REF_DATAGEN / "profile" / "sd_cumm"))
+    batch = gen.generate_batch(4)
+    assert batch.indices.shape == (4, 4, 1)
+    for t, n in enumerate(cfg.scaled_rows):
+        assert batch.indices[:, t, :].max() < n
+        assert batch.indices[:, t, :].min() >= 0
 
 
 def test_synthetic_mode_deterministic_and_stateful(tmp_path):
