@@ -367,3 +367,91 @@ def test_mesh_hotcold_quantized_matches_plain(quant, axes):
         dev[k] = jax.device_put(jnp.asarray(v), NamedSharding(mesh, spec))
     got = np.asarray(jax.jit(hc.apply)(hc_params, batch, dev))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_descriptor_wall_scaling_counters():
+    """The round-1 scaling claim, checked by code (VERDICT item 8): on a
+    production-shaped workload the per-chip cold-gather DESCRIPTOR count
+    (real slots in the splitter output — each is one HBM row fetch the
+    owning chip issues) divides by the model axis, and per-chip batch
+    work (local pooling segments) divides by the data axis.
+    """
+    from deeprecsys_tpu.models.hotcold import hot_ids_from_generator
+    from deeprecsys_tpu.ops.embedding import (
+        split_hot_cold_hybrid,
+        split_hot_cold_sharded,
+    )
+
+    cfg = zoo.get_config("rm1", table_scale=SCALE)
+    B, T = 64, cfg.num_tables
+    total = int(cfg.total_rows)
+    offsets = np.asarray(cfg.table_offsets)
+    idx = np.asarray(RecDataGenerator(cfg, seed=3).generate_batch(B).indices)
+    hot_ids = hot_ids_from_generator(cfg, seed=5, hot_rows=256, n_batches=2,
+                                     batch_size=64)
+
+    # Row-sharded (pure TP): per-shard descriptors ~ n_cold / M.
+    per_m = {}
+    for M in (1, 2, 4, 8):
+        assert total % M == 0
+        s = split_hot_cold_sharded(idx, offsets, hot_ids, n_shards=M,
+                                   rows_per_shard=total // M)
+        counts = (s["cold_seg"] != B * T).sum(axis=-1)  # real slots/chip
+        assert counts.shape == (M,) and counts.sum() == s["n_cold"]
+        # balanced partition: the busiest chip carries ~1/M of the wall
+        assert counts.max() <= np.ceil(s["n_cold"] / M) * 1.3
+        per_m[M] = int(counts.max())
+    assert per_m[2] <= per_m[1] * 0.65    # halving the wall actually halves
+    assert per_m[8] <= per_m[1] * 0.17    # ... and 8 chips carry ~1/8 each
+
+    # Hybrid (data x model): descriptors divide by D*M, and each chip's
+    # pooling-segment space is the LOCAL batch slice (B/D groups x T).
+    for D, M in ((1, 8), (2, 4), (4, 2), (8, 1)):
+        s = split_hot_cold_hybrid(idx, offsets, hot_ids, n_data=D, n_model=M,
+                                  rows_per_shard=total // M)
+        pad_seg = (B // D) * T
+        counts = (s["cold_seg"] != pad_seg).sum(axis=-1)
+        assert counts.shape == (D, M) and counts.sum() == s["n_cold"]
+        assert counts.max() <= np.ceil(s["n_cold"] / (D * M)) * 1.4
+        real = s["cold_seg"][s["cold_seg"] != pad_seg]
+        assert real.size == 0 or real.max() < pad_seg  # local segment space
+
+
+@pytest.mark.parametrize("M", [2, 8])
+def test_sharded_hotcold_executes_at_mesh_sizes(M):
+    """The divide-by-M claim holds where it executes: the row-sharded
+    hot/cold path produces the exact pooled result on 2- and 8-way model
+    meshes (4-way is covered above)."""
+    from deeprecsys_tpu.ops.embedding import embedding_bag, split_hot_cold_sharded
+    from deeprecsys_tpu.parallel.sharding import sharded_embedding_bag_hotcold
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(M)
+    R, d = 512, 16
+    table_host = rng.normal(size=(R, d)).astype(np.float32)
+    offsets = np.array([0, 200], dtype=np.int64)
+    idx = rng.integers(0, np.array([200, 312])[None, :, None],
+                       size=(8, 2, 6)).astype(np.int32)
+    hot_ids = np.sort(rng.choice(R, size=48, replace=False)).astype(np.int64)
+
+    direct = embedding_bag(jnp.asarray(table_host),
+                           jnp.asarray(offsets, jnp.int32), jnp.asarray(idx))
+    mesh = make_mesh(data=8 // M, model=M)
+    split = split_hot_cold_sharded(idx, offsets, hot_ids, n_shards=M,
+                                   rows_per_shard=R // M)
+    table = jax.device_put(jnp.asarray(table_host),
+                           NamedSharding(mesh, P("model", None)))
+    hot_table = jax.device_put(
+        jnp.take(jnp.asarray(table_host), jnp.asarray(hot_ids, jnp.int32), axis=0),
+        NamedSharding(mesh, P()))
+    dev_split = {
+        "hot_sel": jnp.asarray(split["hot_sel"]),
+        "hot_mask": jnp.asarray(split["hot_mask"]),
+        "cold_local": jax.device_put(jnp.asarray(split["cold_local"]),
+                                     NamedSharding(mesh, P("model", None))),
+        "cold_seg": jax.device_put(jnp.asarray(split["cold_seg"]),
+                                   NamedSharding(mesh, P("model", None))),
+    }
+    got = sharded_embedding_bag_hotcold(hot_table, table, dev_split, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
