@@ -143,9 +143,16 @@ def main():
 
     import jax
 
-    from deeprecsys_tpu.utils.devices import pick_accel_device
+    if args.baseline_only:
+        # The CPU baseline must never touch the TPU relay (a single eager
+        # op against a busy relay can block for minutes); force the host
+        # platform before any backend init.
+        jax.config.update("jax_platforms", "cpu")
+        device = jax.devices("cpu")[0]
+    else:
+        from deeprecsys_tpu.utils.devices import pick_accel_device
 
-    device = pick_accel_device()
+        device = pick_accel_device()
     print(f"# benchmark device: {device}", flush=True)
 
     baseline = (json.loads(BASELINE_PATH.read_text())

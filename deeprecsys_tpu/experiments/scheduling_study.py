@@ -25,33 +25,64 @@ from deeprecsys_tpu.serving.latency_model import LatencyModel
 
 
 def run_study(model_name: str, seeds: int, tune_accel: bool, backend: str,
-              table_scale: int, quick: bool) -> list[dict]:
+              table_scale: int, quick: bool, ref_regime: bool = False) -> list[dict]:
     results = []
     for seed in range(seeds):
-        cfg = ServingConfig(
-            num_batches=64 if quick else 256,
-            nepochs=1,
-            inference_engines=2,
-            engine_backend=backend,
-            avg_arrival_rate_ms=2.0,
-            batch_size_distribution="normal",
-            avg_mini_batch_size=165.0,
-            var_mini_batch_size=16.0,
-            max_mini_batch_size=1024,
-            sub_task_batch_size=64,
-            req_granularity=16 if quick else 64,
-            target_latency_ms=25.0,
-            tune_batch_qps=True,
-            tune_accel_qps=tune_accel,
-            model_accel=tune_accel,
-            batch_configs=(512, 256, 128, 64, 32),
-            accel_configs=(96, 128, 192, 256, 384, 512),
-            arr_steps=6 if quick else 20,
-            sched_timeout=8 if quick else 64,
-            min_arr_range=0.5,
-            max_arr_range=16.0,
-            seed=seed,
-        )
+        if ref_regime:
+            # The reference's own study design, verbatim
+            # (experiments/scheduling/run_Scheduler.sh): 32 engines,
+            # lognormal(5.1, 0.2) query sizes, the 9-entry batch ladder,
+            # arrival 1-20 ms x 50 log steps, req_granularity 64,
+            # sched_timeout 128, 128 epochs x 32 batches of queries.
+            cfg = ServingConfig(
+                num_batches=32,
+                nepochs=128,
+                inference_engines=32,
+                engine_backend=backend,
+                avg_arrival_rate_ms=2.0,
+                batch_size_distribution="lognormal",
+                avg_mini_batch_size=5.1,
+                var_mini_batch_size=0.2,
+                max_mini_batch_size=1024,
+                sub_task_batch_size=64,
+                req_granularity=64,
+                target_latency_ms=25.0,
+                tune_batch_qps=True,
+                tune_accel_qps=tune_accel,
+                model_accel=tune_accel,
+                batch_configs=(512, 384, 256, 192, 128, 96, 64, 48, 32),
+                accel_configs=(96, 128, 192, 256, 384, 512),
+                arr_steps=50,
+                sched_timeout=128,
+                min_arr_range=1.0,
+                max_arr_range=20.0,
+                seed=seed,
+            )
+        else:
+            cfg = ServingConfig(
+                num_batches=64 if quick else 256,
+                nepochs=1,
+                inference_engines=2,
+                engine_backend=backend,
+                avg_arrival_rate_ms=2.0,
+                batch_size_distribution="normal",
+                avg_mini_batch_size=165.0,
+                var_mini_batch_size=16.0,
+                max_mini_batch_size=1024,
+                sub_task_batch_size=64,
+                req_granularity=16 if quick else 64,
+                target_latency_ms=25.0,
+                tune_batch_qps=True,
+                tune_accel_qps=tune_accel,
+                model_accel=tune_accel,
+                batch_configs=(512, 256, 128, 64, 32),
+                accel_configs=(96, 128, 192, 256, 384, 512),
+                arr_steps=6 if quick else 20,
+                sched_timeout=8 if quick else 64,
+                min_arr_range=0.5,
+                max_arr_range=16.0,
+                seed=seed,
+            )
         model_cfg = zoo.get_config(model_name, table_scale=table_scale)
         lm = accel_lm = None
         if backend == "sim":
@@ -81,15 +112,31 @@ def main(argv=None):
     ap.add_argument("--backend", default="sim")
     ap.add_argument("--table-scale", type=int, default=1000)
     ap.add_argument("--full", action="store_true", help="reference-scale run")
+    ap.add_argument("--ref-regime", action="store_true",
+                    help="the reference's exact study design: 32 engines, "
+                         "lognormal(5.1,0.2) queries, 9-entry batch ladder, "
+                         "6 seeds x {cpu-only, cpu+accel} "
+                         "(experiments/scheduling/run_Scheduler.sh)")
     ap.add_argument("--out", default="benchmarks/scheduling_study.json")
     args = ap.parse_args(argv)
+    if args.ref_regime and args.model == "ncf":
+        args.model = "wnd"  # the reference script's model_config
     rows = []
     rows += run_study(args.model, args.seeds, False, args.backend, args.table_scale,
-                      quick=not args.full)
+                      quick=not args.full, ref_regime=args.ref_regime)
     rows += run_study(args.model, args.seeds, True, args.backend, args.table_scale,
-                      quick=not args.full)
-    Path(args.out).parent.mkdir(exist_ok=True)
-    Path(args.out).write_text(json.dumps(rows, indent=2))
+                      quick=not args.full, ref_regime=args.ref_regime)
+    out = Path(args.out)
+    out.parent.mkdir(exist_ok=True)
+    if args.ref_regime and out.exists():
+        # Keep both regimes in the artifact: the default study rows plus
+        # the reference-regime rows, tagged.
+        prior = json.loads(out.read_text())
+        rows = [r for r in prior if not r.get("ref_regime")] + [
+            dict(r, ref_regime=True, model=args.model) for r in rows]
+    elif args.ref_regime:
+        rows = [dict(r, ref_regime=True, model=args.model) for r in rows]
+    out.write_text(json.dumps(rows, indent=2))
 
 
 if __name__ == "__main__":

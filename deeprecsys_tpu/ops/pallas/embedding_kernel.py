@@ -225,3 +225,211 @@ def pallas_embedding_bag(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(flat, packed)
     return out[:n_out].reshape(B, T, d)
+
+
+# ----------------------------------------------------------------------
+# Extent-coalesced variant: amortize DMA descriptors over sorted runs
+# ----------------------------------------------------------------------
+#
+# The per-lookup-DMA kernel above measured 18 Mrows/s vs XLA's 89 — the
+# scalar core cannot issue one descriptor per row fast enough. This
+# variant attacks the descriptor wall directly (VERDICT r1 #4): the host
+# sorts the lookup stream, partitions the packed table into EXT-line
+# extents, and the kernel DMAs each DISTINCT TOUCHED extent once (at the
+# production operating point ~30 lookups share an extent, so descriptors
+# drop ~30x). Per-lookup work is then pure on-chip mask-accumulate into a
+# VMEM-resident (SEGS, 128) accumulator — no per-lookup DMA at all. What
+# remains is the scalar-driven per-lookup loop itself; measuring this
+# kernel therefore bounds the entire per-lookup-scalar kernel family.
+
+
+def coalesce_prepass(flat_ids: np.ndarray, L: int, d: int, itemsize: int,
+                     *, chunk: int = 8192, ext: int = 32,
+                     segs: int | None = None) -> dict:
+    """Host-side structure for ``pallas_embedding_bag_coalesced``.
+
+    Sorts the flat fused row ids, groups them by EXT-line extent of the
+    packed (R/K, 128) table view, and packs per-lookup (seg, sublane,
+    lane-group) into one int32 code word per lookup. The serving analog of
+    the hot/cold host split: O(N log N) on the request path.
+    """
+    K = LANES // d
+    n = flat_ids.size
+    segs = n // L if segs is None else segs
+    seg = np.arange(n, dtype=np.int64) // L
+    order = np.argsort(flat_ids, kind="stable")
+    ids_s = flat_ids[order].astype(np.int64)
+    seg_s = seg[order]
+    line = ids_s // K
+    sub = (line % ext).astype(np.int64)
+    half = (ids_s % K).astype(np.int64)
+    ext_of = line // ext
+    assert segs < (1 << 15) and ext <= 32 and K <= 8
+    code = (seg_s | (sub << 15) | (half << 20)).astype(np.int32)
+
+    n_chunks = (n + chunk - 1) // chunk
+    e_max = max(64, chunk // 8)
+    pad = n_chunks * chunk - n
+    if pad:
+        # Pads join the last real extent and pool into the dummy segment.
+        code = np.concatenate([code, np.full(pad, segs, np.int32)])
+        ext_of = np.concatenate([ext_of, np.full(pad, ext_of[-1] if n else 0)])
+
+    code_all = code
+    ext_line_all = np.zeros(n_chunks * e_max, np.int32)
+    ext_start_all = np.zeros(n_chunks * (e_max + 1), np.int32)
+    n_ext_all = np.zeros(n_chunks, np.int32)
+    max_real = 0
+    for c in range(n_chunks):
+        ce = ext_of[c * chunk:(c + 1) * chunk]
+        uniq, counts = np.unique(ce, return_counts=True)
+        if len(uniq) > e_max:
+            raise ValueError(f"chunk {c}: {len(uniq)} extents > cap {e_max}; "
+                             f"raise ext= or chunk=")
+        max_real = max(max_real, len(uniq))
+        ext_line_all[c * e_max: c * e_max + len(uniq)] = uniq * ext
+        starts = np.zeros(e_max + 1, np.int32)
+        starts[1: len(uniq) + 1] = np.cumsum(counts)
+        starts[len(uniq) + 1:] = starts[len(uniq)]
+        ext_start_all[c * (e_max + 1):(c + 1) * (e_max + 1)] = starts
+        n_ext_all[c] = len(uniq)
+    return {
+        "code": code_all, "ext_line": ext_line_all,
+        "ext_start": ext_start_all, "n_ext": n_ext_all,
+        "chunk": chunk, "e_max": e_max, "ext": ext, "n_chunks": n_chunks,
+        "segs": segs, "K": K, "d": d, "n_lookups": n,
+        "n_dmas": int(n_ext_all.sum()), "max_ext_per_chunk": max_real,
+    }
+
+
+def _coalesced_kernel(n_ext_ref, code_ref, ext_line_ref, ext_start_ref,
+                      packed_hbm, out_ref, ring, sems,
+                      *, EXT, S, D, SEGS_PAD):
+    """One grid step = one chunk of the sorted lookup stream."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    n_ext = n_ext_ref[0]
+
+    def dma(e, slot):
+        return pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(ext_line_ref[e], EXT), :],
+            ring.at[slot], sems.at[slot])
+
+    for j in range(S):
+        @pl.when(j < n_ext)
+        def _():
+            dma(j, j).start()
+
+    sl = jax.lax.broadcasted_iota(jnp.int32, (EXT, LANES), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (EXT, LANES), 1) // D
+
+    def per_extent(e, _):
+        slot = jax.lax.rem(e, S)
+        dma(e, slot).wait()
+        block = ring[slot].astype(jnp.float32)  # (EXT, 128)
+
+        def per_lookup(pos, __):
+            v = code_ref[pos]
+            seg = v & 0x7FFF
+            sub = (v >> 15) & 0x1F
+            half = (v >> 20) & 0x7
+            mask = (sl == sub) & (grp == half)
+            out_ref[seg, :] += jnp.where(mask, block, 0.0).sum(axis=0)
+            return 0
+
+        jax.lax.fori_loop(ext_start_ref[e], ext_start_ref[e + 1], per_lookup, 0)
+
+        @pl.when(e + S < n_ext)
+        def _():
+            dma(e + S, slot).start()
+        return 0
+
+    jax.lax.fori_loop(0, n_ext, per_extent, 0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "chunk", "e_max", "ext", "n_chunks", "segs", "K", "d", "interpret",
+    "pipeline_depth"))
+def _coalesced_call(code, ext_line, ext_start, n_ext, packed,
+                    *, chunk, e_max, ext, n_chunks, segs, K, d,
+                    interpret=False, pipeline_depth=8):
+    SEGS_PAD = -(-(segs + 1) // 8) * 8
+    S = pipeline_depth
+    kernel = functools.partial(_coalesced_kernel, EXT=ext, S=S, D=d,
+                               SEGS_PAD=SEGS_PAD)
+    grid_spec = pl.GridSpec(
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda g: (g,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk,), lambda g: (g,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((e_max,), lambda g: (g,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((e_max + 1,), lambda g: (g,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed table in HBM
+        ],
+        # Constant index map: the f32 accumulator stays VMEM-resident
+        # across all grid steps and is written back once.
+        out_specs=pl.BlockSpec((SEGS_PAD, LANES), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((S, ext, LANES), packed.dtype),
+            pltpu.SemaphoreType.DMA((S,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((SEGS_PAD, LANES), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(n_ext, code, ext_line, ext_start, packed)
+
+
+def pallas_embedding_bag_coalesced(
+    table: jax.Array,
+    offsets: jax.Array,
+    indices: np.ndarray,
+    *,
+    interpret: bool = False,
+    chunk: int = 8192,
+    ext: int = 32,
+    pipeline_depth: int = 8,
+) -> jax.Array:
+    """Extent-coalesced pooled lookup: ``embedding_bag`` semantics with
+    host-sorted lookups and one DMA per distinct touched table extent.
+
+    ``indices`` is a HOST array (the sort/group prepass runs on the host,
+    like the serving hot/cold split). d must divide 128.
+    """
+    B, T, L = indices.shape
+    R, d = table.shape
+    if LANES % d:
+        raise ValueError(f"d={d} must divide {LANES}")
+    K = LANES // d
+    ALIGN = _sublane(table.dtype)
+    if ext % ALIGN:
+        raise ValueError(f"ext={ext} must be a multiple of the {ALIGN}-line "
+                         f"sublane alignment")
+    pad_rows = (-R) % (K * ext)
+    if pad_rows:
+        table = jnp.concatenate([table, jnp.zeros((pad_rows, d), table.dtype)])
+    packed = table.reshape(-1, LANES)
+
+    flat = (np.asarray(indices, np.int64)
+            + np.asarray(offsets, np.int64)[None, :, None]).reshape(-1)
+    pre = coalesce_prepass(flat, L, d, table.dtype.itemsize,
+                           chunk=chunk, ext=ext, segs=B * T)
+    out = _coalesced_call(
+        jnp.asarray(pre["code"]), jnp.asarray(pre["ext_line"]),
+        jnp.asarray(pre["ext_start"]), jnp.asarray(pre["n_ext"]), packed,
+        chunk=pre["chunk"], e_max=pre["e_max"], ext=ext,
+        n_chunks=pre["n_chunks"], segs=pre["segs"], K=K, d=d,
+        interpret=interpret, pipeline_depth=pipeline_depth)
+    segs = B * T
+    folded = out[:segs, :d]
+    for j in range(1, K):
+        folded = folded + out[:segs, j * d:(j + 1) * d]
+    return folded.astype(table.dtype).reshape(B, T, d)

@@ -65,3 +65,39 @@ def test_pallas_embedding_bag_bf16():
         np.asarray(got.astype(jnp.float32)), np.asarray(ref.astype(jnp.float32)),
         rtol=2e-2, atol=1e-2,
     )
+
+
+@pytest.mark.parametrize("B,T,L,d", [(4, 3, 5, 64), (8, 2, 7, 32)])
+def test_pallas_coalesced_matches_xla(B, T, L, d):
+    """Extent-coalesced kernel (one DMA per distinct touched extent of
+    the sorted stream) computes the exact pooled lookup."""
+    from deeprecsys_tpu.ops.pallas.embedding_kernel import (
+        pallas_embedding_bag_coalesced)
+
+    rng = np.random.default_rng(B * d)
+    R = 512
+    table = rng.normal(size=(R, d)).astype(np.float32)
+    row_counts = np.full(T, R // T)
+    offsets = np.concatenate([[0], np.cumsum(row_counts)[:-1]]).astype(np.int32)
+    idx = rng.integers(0, row_counts[None, :, None], size=(B, T, L)).astype(np.int32)
+    want = embedding_bag(jnp.asarray(table), jnp.asarray(offsets), jnp.asarray(idx))
+    got = pallas_embedding_bag_coalesced(jnp.asarray(table), offsets, idx,
+                                         interpret=True, chunk=16, ext=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_coalesced_prepass_counters():
+    """The prepass's own accounting: codes cover all lookups, DMA count
+    equals the number of distinct (chunk, extent) pairs, and duplicate-
+    heavy streams coalesce to far fewer DMAs than lookups."""
+    from deeprecsys_tpu.ops.pallas.embedding_kernel import coalesce_prepass
+
+    rng = np.random.default_rng(0)
+    flat = rng.integers(0, 4096, size=(4096,), dtype=np.int64)
+    pre = coalesce_prepass(flat, 8, 64, 2, chunk=512, ext=16)
+    assert pre["code"].size == pre["n_chunks"] * pre["chunk"]
+    assert pre["n_dmas"] == pre["n_ext"].sum() > 0
+    # 4096 uniform lookups over 4096 rows = 2048 lines = 128 extents:
+    # massive sharing, so DMAs must be far below lookup count.
+    assert pre["n_dmas"] < flat.size // 4

@@ -335,6 +335,62 @@ def job_gather(variant):
             "mrows_s": N / ms * 1e3 / 1e6}
 
 
+def job_gather_coalesced():
+    """Extent-coalesced Pallas kernel (VERDICT r1 #4): sorted lookups, one
+    DMA per distinct 32-line extent (~64 lookups share one at this
+    operating point), VMEM-resident accumulator. Measures whether the
+    per-lookup SCALAR loop — the only per-lookup cost left — can beat the
+    89 Mrows/s XLA gather wall once descriptors are amortized away."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from deeprecsys_tpu.ops.pallas.embedding_kernel import (
+        _coalesced_call, coalesce_prepass)
+
+    B, T, L = 512, 32, 120
+    N = B * T * L
+    R, D = 4_000_000, 64
+    EXT = 32
+    idx_host = np.random.default_rng(0).integers(0, R, size=(N,), dtype=np.int64)
+    pre = coalesce_prepass(idx_host, L, D, 2, chunk=8192, ext=EXT)
+    log(f"prepass: {pre['n_dmas']} DMAs for {N} lookups "
+        f"({N / pre['n_dmas']:.0f} lookups/DMA), "
+        f"{pre['n_chunks']} chunks, max {pre['max_ext_per_chunk']} ext/chunk")
+
+    K = 128 // D
+    n_lines_total = -(-R // (K * EXT)) * EXT  # padded packed height
+    mod = n_lines_total - EXT
+    assert mod % EXT == 0
+    static = dict(chunk=pre["chunk"], e_max=pre["e_max"], ext=EXT,
+                  n_chunks=pre["n_chunks"], segs=pre["segs"], K=K, d=D)
+
+    @jax.jit
+    def prog(n, code, ext_line, ext_start, n_ext):
+        table = jax.random.normal(jax.random.PRNGKey(0), (n_lines_total * K, D),
+                                  jnp.bfloat16)
+        packed = table.reshape(-1, 128)
+
+        def body(i, c):
+            # Shift extent origins by an EXT multiple: same DMA count and
+            # loop structure, iteration-dependent data (no hoisting).
+            el = (ext_line + (i % 64) * EXT * 521) % mod
+            out = _coalesced_call(code, el, ext_start, n_ext, packed, **static)
+            return c + jnp.sum(out)
+
+        return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    ms, cs = _chain_readback(
+        prog, jnp.asarray(pre["code"]), jnp.asarray(pre["ext_line"]),
+        jnp.asarray(pre["ext_start"]), jnp.asarray(pre["n_ext"]), iters=4)
+    log(f"gather pallas_coalesced: {ms:.2f} ms/iter, {N/ms*1e3/1e6:.1f} Mrows/s, "
+        f"{pre['n_dmas']/ms*1e3/1e6:.2f} M DMAs/s, compile {cs:.0f}s")
+    return {"variant": "pallas_coalesced", "ms": ms,
+            "mrows_s": N / ms * 1e3 / 1e6, "n_dmas": pre["n_dmas"],
+            "lookups_per_dma": N / pre["n_dmas"]}
+
+
 def job_sweep(model):
     """Batch-ladder characterization on the TPU -> LatencyModel JSON
     (accelerator/generate_data.py analog for our own accelerator)."""
@@ -658,6 +714,8 @@ JOBS = [
     ("full:dien", lambda: job_full("dien")),
     # Hot/cold split through the full serving stack on real TPU.
     ("serving_hotcold:rm1", lambda: job_serving_hotcold("rm1")),
+    # Round 2: descriptor-wall attack (VERDICT r1 #4)
+    ("gather:pallas_coalesced", job_gather_coalesced),
 ]
 
 
