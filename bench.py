@@ -64,12 +64,25 @@ def measure_model(name: str, device, batch_size: int, table_scale: int,
     host = RecDataGenerator(cfg, seed=0).generate_batch(batch_size)
     rows_np = np.asarray(cfg.scaled_rows, dtype=np.int32)[None, :, None]
 
+    # On the relayed TPU backend param init MUST live inside the single
+    # timed program (every extra dispatch is a slow round trip and
+    # block_until_ready is not a fence). On CPU the opposite holds: init
+    # of multi-GB full-scale tables inside the program adds seconds of
+    # NOISE that swamps the two-point slope for sub-20ms models (measured:
+    # wnd read 94ms, mtwnd 1.1ms vs true 13/20ms), and the host fence is
+    # trustworthy — so init is hoisted out of the timed program there.
+    in_program_init = device.platform != "cpu"
+
     # The trip count is a RUNTIME argument: the loop cannot be unrolled at
     # compile time (a baked-in bound blew remote compiles up by the unroll
     # factor), and one compiled program serves both chain lengths of the
     # two-point slope below.
-    def program(n, seed, dense, indices):
-        params = model.init(jax.random.PRNGKey(seed))
+    # The second positional slot is the init SEED on TPU (traced scalar —
+    # keeps the traced program byte-identical to the round-1 cache-warmed
+    # one) and the pre-built PARAMS pytree on CPU.
+    def program(n, seed_or_params, dense, indices):
+        params = (model.init(jax.random.PRNGKey(seed_or_params))
+                  if in_program_init else seed_or_params)
         rows = jnp.asarray(rows_np)
 
         def body(i, c):
@@ -81,24 +94,30 @@ def measure_model(name: str, device, batch_size: int, table_scale: int,
         return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
     fn = jax.jit(program, device=device)
+    if in_program_init:
+        params_arg = 0
+    else:
+        params_arg = jax.jit(model.init, device=device)(jax.random.PRNGKey(0))
+        jax.block_until_ready(params_arg)
     dense = None if host.dense is None else jax.device_put(jnp.asarray(host.dense), device)
     indices = jax.device_put(jnp.asarray(host.indices), device)
 
     def slope_ms(n_lo, n_hi):
         # Two-point slope: per-iter = (t(n_hi) - t(n_lo)) / (n_hi - n_lo).
-        # Round-trip floor AND in-program init cost cancel exactly.
+        # Round-trip floor (and in-program init cost, where applicable)
+        # cancel exactly.
         best_lo = best_hi = float("inf")
         for _ in range(trials):
             t0 = _time.perf_counter()
-            float(fn(n_lo, 0, dense, indices))
+            float(fn(n_lo, params_arg, dense, indices))
             best_lo = min(best_lo, _time.perf_counter() - t0)
             t0 = _time.perf_counter()
-            float(fn(n_hi, 0, dense, indices))
+            float(fn(n_hi, params_arg, dense, indices))
             best_hi = min(best_hi, _time.perf_counter() - t0)
         return max(best_hi - best_lo, 1e-9) / (n_hi - n_lo) * 1000.0
 
     t0 = _time.perf_counter()
-    float(fn(iters, 0, dense, indices))  # compile + warm
+    float(fn(iters, params_arg, dense, indices))  # compile + warm
     compile_s = _time.perf_counter() - t0
     ms = slope_ms(max(iters // 8, 1), iters)
     # Adaptive: fast models need longer chains to rise above timing noise
