@@ -275,10 +275,15 @@ def coalesce_prepass(flat_ids: np.ndarray, L: int, d: int, itemsize: int,
         code = np.concatenate([code, np.full(pad, segs, np.int32)])
         ext_of = np.concatenate([ext_of, np.full(pad, ext_of[-1] if n else 0)])
 
+    # Rank-1 TPU blocks must be multiples of the array's 1-D tiling —
+    # Mosaic reported tiling (1024) for these int32 metadata arrays, so
+    # the per-chunk stride rounds up to a 1024 multiple. The extent COUNT
+    # is folded into the ext_line row at position e_max (DMA reads are
+    # guarded by e < n_ext, so the count slot is never read as a line).
+    stride = -(-(e_max + 1) // 1024) * 1024
     code_all = code
-    ext_line_all = np.zeros(n_chunks * e_max, np.int32)
-    ext_start_all = np.zeros(n_chunks * (e_max + 1), np.int32)
-    n_ext_all = np.zeros(n_chunks, np.int32)
+    ext_line_all = np.zeros((n_chunks, stride), np.int32)
+    ext_start_all = np.zeros((n_chunks, stride), np.int32)
     max_real = 0
     for c in range(n_chunks):
         ce = ext_of[c * chunk:(c + 1) * chunk]
@@ -287,24 +292,25 @@ def coalesce_prepass(flat_ids: np.ndarray, L: int, d: int, itemsize: int,
             raise ValueError(f"chunk {c}: {len(uniq)} extents > cap {e_max}; "
                              f"raise ext= or chunk=")
         max_real = max(max_real, len(uniq))
-        ext_line_all[c * e_max: c * e_max + len(uniq)] = uniq * ext
-        starts = np.zeros(e_max + 1, np.int32)
-        starts[1: len(uniq) + 1] = np.cumsum(counts)
-        starts[len(uniq) + 1:] = starts[len(uniq)]
-        ext_start_all[c * (e_max + 1):(c + 1) * (e_max + 1)] = starts
-        n_ext_all[c] = len(uniq)
+        ext_line_all[c, : len(uniq)] = uniq * ext
+        ext_line_all[c, e_max] = len(uniq)
+        ext_start_all[c, 1: len(uniq) + 1] = np.cumsum(counts)
+        ext_start_all[c, len(uniq) + 1:] = ext_start_all[c, len(uniq)]
+    ext_line_all = ext_line_all.reshape(-1)
+    ext_start_all = ext_start_all.reshape(-1)
+    n_ext_total = int(ext_line_all.reshape(n_chunks, stride)[:, e_max].sum())
     return {
         "code": code_all, "ext_line": ext_line_all,
-        "ext_start": ext_start_all, "n_ext": n_ext_all,
+        "ext_start": ext_start_all,
         "chunk": chunk, "e_max": e_max, "ext": ext, "n_chunks": n_chunks,
         "segs": segs, "K": K, "d": d, "n_lookups": n,
-        "n_dmas": int(n_ext_all.sum()), "max_ext_per_chunk": max_real,
+        "n_dmas": n_ext_total, "max_ext_per_chunk": max_real,
     }
 
 
-def _coalesced_kernel(n_ext_ref, code_ref, ext_line_ref, ext_start_ref,
+def _coalesced_kernel(code_ref, ext_line_ref, ext_start_ref,
                       packed_hbm, out_ref, ring, sems,
-                      *, EXT, S, D, SEGS_PAD):
+                      *, EXT, S, D, SEGS_PAD, E_MAX):
     """One grid step = one chunk of the sorted lookup stream."""
     g = pl.program_id(0)
 
@@ -312,11 +318,14 @@ def _coalesced_kernel(n_ext_ref, code_ref, ext_line_ref, ext_start_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    n_ext = n_ext_ref[0]
+    n_ext = ext_line_ref[E_MAX]  # count folded into the metadata row
 
     def dma(e, slot):
+        # Extent starts are EXT-aligned by construction; Mosaic needs the
+        # proof to slice the (8,128)-tiled HBM memref at a runtime index.
+        start = pl.multiple_of(ext_line_ref[e], EXT)
         return pltpu.make_async_copy(
-            packed_hbm.at[pl.ds(ext_line_ref[e], EXT), :],
+            packed_hbm.at[pl.ds(start, EXT), :],
             ring.at[slot], sems.at[slot])
 
     for j in range(S):
@@ -341,7 +350,8 @@ def _coalesced_kernel(n_ext_ref, code_ref, ext_line_ref, ext_start_ref,
             out_ref[seg, :] += jnp.where(mask, block, 0.0).sum(axis=0)
             return 0
 
-        jax.lax.fori_loop(ext_start_ref[e], ext_start_ref[e + 1], per_lookup, 0)
+        jax.lax.fori_loop(ext_start_ref[e], ext_start_ref[e + 1],
+                          per_lookup, 0)
 
         @pl.when(e + S < n_ext)
         def _():
@@ -354,20 +364,20 @@ def _coalesced_kernel(n_ext_ref, code_ref, ext_line_ref, ext_start_ref,
 @functools.partial(jax.jit, static_argnames=(
     "chunk", "e_max", "ext", "n_chunks", "segs", "K", "d", "interpret",
     "pipeline_depth"))
-def _coalesced_call(code, ext_line, ext_start, n_ext, packed,
+def _coalesced_call(code, ext_line, ext_start, packed,
                     *, chunk, e_max, ext, n_chunks, segs, K, d,
                     interpret=False, pipeline_depth=8):
     SEGS_PAD = -(-(segs + 1) // 8) * 8
     S = pipeline_depth
+    stride = -(-(e_max + 1) // 1024) * 1024
     kernel = functools.partial(_coalesced_kernel, EXT=ext, S=S, D=d,
-                               SEGS_PAD=SEGS_PAD)
+                               SEGS_PAD=SEGS_PAD, E_MAX=e_max)
     grid_spec = pl.GridSpec(
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1,), lambda g: (g,), memory_space=pltpu.SMEM),
             pl.BlockSpec((chunk,), lambda g: (g,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((e_max,), lambda g: (g,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((e_max + 1,), lambda g: (g,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((stride,), lambda g: (g,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((stride,), lambda g: (g,), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # packed table in HBM
         ],
         # Constant index map: the f32 accumulator stays VMEM-resident
@@ -385,7 +395,7 @@ def _coalesced_call(code, ext_line, ext_start, n_ext, packed,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(n_ext, code, ext_line, ext_start, packed)
+    )(code, ext_line, ext_start, packed)
 
 
 def pallas_embedding_bag_coalesced(
@@ -424,7 +434,7 @@ def pallas_embedding_bag_coalesced(
                            chunk=chunk, ext=ext, segs=B * T)
     out = _coalesced_call(
         jnp.asarray(pre["code"]), jnp.asarray(pre["ext_line"]),
-        jnp.asarray(pre["ext_start"]), jnp.asarray(pre["n_ext"]), packed,
+        jnp.asarray(pre["ext_start"]), packed,
         chunk=pre["chunk"], e_max=pre["e_max"], ext=ext,
         n_chunks=pre["n_chunks"], segs=pre["segs"], K=K, d=d,
         interpret=interpret, pipeline_depth=pipeline_depth)

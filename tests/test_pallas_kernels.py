@@ -97,7 +97,8 @@ def test_pallas_coalesced_prepass_counters():
     flat = rng.integers(0, 4096, size=(4096,), dtype=np.int64)
     pre = coalesce_prepass(flat, 8, 64, 2, chunk=512, ext=16)
     assert pre["code"].size == pre["n_chunks"] * pre["chunk"]
-    assert pre["n_dmas"] == pre["n_ext"].sum() > 0
+    counts = pre["ext_line"].reshape(pre["n_chunks"], -1)[:, pre["e_max"]]
+    assert pre["n_dmas"] == counts.sum() > 0
     # 4096 uniform lookups over 4096 rows = 2048 lines = 128 extents:
     # massive sharing, so DMAs must be far below lookup count.
     assert pre["n_dmas"] < flat.size // 4
