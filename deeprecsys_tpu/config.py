@@ -69,9 +69,9 @@ class ModelConfig:
     # Parameter/compute dtypes (TPU-native addition; reference is f32-only).
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
-    # Embedding lookup implementation: "xla" (gather; default — measured at
-    # the descriptor-rate wall already) or "pallas" (explicit-DMA kernel,
-    # ops/pallas/embedding_kernel.py).
+    # Embedding lookup implementation: "xla" (gather; default — measured AT
+    # the descriptor-rate wall; hand-written Pallas gathers were retired
+    # after losing to it even extent-coalesced, see DESIGN.md §2).
     # "hotcold" (serving only): static VMEM-resident hot row set + compacted
     # cold HBM stream (models/hotcold.py; 1.61x measured on Zipf streams).
     embedding_impl: str = "xla"

@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="divide embedding-table rows (memory-constrained runs)")
     p.add_argument("--param_dtype", type=str, default="float32")
     p.add_argument("--embedding_impl", type=str, default="xla",
-                   choices=["xla", "pallas", "hotcold"],
+                   choices=["xla", "hotcold"],
                    help="sparse-lookup implementation (config.py)")
     p.add_argument("--hot_set_rows", type=int, default=0,
                    help="hotcold hot-set rows; 0 = auto (VMEM-budgeted)")

@@ -110,6 +110,11 @@ def pooled_lookup(tables, batch: Batch, cfg: ModelConfig) -> jax.Array:
             "embedding_impl='hotcold' is a serving-engine path (use --queue/"
             "--serve, or models.hotcold.make_hotcold_model directly); the "
             "plain apply would silently run the xla gather instead")
+    if cfg.embedding_impl != "xla":
+        # "pallas" was retired in round 2 (DESIGN.md §2 closure); anything
+        # else is a typo. Raising beats silently benchmarking xla.
+        raise ValueError(f"unknown embedding_impl {cfg.embedding_impl!r} "
+                         "(valid: 'xla', 'hotcold')")
     if isinstance(tables, dict) and "qrows" in tables:
         # int8 with per-row interleaved scales (trained-table fidelity).
         from deeprecsys_tpu.ops.embedding import embedding_bag_int8_rowwise
@@ -121,10 +126,6 @@ def pooled_lookup(tables, batch: Batch, cfg: ModelConfig) -> jax.Array:
         pooled = embedding_bag(tables["q"], offsets, batch.indices,
                                compute_dtype=jnp.int32)
         return (pooled.astype(jnp.float32) * tables["scale"][None, :, None]).astype(cdt)
-    if cfg.embedding_impl == "pallas":
-        from deeprecsys_tpu.ops.pallas import pallas_embedding_bag
-
-        return pallas_embedding_bag(tables, offsets, batch.indices).astype(cdt)
     return embedding_bag(tables, offsets, batch.indices, compute_dtype=cdt)
 
 

@@ -311,21 +311,6 @@ def job_gather(variant):
             f"compile {cs:.0f}s; direct_zipf (bf16) was 21.9 ms")
         return {"variant": variant, "ms": ms, "mrows_s": N / ms * 1e3 / 1e6}
 
-    elif variant == "pallas":
-        from deeprecsys_tpu.ops.pallas import pallas_embedding_bag
-        B, T, L = 512, 32, 120
-        idx3 = idx_host[: B * T * L].reshape(B, T, L) % (R // T)
-        offs = (np.arange(T) * (R // T)).astype(np.int32)
-        @jax.jit
-        def prog(n, indices, offsets):
-            table = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.bfloat16)
-            def body(i, c):
-                idx = (indices + i) % (R // T)
-                out = pallas_embedding_bag(table, offsets, idx)
-                return c + jnp.sum(out.astype(jnp.float32))
-            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
-        ms, cs = _chain_readback(prog, jnp.asarray(idx3), jnp.asarray(offs), iters=ITERS)
-
     else:
         raise ValueError(variant)
 
@@ -333,71 +318,6 @@ def job_gather(variant):
         f"{N/ms*1e3/1e6:.0f} Mrows/s, compile {cs:.0f}s")
     return {"variant": variant, "ms": ms, "gb_s": useful_bytes / ms * 1e3 / 1e9,
             "mrows_s": N / ms * 1e3 / 1e6}
-
-
-def job_gather_coalesced():
-    """Extent-coalesced Pallas kernel (VERDICT r1 #4): sorted lookups, one
-    DMA per distinct 32-line extent (~64 lookups share one at this
-    operating point), VMEM-resident accumulator. Measures whether the
-    per-lookup SCALAR loop — the only per-lookup cost left — can beat the
-    89 Mrows/s XLA gather wall once descriptors are amortized away."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from jax import lax
-
-    from deeprecsys_tpu.ops.pallas.embedding_kernel import (
-        _coalesced_call, coalesce_prepass)
-
-    B, T, L = 512, 32, 120
-    N = B * T * L
-    R, D = 4_000_000, 64
-    EXT = 32
-    idx_host = np.random.default_rng(0).integers(0, R, size=(N,), dtype=np.int64)
-    pre = coalesce_prepass(idx_host, L, D, 2, chunk=8192, ext=EXT)
-    log(f"prepass: {pre['n_dmas']} DMAs for {N} lookups "
-        f"({N / pre['n_dmas']:.0f} lookups/DMA), "
-        f"{pre['n_chunks']} chunks, max {pre['max_ext_per_chunk']} ext/chunk")
-
-    K = 128 // D
-    n_lines_total = -(-R // (K * EXT)) * EXT  # padded packed height
-    mod = n_lines_total - EXT
-    assert mod % EXT == 0
-    static = dict(chunk=pre["chunk"], e_max=pre["e_max"], ext=EXT,
-                  n_chunks=pre["n_chunks"], segs=pre["segs"], K=K, d=D)
-
-    e_max = pre["e_max"]
-    stride = -(-(e_max + 1) // 1024) * 1024  # must match coalesce_prepass
-    # The extent COUNT lives at metadata position e_max of each chunk row;
-    # shift only the LINE entries, never the count slot.
-    import numpy as _np
-    is_line = _np.tile(_np.arange(stride) < e_max, pre["n_chunks"])
-
-    @jax.jit
-    def prog(n, code, ext_line, ext_start):
-        table = jax.random.normal(jax.random.PRNGKey(0), (n_lines_total * K, D),
-                                  jnp.bfloat16)
-        packed = table.reshape(-1, 128)
-        line_mask = jnp.asarray(is_line)
-
-        def body(i, c):
-            # Shift extent origins by an EXT multiple: same DMA count and
-            # loop structure, iteration-dependent data (no hoisting).
-            el = jnp.where(line_mask,
-                           (ext_line + (i % 64) * EXT * 521) % mod, ext_line)
-            out = _coalesced_call(code, el, ext_start, packed, **static)
-            return c + jnp.sum(out)
-
-        return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
-
-    ms, cs = _chain_readback(
-        prog, jnp.asarray(pre["code"]), jnp.asarray(pre["ext_line"]),
-        jnp.asarray(pre["ext_start"]), iters=4)
-    log(f"gather pallas_coalesced: {ms:.2f} ms/iter, {N/ms*1e3/1e6:.1f} Mrows/s, "
-        f"{pre['n_dmas']/ms*1e3/1e6:.2f} M DMAs/s, compile {cs:.0f}s")
-    return {"variant": "pallas_coalesced", "ms": ms,
-            "mrows_s": N / ms * 1e3 / 1e6, "n_dmas": pre["n_dmas"],
-            "lookups_per_dma": N / pre["n_dmas"]}
 
 
 def job_sweep(model):
@@ -734,7 +654,8 @@ JOBS = [
     ("gather:take128_sorted", lambda: job_gather("take128_sorted")),
     ("gather:take1k", lambda: job_gather("take1k")),
     ("gather:fatrow", lambda: job_gather("fatrow")),
-    ("gather:pallas", lambda: job_gather("pallas")),
+    # gather:pallas / gather:pallas_coalesced — kernels RETIRED after
+    # measurement (DESIGN.md §2 closure); records stay in tpu_work_done.json.
     ("sweep:rm1", lambda: job_sweep("rm1")),
     ("sweep:ncf", lambda: job_sweep("ncf")),
     ("sweep:din", lambda: job_sweep("din")),
@@ -784,7 +705,6 @@ JOBS = [
     # Hot/cold split through the full serving stack on real TPU.
     ("serving_hotcold:rm1", lambda: job_serving_hotcold("rm1")),
     # Round 2: descriptor-wall attack (VERDICT r1 #4)
-    ("gather:pallas_coalesced", job_gather_coalesced),
     # Round 2: re-warm + re-record the FULL-production-scale bench point
     # (now the judged default, VERDICT r1 #2) with the current model code,
     # so the driver's bench.py run hits a warm server-side compile cache.
