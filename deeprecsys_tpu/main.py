@@ -248,6 +248,12 @@ def run_standalone(model_cfg: ModelConfig, args) -> dict:
     t_comp = per_iter_ms * args.num_batches * args.nepochs / 1000.0
 
     total_ms = (t_load + t_comp) * 1000.0
+    # State the semantics IN the output, not just the source: the compute
+    # total is per-iteration chained-readback time x batches (honest on
+    # relayed backends), NOT the sum of per-batch wall-clock the reference
+    # prints — a consumer parsing the *** lines must know which they got.
+    print("(compute total = chained-timing per-iteration x num_batches; "
+          "not per-batch wall-clock — see utils/timing.py)")
     print(f"Total data loading time: *** {t_load * 1000.0:.3f} ms")
     print(f"Total computation time: *** {t_comp * 1000.0:.3f} ms")
     print(f"Total execution time: *** {total_ms:.3f} ms")

@@ -55,6 +55,17 @@ class LatencyModel:
         frac = (logb - logs[j]) / (logs[j + 1] - logs[j])
         return float(self.lat_ms[j] + frac * (self.lat_ms[j + 1] - self.lat_ms[j]))
 
+    def with_overhead(self, a_ms: float, ms_per_sample: float) -> "LatencyModel":
+        """Return a model predicting ``interp(b) + a_ms + ms_per_sample*b``.
+
+        Models a per-dispatch transport cost that is AFFINE IN PAYLOAD
+        (payload bytes scale linearly with batch size): ``a_ms`` is the
+        scalar dispatch floor, ``ms_per_sample`` the per-sample transfer
+        cost. Applied after interpolation — adding it to the ladder points
+        instead would bend the affine term through the log-space chords.
+        """
+        return _OverheadModel(self, float(a_ms), float(ms_per_sample))
+
     # ------------------------------------------------------------------
 
     def to_json(self) -> dict:
@@ -71,6 +82,19 @@ class LatencyModel:
     @classmethod
     def load(cls, path: str | Path) -> "LatencyModel":
         return cls.from_json(json.loads(Path(path).read_text()))
+
+
+class _OverheadModel(LatencyModel):
+    """LatencyModel plus an affine per-dispatch transport term."""
+
+    def __init__(self, base_model: LatencyModel, a_ms: float, ms_per_sample: float):
+        super().__init__(base_model.batches, base_model.lat_ms, base=base_model.base)
+        self.a_ms = a_ms
+        self.ms_per_sample = ms_per_sample
+
+    def predict_ms(self, batch_size: int) -> float:
+        return (super().predict_ms(batch_size)
+                + self.a_ms + self.ms_per_sample * float(batch_size))
 
 
 def characterize_engine(run_fn, batch_sizes=(1, 4, 16, 64, 256, 1024), warmup: int = 2,

@@ -48,6 +48,44 @@ def roundtrip_floor_ms(device=None, trials: int = 5) -> float:
     return floor
 
 
+def payload_floor_fit(device=None, sizes_mb=(0.0, 1.0, 4.0), trials: int = 4) -> dict:
+    """Fit per-dispatch round-trip cost vs HOST->DEVICE payload size:
+    ``ms ~= a_ms + b_ms_per_mb * MB``.
+
+    The scalar floor (``roundtrip_floor_ms``) times an argument already
+    resident on device, so it misses the transport term a serving engine
+    pays on every dispatch (``device_put`` of fresh host index arrays,
+    megabytes for the wide-table models). Each trial uses a DISTINCT host
+    array (a relayed backend may dedupe identical payloads), and the fit
+    is least squares over the per-size medians.
+    """
+    import numpy as np
+
+    if device is None:
+        device = jax.devices()[0]
+    pts_mb, pts_ms = [], []
+    for mb in sizes_mb:
+        n = max(8, int(mb * 1e6 / 4))
+        prog = jax.jit(lambda x: jnp.sum(x), device=device)
+        hosts = []
+        for t in range(trials + 1):
+            a = np.zeros((n,), np.int32)
+            a[: min(64, n)] = t + 1  # distinct content, cheap to build
+            hosts.append(a)
+        float(prog(jax.device_put(hosts[-1], device)))  # compile this shape
+        samples = []
+        for t in range(trials):
+            t0 = time.perf_counter()
+            float(prog(jax.device_put(hosts[t], device)))
+            samples.append((time.perf_counter() - t0) * 1000.0)
+        pts_mb.append(n * 4 / 1e6)
+        pts_ms.append(float(np.median(samples)))
+    A = np.stack([np.ones(len(pts_mb)), np.asarray(pts_mb)], axis=1)
+    (a_ms, b_ms_per_mb), *_ = np.linalg.lstsq(A, np.asarray(pts_ms), rcond=None)
+    return {"a_ms": float(a_ms), "b_ms_per_mb": float(max(b_ms_per_mb, 0.0)),
+            "points_mb": pts_mb, "points_ms": pts_ms}
+
+
 def time_step_chain(
     step_fn: Callable,
     init_carry,

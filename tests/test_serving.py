@@ -74,6 +74,29 @@ def test_latency_model_interpolation():
     assert m2.predict_ms(8) == pytest.approx(3.0)
 
 
+def test_latency_model_payload_overhead():
+    m = LatencyModel([1, 4, 16, 64], [1.0, 2.0, 4.0, 8.0])
+    o = m.with_overhead(a_ms=5.0, ms_per_sample=0.25)
+    # Affine term applies AFTER interpolation, so it stays exact between
+    # ladder points (log-space chords would bend it).
+    assert o.predict_ms(4) == pytest.approx(2.0 + 5.0 + 1.0)
+    assert o.predict_ms(8) == pytest.approx(3.0 + 5.0 + 2.0)
+    assert m.predict_ms(8) == pytest.approx(3.0)  # base model untouched
+
+
+def test_payload_floor_fit_cpu():
+    import jax
+
+    from deeprecsys_tpu.utils.timing import payload_floor_fit
+
+    fit = payload_floor_fit(jax.devices("cpu")[0],
+                            sizes_mb=(0.0, 0.5), trials=2)
+    assert fit["a_ms"] >= 0.0 or abs(fit["a_ms"]) < 5.0  # lstsq noise on fast hosts
+    assert fit["b_ms_per_mb"] >= 0.0
+    assert len(fit["points_ms"]) == 2
+    assert all(p >= 0.0 for p in fit["points_ms"])
+
+
 def test_response_aggregator_joins_sub_batches():
     agg = ResponseAggregator(req_granularity=2)
     def resp(batch_id, sub_id, total, arr, inf, exp=False):

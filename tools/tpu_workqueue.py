@@ -424,6 +424,80 @@ def job_sim_validation(model):
     return out
 
 
+def job_sim_validation2(model):
+    """Calibrated-sim error band with a PAYLOAD-AWARE relay floor.
+
+    Round-1 validation (job_sim_validation) added a scalar dispatch floor
+    to the sim's latency ladder; its two outliers were payload artifacts:
+    rm2's dispatches carry ~2 MB of indices per 128-query sub-batch (the
+    scalar floor underestimates), and the morning-measured floor exceeded
+    dien's at validation time (floor drift). Here BOTH sides run in one
+    session: fit ms = a + b*MB via utils.timing.payload_floor_fit, convert
+    to a per-sample overhead from the model's actual per-sample payload
+    bytes, and compare against a real-TPU run at the same operating point.
+    """
+    import numpy as np
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.serving import run_serving
+    from deeprecsys_tpu.serving.latency_model import LatencyModel
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+    from deeprecsys_tpu.utils.timing import payload_floor_fit
+
+    def mk_cfg(backend):
+        return ServingConfig(
+            num_batches=64, nepochs=1, inference_engines=1,
+            engine_backend=backend, avg_arrival_rate_ms=60.0,
+            batch_size_distribution="normal", avg_mini_batch_size=165.0,
+            var_mini_batch_size=16.0, max_mini_batch_size=1024,
+            sub_task_batch_size=64, batch_buckets=(64, 128, 256, 512, 1024),
+            req_granularity=16, target_latency_ms=25.0, seed=3,
+        )
+
+    m_cfg = zoo.get_config(model, table_scale=8, param_dtype="bfloat16",
+                           compute_dtype="bfloat16")
+    fit = payload_floor_fit(pick_accel_device())
+    b1 = RecDataGenerator(m_cfg, seed=0).generate_batch(1)
+    per_sample_bytes = int(b1.indices.nbytes
+                           + (0 if b1.dense is None else b1.dense.nbytes)
+                           + m_cfg.out_dim * 4)
+    ms_per_sample = fit["b_ms_per_mb"] * per_sample_bytes / 1e6
+    log(f"sim_validate2 {model}: floor fit a={fit['a_ms']:.1f} ms, "
+        f"b={fit['b_ms_per_mb']:.2f} ms/MB, "
+        f"payload {per_sample_bytes} B/sample "
+        f"-> +{ms_per_sample * 128:.1f} ms at bucket 128")
+
+    real = run_serving(m_cfg, mk_cfg("tpu"), settle_s=0.05)
+    log(f"sim_validate2 {model} REAL: QPS={real.measured_qps:.1f} "
+        f"p50={real.p50_ms:.1f} p95={real.p95_ms:.1f} over {real.num_responses}")
+
+    char = Path(__file__).parent.parent / "benchmarks" / "characterization" / f"tpu_{model}.json"
+    lm = LatencyModel.load(char).with_overhead(fit["a_ms"], ms_per_sample)
+    sim = run_serving(m_cfg, mk_cfg("sim"), latency_model=lm, settle_s=0.05)
+    log(f"sim_validate2 {model} SIM(a+{ms_per_sample:.4f}ms/sample): "
+        f"QPS={sim.measured_qps:.1f} p50={sim.p50_ms:.1f} p95={sim.p95_ms:.1f}")
+
+    out = {
+        "model": model, "floor_fit": fit,
+        "per_sample_bytes": per_sample_bytes,
+        "real": {"qps": real.measured_qps, "p50_ms": real.p50_ms,
+                 "p95_ms": real.p95_ms, "n": real.num_responses},
+        "sim": {"qps": sim.measured_qps, "p50_ms": sim.p50_ms,
+                "p95_ms": sim.p95_ms, "n": sim.num_responses},
+        "p95_rel_err": (sim.p95_ms - real.p95_ms) / max(real.p95_ms, 1e-9),
+        "p50_rel_err": (sim.p50_ms - real.p50_ms) / max(real.p50_ms, 1e-9),
+        "qps_rel_err": (sim.measured_qps - real.measured_qps)
+                       / max(real.measured_qps, 1e-9),
+    }
+    vpath = Path(__file__).parent.parent / "benchmarks" / "sim_validation2.json"
+    all_v = json.loads(vpath.read_text()) if vpath.exists() else {}
+    all_v[model] = out
+    vpath.write_text(json.dumps(all_v, indent=2))
+    return out
+
+
 def job_model_hotcold(model, variant):
     """FULL-MODEL forward at production table scale on a Zipf id stream:
     'direct' = standard apply (same-data baseline), 'hotcold' = the
@@ -726,6 +800,17 @@ JOBS = [
     ("sim_validate:ncf", lambda: job_sim_validation("ncf")),
     ("sim_validate:din", lambda: job_sim_validation("din")),
     ("sim_validate:dien", lambda: job_sim_validation("dien")),
+    # Round 2b: payload-aware relay floor (the scalar floor underestimated
+    # rm2's MB-scale index payloads and overestimated dien's; fit
+    # ms = a + b*MB in-session and redo both sides of the comparison).
+    ("sim_validate2:rm1", lambda: job_sim_validation2("rm1")),
+    ("sim_validate2:rm2", lambda: job_sim_validation2("rm2")),
+    ("sim_validate2:rm3", lambda: job_sim_validation2("rm3")),
+    ("sim_validate2:wnd", lambda: job_sim_validation2("wnd")),
+    ("sim_validate2:mtwnd", lambda: job_sim_validation2("mtwnd")),
+    ("sim_validate2:ncf", lambda: job_sim_validation2("ncf")),
+    ("sim_validate2:din", lambda: job_sim_validation2("din")),
+    ("sim_validate2:dien", lambda: job_sim_validation2("dien")),
 ]
 
 
