@@ -57,9 +57,14 @@ def measure_model(name: str, device, batch_size: int, table_scale: int,
     from deeprecsys_tpu.models import get_model
     from deeprecsys_tpu.models.base import Batch
 
+    # table_pack=0 (auto): narrow-row tables (d=32 bf16 = 64-byte rows)
+    # gather at ~43% of the per-DMA wall; packing two logical rows per
+    # 128-byte physical row measured 2.26x (38.1 -> 86.2 Mrows/s,
+    # gather:d32_pack2). Resolves to 1 on the f32 CPU baseline and for
+    # d=64/quantized tables, so only the affected TPU models change.
     cfg = zoo.get_config(name, table_scale=table_scale,
                          param_dtype=param_dtype, compute_dtype=param_dtype,
-                         table_quant=table_quant)
+                         table_quant=table_quant, table_pack=0)
     model = get_model(cfg)
     host = RecDataGenerator(cfg, seed=0).generate_batch(batch_size)
     rows_np = np.asarray(cfg.scaled_rows, dtype=np.int32)[None, :, None]

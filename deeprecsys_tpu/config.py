@@ -85,6 +85,12 @@ class ModelConfig:
     # interleaved into the packed row — trained-table fidelity; see
     # ops/embedding.py quantize_rowwise_int8). TPU-native addition.
     table_quant: str = "none"
+    # Pack this many consecutive logical rows into one physical table row
+    # (ops/embedding.py pack_table): 1 = unpacked, 0 = auto (pack narrow
+    # rows up to 128 bytes — the measured TPU gather wall is per-DMA and
+    # sub-128-byte rows gather at ~half rate). Plain float/bf16 tables
+    # only; int8 layouts have their own packing. TPU-native addition.
+    table_pack: int = 1
     # Divide all table sizes by this factor (testing / memory-constrained runs).
     table_scale: int = 1
 
@@ -125,6 +131,18 @@ class ModelConfig:
     @property
     def total_rows(self) -> int:
         return int(np.sum(self.scaled_rows))
+
+    @property
+    def resolved_table_pack(self) -> int:
+        """table_pack with 0 = auto resolved: pack narrow rows up to one
+        128-byte physical row (the measured per-DMA gather granularity);
+        quantized layouts manage their own packing, so auto stays 1 there."""
+        if self.table_pack != 0:
+            return max(1, self.table_pack)
+        if self.table_quant != "none":
+            return 1
+        itemsize = 2 if self.param_dtype == "bfloat16" else 4
+        return max(1, 128 // (self.sparse_feature_size * itemsize))
 
     @property
     def dense_dim(self) -> int:

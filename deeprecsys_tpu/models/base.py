@@ -88,6 +88,11 @@ def init_tables(key: jax.Array, cfg: ModelConfig):
     if cfg.table_quant == "int8_rowwise":
         return {"qrows": init_fused_tables_int8_rowwise(
             key, cfg.scaled_rows, cfg.sparse_feature_size)}
+    pack = cfg.resolved_table_pack
+    if pack > 1:
+        return {"packed": init_fused_tables(
+            key, cfg.scaled_rows, cfg.sparse_feature_size,
+            param_dtype_of(cfg), pack=pack)}
     return init_fused_tables(key, cfg.scaled_rows, cfg.sparse_feature_size,
                              param_dtype_of(cfg))
 
@@ -115,6 +120,12 @@ def pooled_lookup(tables, batch: Batch, cfg: ModelConfig) -> jax.Array:
         # else is a typo. Raising beats silently benchmarking xla.
         raise ValueError(f"unknown embedding_impl {cfg.embedding_impl!r} "
                          "(valid: 'xla', 'hotcold')")
+    if isinstance(tables, dict) and "packed" in tables:
+        from deeprecsys_tpu.ops.embedding import embedding_bag_packed
+
+        return embedding_bag_packed(tables["packed"], offsets, batch.indices,
+                                    pack=cfg.resolved_table_pack,
+                                    compute_dtype=cdt)
     if isinstance(tables, dict) and "qrows" in tables:
         # int8 with per-row interleaved scales (trained-table fidelity).
         from deeprecsys_tpu.ops.embedding import embedding_bag_int8_rowwise

@@ -106,6 +106,11 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
         tables = params["tables"]
         hid = jnp.asarray(hot_ids, dtype=jnp.int32)
         if isinstance(tables, dict):
+            if "packed" in tables:
+                raise ValueError(
+                    "embedding_impl='hotcold' does not compose with "
+                    "table_pack>1 yet — the cold-stream bags index logical "
+                    "rows; init the model with table_pack=1")
             # Quantized tables compose with the split (int8 rows pack 4x
             # more hot set per byte of VMEM); the hot table is the same
             # layout's rows gathered once at conversion time.

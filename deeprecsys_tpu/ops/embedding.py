@@ -35,18 +35,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def init_fused_tables(key: jax.Array, table_rows, dim: int, dtype=jnp.float32) -> jax.Array:
+def init_fused_tables(key: jax.Array, table_rows, dim: int, dtype=jnp.float32,
+                      pack: int = 1) -> jax.Array:
     """Initialize the fused embedding array for a list of table sizes.
 
     Matches the reference per-table init distribution
     U(-sqrt(1/n), sqrt(1/n)) (``dlrm_s_caffe2.py:295-300``): one uniform
     draw over the fused array, scaled per-row by its table's bound.
+
+    With ``pack > 1`` the array is generated DIRECTLY in the
+    ``pack_table`` layout ``(ceil(R/pack), pack*dim)`` with identical
+    logical values (JAX's counter-based PRNG fills row-major, so the
+    packed draw is a reshape of the unpacked stream; asserted by the
+    packed-vs-unpacked model parity tests). Generating packed avoids
+    materializing both layouts inside an in-program init — the
+    (R,d)->(R/p,p*d) reshape is a tiled-layout shuffle that cost ~2
+    extra HBM-sized copies and OOMed DIN's 46M-row table at full scale.
+    Tail pad rows (never addressed by any lookup) keep their raw draw.
     """
     table_rows = np.asarray(table_rows, dtype=np.int64)
     total = int(table_rows.sum())
     scales = np.repeat(np.sqrt(1.0 / table_rows), table_rows).astype(np.float32)
-    u = jax.random.uniform(key, (total, dim), dtype=jnp.float32, minval=-1.0, maxval=1.0)
-    return (u * scales[:, None]).astype(dtype)
+    if pack <= 1:
+        u = jax.random.uniform(key, (total, dim), dtype=jnp.float32,
+                               minval=-1.0, maxval=1.0)
+        return (u * scales[:, None]).astype(dtype)
+    Rp = -(-total // pack)
+    pad = Rp * pack - total
+    if pad:
+        scales = np.concatenate([scales, np.zeros(pad, np.float32)])
+    u = jax.random.uniform(key, (Rp, pack, dim), dtype=jnp.float32,
+                           minval=-1.0, maxval=1.0)
+    t = (u * jnp.asarray(scales.reshape(Rp, pack))[:, :, None]).astype(dtype)
+    return t.reshape(Rp, pack * dim)
 
 
 def init_fused_tables_int8(key: jax.Array, table_rows, dim: int) -> dict:
@@ -63,6 +84,65 @@ def init_fused_tables_int8(key: jax.Array, table_rows, dim: int) -> dict:
     # quantizing a uniform draw with these scales.
     u = jax.random.randint(key, (total, dim), minval=-127, maxval=128, dtype=jnp.int32)
     return {"q": u.astype(jnp.int8), "scale": jnp.asarray(bounds / 127.0)}
+
+
+def pack_table(table: jax.Array, pack: int) -> jax.Array:
+    """Pack ``pack`` consecutive logical rows into one physical row.
+
+    Measured motivation (benchmarks/README.md "d=32 gather deficit"):
+    the TPU gather wall of ~89 Mrows/s holds for >=128-byte rows, but
+    64-byte rows (d=32 bf16 — rm1/rm3/din and the wide-table zoo) gather
+    at roughly half that. Packing p logical rows into one 128-byte-or-
+    wider physical row keeps one DMA per LOOKUP (gather ``idx // p``)
+    and recovers the wide-row rate at zero extra memory; the ``idx % p``
+    row-select is a tiny one-hot contraction fused by XLA.
+
+    Returns ``(ceil(R/pack), pack*d)``; rows are zero-padded at the end.
+    """
+    if pack <= 1:
+        return table
+    R, d = table.shape
+    Rp = -(-R // pack)
+    pad = Rp * pack - R
+    if pad:
+        table = jnp.concatenate(
+            [table, jnp.zeros((pad, d), table.dtype)], axis=0)
+    return table.reshape(Rp, pack * d)
+
+
+def unpack_table(table_packed: jax.Array, pack: int, total_rows: int) -> jax.Array:
+    """Inverse of ``pack_table``: logical ``(total_rows, d)`` view."""
+    if pack <= 1:
+        return table_packed
+    d = table_packed.shape[1] // pack
+    return table_packed.reshape(-1, d)[:total_rows]
+
+
+def embedding_bag_packed(
+    table_packed: jax.Array,
+    offsets: jax.Array,
+    indices: jax.Array,
+    *,
+    pack: int,
+    compute_dtype=None,
+) -> jax.Array:
+    """``embedding_bag`` over a ``pack_table``-packed array.
+
+    Same contract as ``embedding_bag`` (fused (B, T, L) -> (B, T, d)
+    pooled lookup, reference SparseLengthsSum semantics
+    ``caffe2 sparse_lengths_sum`` as in dlrm_s_caffe2.py:321-333): the
+    physical gather fetches ``flat // pack`` and a one-hot einsum in f32
+    selects logical row ``flat % pack`` before the L-pool.
+    """
+    B, T, L = indices.shape
+    d = table_packed.shape[1] // pack
+    flat = (indices + offsets[None, :, None]).reshape(-1)
+    phys = jnp.take(table_packed, flat // pack, axis=0).reshape(-1, pack, d)
+    sel = jax.nn.one_hot(flat % pack, pack, dtype=phys.dtype)
+    rows = jnp.einsum("npd,np->nd", phys, sel,
+                      preferred_element_type=jnp.float32)
+    cdt = compute_dtype if compute_dtype is not None else table_packed.dtype
+    return rows.astype(cdt).reshape(B, T, L, d).sum(axis=2)
 
 
 def quantize_rowwise_int8(table: jax.Array) -> jax.Array:

@@ -258,6 +258,11 @@ class Trainer:
         if mesh is not None:
             self.params = shard_params(self.params, mesh)
         if sparse_tables:
+            if isinstance(self.params.get("tables"), dict):
+                raise ValueError(
+                    "sparse_tables training needs the logical (R, d) table "
+                    "layout — use table_pack=1 (dense training composes "
+                    "with packing; the touched-rows updates do not yet)")
             rest = {k: v for k, v in self.params.items() if k != "tables"}
             table_acc = jnp.zeros((self.params["tables"].shape[0],), jnp.float32)
             if mesh is not None:

@@ -27,6 +27,35 @@ def test_forward_shape_and_finite(model_and_batch):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.parametrize("name", ["rm1", "din"])
+@pytest.mark.parametrize("pack", [2, 4])
+def test_forward_packed_tables_match(name, pack):
+    """table_pack>1 stores the fused table as (R/p, p*d); the forward is
+    bit-identical at f32 because the same logical values are initialized
+    before packing and the row-select is exact."""
+    cfg = zoo.get_config(name, table_scale=SCALE)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = RecDataGenerator(cfg, seed=7).generate_batch(4)
+    want = np.asarray(model.apply(params, batch))
+
+    cfg_p = zoo.get_config(name, table_scale=SCALE).replace(table_pack=pack)
+    model_p = get_model(cfg_p)
+    params_p = model_p.init(jax.random.PRNGKey(0))
+    assert isinstance(params_p["tables"], dict) and "packed" in params_p["tables"]
+    got = np.asarray(model_p.apply(params_p, batch))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_table_pack_auto_resolution():
+    cfg = zoo.get_config("rm1", table_scale=SCALE)  # d=32
+    assert cfg.replace(table_pack=0, param_dtype="bfloat16").resolved_table_pack == 2
+    assert cfg.replace(table_pack=0).resolved_table_pack == 1          # f32 = 128 B
+    assert cfg.replace(table_pack=0, param_dtype="bfloat16",
+                       table_quant="int8").resolved_table_pack == 1    # quant opts out
+    assert cfg.replace(table_pack=3).resolved_table_pack == 3
+
+
 def test_forward_deterministic_and_jittable(model_and_batch):
     cfg, model, params, batch = model_and_batch
     jit_apply = jax.jit(model.apply)

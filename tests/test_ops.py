@@ -34,6 +34,29 @@ def test_embedding_bag_matches_naive():
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6)
 
 
+@pytest.mark.parametrize("pack,rows_total", [(2, 100), (4, 100), (4, 101)])
+def test_embedding_bag_packed_matches_unpacked(pack, rows_total):
+    """pack_table/embedding_bag_packed: bit-identical to embedding_bag at
+    f32 (the one-hot select is exact), including tail-padded row counts."""
+    from deeprecsys_tpu.ops import embedding_bag_packed, pack_table, unpack_table
+
+    rng = np.random.default_rng(1)
+    d, B, L = 8, 4, 3
+    table = jnp.asarray(rng.normal(size=(rows_total, d)).astype(np.float32))
+    offsets = jnp.asarray(np.array([0, 50, 80], dtype=np.int32))
+    table_rows = [50, 30, rows_total - 80]
+    indices = jnp.asarray(np.stack(
+        [np.stack([rng.integers(0, n, size=L) for n in table_rows]) for _ in range(B)]
+    ).astype(np.int32))
+    packed = pack_table(table, pack)
+    assert packed.shape == (-(-rows_total // pack), pack * d)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_table(packed, pack, rows_total)), np.asarray(table))
+    got = embedding_bag_packed(packed, offsets, indices, pack=pack)
+    want = embedding_bag(table, offsets, indices)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_init_fused_tables_scale_per_table():
     key = jax.random.PRNGKey(0)
     rows = [10, 1000]
