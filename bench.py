@@ -41,7 +41,7 @@ MODELS = ("rm1", "rm2", "rm3", "wnd", "mtwnd", "ncf", "din", "dien")
 
 def measure_model(name: str, device, batch_size: int, table_scale: int,
                   param_dtype: str, iters: int, trials: int = 3,
-                  table_quant: str = "none") -> dict:
+                  table_quant: str = "none", table_pack: int = 0) -> dict:
     """One SELF-CONTAINED jitted program per model: param init + K chained
     data-dependent forward iterations + scalar readback. On relayed
     backends every eagerly-dispatched op costs a slow round trip and every
@@ -64,7 +64,7 @@ def measure_model(name: str, device, batch_size: int, table_scale: int,
     # d=64/quantized tables, so only the affected TPU models change.
     cfg = zoo.get_config(name, table_scale=table_scale,
                          param_dtype=param_dtype, compute_dtype=param_dtype,
-                         table_quant=table_quant, table_pack=0)
+                         table_quant=table_quant, table_pack=table_pack)
     model = get_model(cfg)
     host = RecDataGenerator(cfg, seed=0).generate_batch(batch_size)
     rows_np = np.asarray(cfg.scaled_rows, dtype=np.int32)[None, :, None]

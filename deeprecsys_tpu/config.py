@@ -139,9 +139,12 @@ class ModelConfig:
         quantized layouts manage their own packing, so auto stays 1 there."""
         if self.table_pack != 0:
             return max(1, self.table_pack)
-        if self.table_quant != "none":
+        if self.table_quant == "int8_rowwise" or self.embedding_impl == "hotcold":
+            # The rowwise layout interleaves a scale in each row; the
+            # hot/cold split's cold-stream bags index logical rows.
             return 1
-        itemsize = 2 if self.param_dtype == "bfloat16" else 4
+        itemsize = (1 if self.table_quant == "int8"
+                    else 2 if self.param_dtype == "bfloat16" else 4)
         return max(1, 128 // (self.sparse_feature_size * itemsize))
 
     @property

@@ -26,7 +26,7 @@ DEFAULT_BATCHES = (1, 4, 16, 64, 256, 1024)  # 4^0..4^5 ladder of the reference
 
 
 def sweep_model(name: str, device, batch_sizes, table_scale: int, param_dtype: str,
-                iters: int = 8) -> dict:
+                iters: int = 8, table_pack: int = 0) -> dict:
     import jax
     import jax.numpy as jnp
     from deeprecsys_tpu import zoo
@@ -37,7 +37,8 @@ def sweep_model(name: str, device, batch_sizes, table_scale: int, param_dtype: s
     from deeprecsys_tpu.utils.timing import time_step_chain
 
     cfg = zoo.get_config(name, table_scale=table_scale,
-                         param_dtype=param_dtype, compute_dtype=param_dtype)
+                         param_dtype=param_dtype, compute_dtype=param_dtype,
+                         table_pack=table_pack)
     model = get_model(cfg)
     with jax.default_device(device):
         params = jax.device_put(model.init(jax.random.PRNGKey(0)), device)

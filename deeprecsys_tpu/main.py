@@ -37,9 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--embedding_impl", type=str, default="xla",
                    choices=["xla", "hotcold"],
                    help="sparse-lookup implementation (config.py)")
-    p.add_argument("--table_pack", type=int, default=1,
+    p.add_argument("--table_pack", type=int, default=0,
                    help="pack N logical rows per physical table row "
-                        "(0 = auto to 128-byte rows; narrow-row gather fix)")
+                        "(0 = auto to 128-byte rows — the measured 2x fix "
+                        "for narrow-row gathers; 1 = unpacked)")
     p.add_argument("--hot_set_rows", type=int, default=0,
                    help="hotcold hot-set rows; 0 = auto (VMEM-budgeted)")
     p.add_argument("--table_quant", type=str, default="none",
@@ -113,8 +114,7 @@ def _model_overrides(args) -> dict:
         overrides["hot_set_rows"] = args.hot_set_rows
     if args.table_quant != "none":
         overrides["table_quant"] = args.table_quant
-    if args.table_pack != 1:
-        overrides["table_pack"] = args.table_pack
+    overrides["table_pack"] = args.table_pack
     if args.compute_dtype:
         overrides["compute_dtype"] = args.compute_dtype
     elif args.param_dtype:

@@ -84,7 +84,9 @@ def init_tables(key: jax.Array, cfg: ModelConfig):
     )
 
     if cfg.table_quant == "int8":
-        return init_fused_tables_int8(key, cfg.scaled_rows, cfg.sparse_feature_size)
+        return init_fused_tables_int8(key, cfg.scaled_rows,
+                                      cfg.sparse_feature_size,
+                                      pack=cfg.resolved_table_pack)
     if cfg.table_quant == "int8_rowwise":
         return {"qrows": init_fused_tables_int8_rowwise(
             key, cfg.scaled_rows, cfg.sparse_feature_size)}
@@ -123,9 +125,19 @@ def pooled_lookup(tables, batch: Batch, cfg: ModelConfig) -> jax.Array:
     if isinstance(tables, dict) and "packed" in tables:
         from deeprecsys_tpu.ops.embedding import embedding_bag_packed
 
+        # Pack factor from the ARRAY shape, not the config — loaded
+        # checkpoints keep working whatever the current cfg default is.
+        pack = tables["packed"].shape[1] // cfg.sparse_feature_size
         return embedding_bag_packed(tables["packed"], offsets, batch.indices,
-                                    pack=cfg.resolved_table_pack,
-                                    compute_dtype=cdt)
+                                    pack=pack, compute_dtype=cdt)
+    if isinstance(tables, dict) and "q_packed" in tables:
+        from deeprecsys_tpu.ops.embedding import embedding_bag_packed_int8
+
+        pooled = embedding_bag_packed_int8(tables["q_packed"], offsets,
+                                           batch.indices,
+                                           d=cfg.sparse_feature_size)
+        return (pooled.astype(jnp.float32)
+                * tables["scale"][None, :, None]).astype(cdt)
     if isinstance(tables, dict) and "qrows" in tables:
         # int8 with per-row interleaved scales (trained-table fidelity).
         from deeprecsys_tpu.ops.embedding import embedding_bag_int8_rowwise

@@ -106,7 +106,7 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
         tables = params["tables"]
         hid = jnp.asarray(hot_ids, dtype=jnp.int32)
         if isinstance(tables, dict):
-            if "packed" in tables:
+            if "packed" in tables or "q_packed" in tables:
                 raise ValueError(
                     "embedding_impl='hotcold' does not compose with "
                     "table_pack>1 yet — the cold-stream bags index logical "

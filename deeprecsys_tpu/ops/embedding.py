@@ -70,20 +70,33 @@ def init_fused_tables(key: jax.Array, table_rows, dim: int, dtype=jnp.float32,
     return t.reshape(Rp, pack * dim)
 
 
-def init_fused_tables_int8(key: jax.Array, table_rows, dim: int) -> dict:
+def init_fused_tables_int8(key: jax.Array, table_rows, dim: int,
+                           pack: int = 1) -> dict:
     """Int8 symmetric quantized fused tables with per-table scales.
 
     The reference init is U(-sqrt(1/n), sqrt(1/n)) per table, so a
     per-table scale of sqrt(1/n)/127 is the exact symmetric quantizer for
-    the init distribution. Returns {"q": (R, d) int8, "scale": (T,) f32}.
+    the init distribution. Returns {"q": (R, d) int8, "scale": (T,) f32},
+    or with ``pack > 1`` {"q_packed": (ceil(R/pack), pack*d) int8,
+    "scale"} — generated directly in the ``pack_table`` layout with
+    identical logical values (int8 rows are 32-64 bytes at d=32/64, well
+    under the 128-byte per-DMA gather granularity, so packing matters
+    even more than for bf16).
     """
     table_rows = np.asarray(table_rows, dtype=np.int64)
     total = int(table_rows.sum())
     bounds = np.sqrt(1.0 / table_rows).astype(np.float32)  # per-table max-abs
+    scale = jnp.asarray(bounds / 127.0)
     # Values drawn directly on the int8 grid — identical in distribution to
     # quantizing a uniform draw with these scales.
-    u = jax.random.randint(key, (total, dim), minval=-127, maxval=128, dtype=jnp.int32)
-    return {"q": u.astype(jnp.int8), "scale": jnp.asarray(bounds / 127.0)}
+    if pack <= 1:
+        u = jax.random.randint(key, (total, dim), minval=-127, maxval=128,
+                               dtype=jnp.int32)
+        return {"q": u.astype(jnp.int8), "scale": scale}
+    Rp = -(-total // pack)
+    u = jax.random.randint(key, (Rp, pack * dim), minval=-127, maxval=128,
+                           dtype=jnp.int32)
+    return {"q_packed": u.astype(jnp.int8), "scale": scale}
 
 
 def pack_table(table: jax.Array, pack: int) -> jax.Array:
@@ -143,6 +156,27 @@ def embedding_bag_packed(
                       preferred_element_type=jnp.float32)
     cdt = compute_dtype if compute_dtype is not None else table_packed.dtype
     return rows.astype(cdt).reshape(B, T, L, d).sum(axis=2)
+
+
+def embedding_bag_packed_int8(
+    q_packed: jax.Array,
+    offsets: jax.Array,
+    indices: jax.Array,
+    *,
+    d: int,
+) -> jax.Array:
+    """Pooled lookup over a packed int8 fused table: (B, T, d) in EXACT
+    int32 (dequantize per table after pooling, as the unpacked int8 path
+    does). The int8 x one-hot-int8 einsum accumulates in int32, so the
+    row select is exact."""
+    B, T, L = indices.shape
+    pack = q_packed.shape[1] // d
+    flat = (indices + offsets[None, :, None]).reshape(-1)
+    phys = jnp.take(q_packed, flat // pack, axis=0).reshape(-1, pack, d)
+    sel = jax.nn.one_hot(flat % pack, pack, dtype=jnp.int8)
+    rows = jnp.einsum("npd,np->nd", phys, sel,
+                      preferred_element_type=jnp.int32)
+    return rows.reshape(B, T, L, d).sum(axis=2)
 
 
 def quantize_rowwise_int8(table: jax.Array) -> jax.Array:

@@ -40,14 +40,21 @@ def make_tablewise_model(model: ModelFns, mesh: Mesh,
 
     def convert_params(params):
         tables = params["tables"]
-        if isinstance(tables, dict) and "packed" in tables:
+        if isinstance(tables, dict) and ("packed" in tables or "q_packed" in tables):
             # One-time conversion: restore the logical (R, d) view (a
             # reshape + tail-pad slice) so placement math stays in logical
             # rows; the tablewise layout re-chunks anyway.
             from deeprecsys_tpu.ops.embedding import unpack_table
 
-            tables = unpack_table(tables["packed"], cfg.resolved_table_pack,
-                                  cfg.total_rows)
+            d = cfg.sparse_feature_size
+            if "packed" in tables:
+                tables = unpack_table(tables["packed"],
+                                      tables["packed"].shape[1] // d,
+                                      cfg.total_rows)
+            else:
+                tables = dict(tables, q=unpack_table(
+                    tables["q_packed"], tables["q_packed"].shape[1] // d,
+                    cfg.total_rows))
         fused = tables["qrows"] if quant == "int8_rowwise" else (
             tables["q"] if quant == "int8" else tables)
         tw = build_tablewise_tables(fused, cfg, placement)

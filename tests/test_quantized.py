@@ -56,6 +56,23 @@ def test_int8_model_ranking_tracks_f32(name):
     np.testing.assert_array_equal(out, out2)
 
 
+@pytest.mark.parametrize("name,auto_pack", [("rm1", 4), ("ncf", 2)])
+def test_int8_packed_matches_unpacked(name, auto_pack):
+    """table_pack=0 with int8 tables packs to 128-byte physical rows
+    (d=32 -> 4 rows, d=64 -> 2); outputs are bit-identical to the
+    unpacked int8 model (int32-exact pooling, same PRNG stream)."""
+    cfg_u = zoo.get_config(name, table_scale=SCALE).replace(table_quant="int8")
+    cfg_p = cfg_u.replace(table_pack=0)
+    assert cfg_p.resolved_table_pack == auto_pack
+    m_u, m_p = get_model(cfg_u), get_model(cfg_p)
+    p_u = m_u.init(jax.random.PRNGKey(0))
+    p_p = m_p.init(jax.random.PRNGKey(0))
+    assert "q_packed" in p_p["tables"]
+    batch = RecDataGenerator(cfg_u, seed=1).generate_batch(8)
+    np.testing.assert_array_equal(np.asarray(m_p.apply(p_p, batch)),
+                                  np.asarray(m_u.apply(p_u, batch)))
+
+
 def test_int8_capacity_halving():
     cfg = zoo.get_config("ncf", table_scale=SCALE).replace(table_quant="int8")
     model = get_model(cfg)

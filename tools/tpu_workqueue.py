@@ -338,6 +338,26 @@ def job_sweep(model):
     return r
 
 
+def job_sweep_packed(model):
+    """Re-characterize the batch ladder with row packing (now the serving
+    and bench default for narrow-row models) — overwrites tpu_<model>.json
+    so the LatencyModel/sim/QPS-at-SLA chain reflects the shipped path.
+    The pre-pack ladders are superseded (discard noted in
+    benchmarks/README.md)."""
+    from deeprecsys_tpu.experiments.sweep import sweep_model
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+
+    r = sweep_model(model, pick_accel_device(), (1, 4, 16, 64, 256, 1024), 8,
+                    "bfloat16", iters=16, table_pack=0)
+    out = Path(__file__).parent.parent / "benchmarks" / "characterization"
+    (out / f"tpu_{model}.json").write_text(json.dumps(
+        {"batch_sizes": r["batch_sizes"], "latencies_ms": r["latencies_ms"],
+         "base": 4.0, "table_scale": 8, "dtype": "bfloat16", "table_pack": 0}))
+    log(f"sweep_packed {model}: " + " ".join(
+        f"{b}:{l:.2f}ms" for b, l in zip(r["batch_sizes"], r["latencies_ms"])))
+    return r
+
+
 def job_serving(model):
     """End-to-end TPU serving at (a scaled-down version of) the canonical
     operating point (run_DeepRecSys.sh): normal(165,16) sizes capped 1024,
@@ -690,14 +710,15 @@ def job_serving_auto(model):
     return res.to_dict()
 
 
-def job_full(model, quant="none"):
+def job_full(model, quant="none", pack=0):
     """Bench one model at FULL production table sizes (table_scale=1)."""
     import bench
     from deeprecsys_tpu.utils.devices import pick_accel_device
 
     r = bench.measure_model(model, pick_accel_device(), 512, 1, "bfloat16",
-                            iters=32, table_quant=quant)
-    log(f"full-scale {model} (quant={quant}): {r['latency_ms']:.3f} ms/iter "
+                            iters=32, table_quant=quant, table_pack=pack)
+    log(f"full-scale {model} (quant={quant}, pack={pack}): "
+        f"{r['latency_ms']:.3f} ms/iter "
         f"({r['samples_per_s']:.0f} samples/s), compile {r['compile_s']:.0f}s")
     return r
 
@@ -874,6 +895,24 @@ JOBS = [
     ("full_r2p:ncf", lambda: job_full("ncf")),
     ("full_r2p:din", lambda: job_full("din")),
     ("full_r2p:dien", lambda: job_full("dien")),
+    # Round 2c: packed batch-ladder re-characterization for the six d=32
+    # models (rm2/ncf are d=64: auto pack 1, ladders unchanged).
+    ("sweep_packed:rm1", lambda: job_sweep_packed("rm1")),
+    ("sweep_packed:rm3", lambda: job_sweep_packed("rm3")),
+    ("sweep_packed:wnd", lambda: job_sweep_packed("wnd")),
+    ("sweep_packed:mtwnd", lambda: job_sweep_packed("mtwnd")),
+    ("sweep_packed:din", lambda: job_sweep_packed("din")),
+    ("sweep_packed:dien", lambda: job_sweep_packed("dien")),
+    # Round 2c: int8 + packing composition at full production scale
+    # (int8 rows are 32-64 B; packing matters even more than bf16 —
+    # rm2's d=64 int8 rows pack 2x to reach the 128-byte DMA granule).
+    ("full_int8p:rm1", lambda: job_full("rm1", quant="int8")),
+    ("full_int8p:rm2", lambda: job_full("rm2", quant="int8")),
+    ("full_int8p:din", lambda: job_full("din", quant="int8")),
+    # Control: unpacked int8 at d=64 (rm2) — the packed variant measured
+    # 35 ms, WORSE than bf16; decide the int8 auto-pack rule on data.
+    ("full_int8u:rm2", lambda: job_full("rm2", quant="int8", pack=1)),
+    ("full_int8u:rm1", lambda: job_full("rm1", quant="int8", pack=1)),
 ]
 
 
