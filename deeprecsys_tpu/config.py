@@ -139,9 +139,9 @@ class ModelConfig:
         quantized layouts manage their own packing, so auto stays 1 there."""
         if self.table_pack != 0:
             return max(1, self.table_pack)
-        if self.table_quant == "int8_rowwise" or self.embedding_impl == "hotcold":
-            # The rowwise layout interleaves a scale in each row; the
-            # hot/cold split's cold-stream bags index logical rows.
+        if self.table_quant == "int8_rowwise":
+            # The rowwise layout interleaves a per-row scale, so its rows
+            # are already >=128 bytes wide in the gatherable layout.
             return 1
         itemsize = (1 if self.table_quant == "int8"
                     else 2 if self.param_dtype == "bfloat16" else 4)

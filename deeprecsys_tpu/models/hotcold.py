@@ -105,12 +105,37 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
     def convert_params(params):
         tables = params["tables"]
         hid = jnp.asarray(hot_ids, dtype=jnp.int32)
-        if isinstance(tables, dict):
-            if "packed" in tables or "q_packed" in tables:
-                raise ValueError(
-                    "embedding_impl='hotcold' does not compose with "
-                    "table_pack>1 yet — the cold-stream bags index logical "
-                    "rows; init the model with table_pack=1")
+        out = dict(params)
+        if isinstance(tables, dict) and ("packed" in tables or "q_packed" in tables):
+            # Row-packed layouts (pack_table) compose with the split: the
+            # cold stream gathers >=128-byte physical rows at full
+            # descriptor rate while the hot table is materialized UNPACKED
+            # (K, d) once at conversion (exact one-hot select; int8 via
+            # int32). See ops.embedding.hotcold_cold_rows.
+            from deeprecsys_tpu.ops.embedding import (
+                select_packed_rows,
+                unpack_table,
+            )
+
+            key = "packed" if "packed" in tables else "q_packed"
+            arr = tables[key]
+            pack = arr.shape[1] // cfg.sparse_feature_size
+            if mesh is not None and rows_per_shard % pack:
+                # Shard boundaries don't align to the pack factor, so
+                # shard-local logical->physical id math would cross shards.
+                # Serve unpacked instead (one-time reshape, same bytes).
+                import warnings
+
+                warnings.warn(
+                    f"hotcold: rows_per_shard {rows_per_shard} not divisible "
+                    f"by table_pack {pack}; serving the cold table unpacked")
+                unpacked = unpack_table(arr, pack, cfg.total_rows)
+                out["tables"] = (unpacked if key == "packed"
+                                 else {"q": unpacked, "scale": tables["scale"]})
+                hot_table = jnp.take(unpacked, hid, axis=0)
+            else:
+                hot_table = select_packed_rows(arr, hid, pack).astype(arr.dtype)
+        elif isinstance(tables, dict):
             # Quantized tables compose with the split (int8 rows pack 4x
             # more hot set per byte of VMEM); the hot table is the same
             # layout's rows gathered once at conversion time.
@@ -118,7 +143,8 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
             hot_table = jnp.take(tables[key2d], hid, axis=0)
         else:
             hot_table = jnp.take(tables, hid, axis=0)
-        return dict(params, hot_table=hot_table)
+        out["hot_table"] = hot_table
+        return out
 
     def prepare(batch: Batch) -> dict:
         idx = np.asarray(batch.indices)
@@ -147,6 +173,10 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
 
         cdt = compute_dtype_of(cfg)
         tables = params["tables"]
+
+        def pack_of(arr):
+            return arr.shape[1] // cfg.sparse_feature_size
+
         if mesh is not None:
             from deeprecsys_tpu.parallel.sharding import (
                 hybrid_embedding_bag_hotcold,
@@ -158,6 +188,14 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
             if isinstance(tables, dict) and "qrows" in tables:
                 pooled = bag(params["hot_table"], tables["qrows"], split, mesh,
                              compute_dtype=cdt, rowwise=True)
+            elif isinstance(tables, dict) and "packed" in tables:
+                pooled = bag(params["hot_table"], tables["packed"], split, mesh,
+                             compute_dtype=cdt, pack=pack_of(tables["packed"]))
+            elif isinstance(tables, dict) and "q_packed" in tables:
+                pooled = bag(params["hot_table"], tables["q_packed"], split,
+                             mesh, compute_dtype=cdt,
+                             table_scale=tables["scale"],
+                             pack=pack_of(tables["q_packed"]))
             elif isinstance(tables, dict):
                 pooled = bag(params["hot_table"], tables["q"], split, mesh,
                              compute_dtype=cdt, table_scale=tables["scale"])
@@ -169,6 +207,14 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
         if isinstance(tables, dict) and "qrows" in tables:
             pooled = embedding_bag_hotcold_int8_rowwise(
                 params["hot_table"], tables["qrows"], split, compute_dtype=cdt)
+        elif isinstance(tables, dict) and "packed" in tables:
+            pooled = embedding_bag_hotcold(
+                params["hot_table"], tables["packed"], split, compute_dtype=cdt,
+                pack=pack_of(tables["packed"]))
+        elif isinstance(tables, dict) and "q_packed" in tables:
+            pooled = embedding_bag_hotcold_int8(
+                params["hot_table"], tables["q_packed"], tables["scale"], split,
+                compute_dtype=cdt, pack=pack_of(tables["q_packed"]))
         elif isinstance(tables, dict):
             pooled = embedding_bag_hotcold_int8(
                 params["hot_table"], tables["q"], tables["scale"], split,

@@ -131,6 +131,27 @@ def unpack_table(table_packed: jax.Array, pack: int, total_rows: int) -> jax.Arr
     return table_packed.reshape(-1, d)[:total_rows]
 
 
+def select_packed_rows(table_packed: jax.Array, flat_ids: jax.Array,
+                       pack: int) -> jax.Array:
+    """Gather logical rows from a ``pack_table`` layout: one >=128-byte
+    physical descriptor per lookup (``flat // pack``), then an exact
+    one-hot einsum selects logical row ``flat % pack``.
+
+    Returns (N, d) rows widened to the exact accumulator: float tables ->
+    float32, int8 tables -> int32 (int8 x one-hot-int8 accumulates in
+    int32, so quantized selects stay bit-exact).
+    """
+    d = table_packed.shape[1] // pack
+    phys = jnp.take(table_packed, flat_ids // pack, axis=0).reshape(-1, pack, d)
+    if table_packed.dtype == jnp.int8:
+        sel = jax.nn.one_hot(flat_ids % pack, pack, dtype=jnp.int8)
+        return jnp.einsum("npd,np->nd", phys, sel,
+                          preferred_element_type=jnp.int32)
+    sel = jax.nn.one_hot(flat_ids % pack, pack, dtype=phys.dtype)
+    return jnp.einsum("npd,np->nd", phys, sel,
+                      preferred_element_type=jnp.float32)
+
+
 def embedding_bag_packed(
     table_packed: jax.Array,
     offsets: jax.Array,
@@ -150,10 +171,7 @@ def embedding_bag_packed(
     B, T, L = indices.shape
     d = table_packed.shape[1] // pack
     flat = (indices + offsets[None, :, None]).reshape(-1)
-    phys = jnp.take(table_packed, flat // pack, axis=0).reshape(-1, pack, d)
-    sel = jax.nn.one_hot(flat % pack, pack, dtype=phys.dtype)
-    rows = jnp.einsum("npd,np->nd", phys, sel,
-                      preferred_element_type=jnp.float32)
+    rows = select_packed_rows(table_packed, flat, pack)
     cdt = compute_dtype if compute_dtype is not None else table_packed.dtype
     return rows.astype(cdt).reshape(B, T, L, d).sum(axis=2)
 
@@ -167,15 +185,11 @@ def embedding_bag_packed_int8(
 ) -> jax.Array:
     """Pooled lookup over a packed int8 fused table: (B, T, d) in EXACT
     int32 (dequantize per table after pooling, as the unpacked int8 path
-    does). The int8 x one-hot-int8 einsum accumulates in int32, so the
-    row select is exact."""
+    does)."""
     B, T, L = indices.shape
     pack = q_packed.shape[1] // d
     flat = (indices + offsets[None, :, None]).reshape(-1)
-    phys = jnp.take(q_packed, flat // pack, axis=0).reshape(-1, pack, d)
-    sel = jax.nn.one_hot(flat % pack, pack, dtype=jnp.int8)
-    rows = jnp.einsum("npd,np->nd", phys, sel,
-                      preferred_element_type=jnp.int32)
+    rows = select_packed_rows(q_packed, flat, pack)
     return rows.reshape(B, T, L, d).sum(axis=2)
 
 
@@ -423,12 +437,26 @@ def hotcold_quant_modes(table, table_scale, rowwise, compute_dtype):
     return lambda rows: rows.astype(cdt), cdt, lambda pooled: pooled
 
 
+def hotcold_cold_rows(table, ids, row_fn, pool_dtype, pack: int = 1):
+    """Cold-stream gather for ALL hotcold bags. With ``pack > 1`` the cold
+    table is in ``pack_table`` layout: each cold lookup costs one
+    >=128-byte physical descriptor (2.26x the 64-byte-row descriptor rate
+    for the d=32 models, gather:d32_pack2) and the exact one-hot select
+    replaces ``row_fn`` (the widened select IS the poolable value). The
+    rowwise layout interleaves scales in the row and never packs."""
+    if pack <= 1:
+        return row_fn(jnp.take(table, ids, axis=0))
+    return select_packed_rows(table, ids, pack).astype(pool_dtype)
+
+
 def _embedding_bag_hotcold_impl(hot_table, table, split, *, compute_dtype,
-                                table_scale=None, rowwise=False) -> jax.Array:
-    """One body for the three single-device hotcold bags: hot hits gather
-    from the VMEM-sized hot table and mask-pool; the compacted cold stream
-    pays the HBM descriptors and segment-sums into the (B*T, d) output
-    (pad slots target the dropped segment B*T)."""
+                                table_scale=None, rowwise=False,
+                                pack: int = 1) -> jax.Array:
+    """One body for the single-device hotcold bags: hot hits gather from
+    the VMEM-sized hot table (always unpacked (K, d)-layout rows) and
+    mask-pool; the compacted cold stream pays the HBM descriptors and
+    segment-sums into the (B*T, d) output (pad slots target the dropped
+    segment B*T)."""
     row_fn, pool_dtype, finish = hotcold_quant_modes(
         table, table_scale, rowwise, compute_dtype)
     hot_sel, hot_mask = split["hot_sel"], split["hot_mask"]
@@ -437,7 +465,8 @@ def _embedding_bag_hotcold_impl(hot_table, table, split, *, compute_dtype,
     hot_rows = hot_rows * hot_mask.reshape(-1, 1).astype(pool_dtype)
     pooled_hot = hot_rows.reshape(B, T, L, -1).sum(axis=2)
 
-    cold_rows = row_fn(jnp.take(table, split["cold_ids"], axis=0))
+    cold_rows = hotcold_cold_rows(table, split["cold_ids"], row_fn,
+                                  pool_dtype, pack)
     pooled_cold = jax.ops.segment_sum(
         cold_rows, split["cold_seg"], num_segments=B * T + 1
     )[: B * T].reshape(B, T, -1)
@@ -445,15 +474,18 @@ def _embedding_bag_hotcold_impl(hot_table, table, split, *, compute_dtype,
 
 
 def embedding_bag_hotcold(hot_table: jax.Array, table: jax.Array, split: dict,
-                          *, compute_dtype=None) -> jax.Array:
+                          *, compute_dtype=None, pack: int = 1) -> jax.Array:
     """Pooled lookup over a hot/cold split (see ``split_hot_cold``).
 
     HBM gather descriptors = C_pad (the cold count) instead of B*T*L; hot
     hits gather from the VMEM-sized (K, d) hot table; cold rows are
-    segment-summed straight into the (B*T, d) pooled output.
+    segment-summed straight into the (B*T, d) pooled output. With
+    ``pack > 1`` the cold ``table`` is in ``pack_table`` layout (the two
+    serving wins compose: compacted cold stream x full-rate >=128-byte
+    descriptors); ``hot_table`` stays unpacked.
     """
     return _embedding_bag_hotcold_impl(hot_table, table, split,
-                                       compute_dtype=compute_dtype)
+                                       compute_dtype=compute_dtype, pack=pack)
 
 
 def quantize_pertable_int8(table: jax.Array, table_rows) -> dict:
@@ -580,7 +612,8 @@ def split_hot_cold_hybrid(indices: np.ndarray, offsets: np.ndarray,
 
 
 def embedding_bag_hotcold_int8(hot_q: jax.Array, q: jax.Array, scale: jax.Array,
-                               split: dict, *, compute_dtype=jnp.float32) -> jax.Array:
+                               split: dict, *, compute_dtype=jnp.float32,
+                               pack: int = 1) -> jax.Array:
     """Hot/cold pooled lookup over per-TABLE int8 tables — the two winning
     serving optimizations composed: VMEM hot set (int8 rows are 4x more of
     them per byte of VMEM) + compacted cold stream, with EXACT int32
@@ -589,13 +622,15 @@ def embedding_bag_hotcold_int8(hot_q: jax.Array, q: jax.Array, scale: jax.Array,
 
     Args:
       hot_q: (K, d) int8 hot rows (q[hot_ids]).
-      q: (R, d) int8 fused table.
+      q: (R, d) int8 fused table, or with ``pack > 1`` the
+        ``init_fused_tables_int8(pack=...)`` q_packed (ceil(R/pack),
+        pack*d) layout (the int8 x one-hot select is exact int32).
       scale: (T,) float32 per-table scales.
       split: from ``split_hot_cold``.
     """
     return _embedding_bag_hotcold_impl(hot_q, q, split,
                                        compute_dtype=compute_dtype,
-                                       table_scale=scale)
+                                       table_scale=scale, pack=pack)
 
 
 def embedding_bag_hotcold_int8_rowwise(hot_packed: jax.Array, packed: jax.Array,

@@ -37,6 +37,7 @@ from deeprecsys_tpu.models.base import Batch
 # Dequant plumbing shared with the single-device bags (one definition for
 # all five hotcold bag variants).
 from deeprecsys_tpu.ops.embedding import hotcold_quant_modes as _hotcold_quant_modes
+from deeprecsys_tpu.ops.embedding import hotcold_cold_rows as _hotcold_cold_rows
 
 
 # ----------------------------------------------------------------------
@@ -136,6 +137,7 @@ def sharded_embedding_bag_hotcold(
     compute_dtype=None,
     table_scale=None,
     rowwise: bool = False,
+    pack: int = 1,
 ) -> jax.Array:
     """Hot/cold pooled lookup over a ROW-SHARDED table (mesh axis "model").
 
@@ -149,6 +151,11 @@ def sharded_embedding_bag_hotcold(
     Batch is replicated (pure tensor-parallel serving mode): the cold
     stream's pooling groups span the whole batch, which is what lets the
     host partition it by row owner instead of by batch shard.
+
+    With ``pack > 1`` the cold table is in ``pack_table`` layout sharded
+    over its PHYSICAL rows; shard-local logical ids map to local physical
+    rows iff rows_per_shard % pack == 0 (asserted by the caller,
+    models/hotcold.py).
     """
     from jax import shard_map
 
@@ -162,7 +169,8 @@ def sharded_embedding_bag_hotcold(
     pooled_hot = hot_rows.reshape(B, T, L, -1).sum(axis=2)
 
     def local_fn(table_shard, cold_local, cold_seg):
-        rows = row_fn(jnp.take(table_shard, cold_local[0], axis=0))
+        rows = _hotcold_cold_rows(table_shard, cold_local[0], row_fn,
+                                  pool_dtype, pack)
         partial = jax.ops.segment_sum(rows, cold_seg[0], num_segments=B * T + 1)
         return jax.lax.psum(partial[None, : B * T], "model")
 
@@ -185,6 +193,7 @@ def hybrid_embedding_bag_hotcold(
     compute_dtype=None,
     table_scale=None,
     rowwise: bool = False,
+    pack: int = 1,
 ) -> jax.Array:
     """Hot/cold pooled lookup on the full HYBRID (data x model) mesh.
 
@@ -213,7 +222,8 @@ def hybrid_embedding_bag_hotcold(
 
     def local_fn(table_shard, cold_local, cold_seg):
         # table_shard (R/M, dim); cold_local/cold_seg (1, 1, C_pad)
-        rows = row_fn(jnp.take(table_shard, cold_local[0, 0], axis=0))
+        rows = _hotcold_cold_rows(table_shard, cold_local[0, 0], row_fn,
+                                  pool_dtype, pack)
         partial = jax.ops.segment_sum(rows, cold_seg[0, 0],
                                       num_segments=b_loc * T + 1)
         # (1, b_loc*T, dim): psum over "model" completes this data shard.

@@ -193,6 +193,64 @@ def test_hotcold_all_cold_and_all_hot_edges():
     np.testing.assert_allclose(np.asarray(got2), np.asarray(direct2), rtol=1e-5)
 
 
+@pytest.mark.parametrize("pack", [2, 4])
+def test_hotcold_packed_matches_unpacked(pack):
+    """Packed cold table composes with the hot/cold split: same result as
+    the unpacked hotcold bag and the direct lookup (f32 reassociation
+    tolerance only)."""
+    from deeprecsys_tpu.ops.embedding import (
+        embedding_bag_hotcold,
+        pack_table,
+        split_hot_cold,
+    )
+
+    rng = np.random.default_rng(21)
+    table = jnp.asarray(rng.normal(size=(200, 8)).astype(np.float32))
+    offsets = np.array([0, 120], dtype=np.int32)
+    idx = rng.integers(0, [[120], [80]], size=(6, 2, 5)).astype(np.int32)
+    hot_ids = np.sort(rng.choice(200, size=24, replace=False)).astype(np.int64)
+    split = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+             for k, v in split_hot_cold(idx, offsets, hot_ids).items()}
+    hot_table = jnp.take(table, jnp.asarray(hot_ids, dtype=jnp.int32), axis=0)
+    direct = embedding_bag(table, jnp.asarray(offsets), jnp.asarray(idx))
+    unpacked = embedding_bag_hotcold(hot_table, table, split)
+    got = embedding_bag_hotcold(hot_table, pack_table(table, pack), split,
+                                pack=pack)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(unpacked))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_hotcold_packed_int8_matches_unpacked():
+    """Per-table int8 packed cold table: the int8 x one-hot select and
+    int32 pooling are exact, so packed == unpacked bit-for-bit."""
+    from deeprecsys_tpu.ops.embedding import (
+        embedding_bag_hotcold_int8,
+        pack_table,
+        select_packed_rows,
+        split_hot_cold,
+    )
+
+    rng = np.random.default_rng(22)
+    q = jnp.asarray(rng.integers(-127, 128, size=(200, 8)).astype(np.int8))
+    scale = jnp.asarray(rng.uniform(0.01, 0.1, size=2).astype(np.float32))
+    offsets = np.array([0, 120], dtype=np.int32)
+    idx = rng.integers(0, [[120], [80]], size=(6, 2, 5)).astype(np.int32)
+    hot_ids = np.sort(rng.choice(200, size=24, replace=False)).astype(np.int64)
+    split = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+             for k, v in split_hot_cold(idx, offsets, hot_ids).items()}
+    hid = jnp.asarray(hot_ids, dtype=jnp.int32)
+    hot_q = jnp.take(q, hid, axis=0)
+    q_packed = pack_table(q, 2)
+    # Hot-table materialization from the packed layout is exact int8.
+    np.testing.assert_array_equal(
+        np.asarray(select_packed_rows(q_packed, hid, 2).astype(jnp.int8)),
+        np.asarray(hot_q))
+    want = embedding_bag_hotcold_int8(hot_q, q, scale, split)
+    got = embedding_bag_hotcold_int8(hot_q, q_packed, scale, split, pack=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_basic_rnn_matches_loop():
     key = jax.random.PRNGKey(4)
     T, B, In, H = 5, 3, 6, 7

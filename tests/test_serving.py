@@ -358,6 +358,38 @@ def test_hotcold_model_matches_base():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_hotcold_model_packed_matches_base():
+    """table_pack composes with embedding_impl='hotcold' (single device):
+    the hot table materializes unpacked from the packed layout and the
+    cold stream gathers physical rows; scores match the plain packed
+    model for both the float and per-table-int8 packed layouts."""
+    import jax
+
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.hotcold import hot_ids_from_generator, make_hotcold_model
+
+    for quant, layout in (("none", "packed"), ("int8", "q_packed")):
+        cfg = zoo.get_config("rm1", table_scale=2000,
+                             table_quant=quant, table_pack=2)
+        model = get_model(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        assert layout in params["tables"]
+        hot_ids = hot_ids_from_generator(cfg, seed=5, hot_rows=64, n_batches=2,
+                                         batch_size=32)
+        hc = make_hotcold_model(model, hot_ids)
+        hc_params = hc.convert_params(params)
+        assert layout in hc_params["tables"]  # cold table stays packed
+        assert hc_params["hot_table"].shape[1] == cfg.sparse_feature_size
+
+        batch = RecDataGenerator(cfg, seed=9).generate_batch(16)
+        split = hc.prepare(batch)
+        got = np.asarray(hc.apply(hc_params, batch,
+                                  {k: v for k, v in split.items() if k != "n_cold"}))
+        want = np.asarray(model.apply(params, batch))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_cold_ladder_shapes():
     from deeprecsys_tpu.models.hotcold import cold_ladder
 
