@@ -145,7 +145,16 @@ class ModelConfig:
             return 1
         itemsize = (1 if self.table_quant == "int8"
                     else 2 if self.param_dtype == "bfloat16" else 4)
-        return max(1, 128 // (self.sparse_feature_size * itemsize))
+        row_bytes = self.sparse_feature_size * itemsize
+        if self.table_quant == "int8" and row_bytes >= 64:
+            # Measured: 64-byte int8 rows packed 2x REGRESS 1.6x
+            # (full_int8p:rm2 35.0 ms vs full_int8u:rm2 21.4 ms — the
+            # int8 one-hot select runs on the VPU and at pack=2 its cost
+            # exceeds the saved descriptor rate), while 32-byte rows
+            # packed 4x win 1.8x (full_int8p:rm1 3.69 vs full_int8u:rm1
+            # 6.65 ms). Auto packs int8 only below 64-byte rows.
+            return 1
+        return max(1, 128 // row_bytes)
 
     @property
     def dense_dim(self) -> int:

@@ -107,7 +107,9 @@ def run_study(model_name: str, seeds: int, tune_accel: bool, backend: str,
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="ncf")
+    ap.add_argument("--model", default=None,
+                    help="default: ncf (wnd with --ref-regime, the "
+                         "reference script's model_config)")
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--backend", default="sim")
     ap.add_argument("--table-scale", type=int, default=1000)
@@ -119,8 +121,8 @@ def main(argv=None):
                          "(experiments/scheduling/run_Scheduler.sh)")
     ap.add_argument("--out", default="benchmarks/scheduling_study.json")
     args = ap.parse_args(argv)
-    if args.ref_regime and args.model == "ncf":
-        args.model = "wnd"  # the reference script's model_config
+    if args.model is None:
+        args.model = "wnd" if args.ref_regime else "ncf"
     rows = []
     rows += run_study(args.model, args.seeds, False, args.backend, args.table_scale,
                       quick=not args.full, ref_regime=args.ref_regime)
@@ -128,15 +130,19 @@ def main(argv=None):
                       quick=not args.full, ref_regime=args.ref_regime)
     out = Path(args.out)
     out.parent.mkdir(exist_ok=True)
-    if args.ref_regime and out.exists():
-        # Keep both regimes in the artifact: the default study rows plus
-        # the reference-regime rows, tagged.
+    # Accumulate the artifact across runs: this run replaces only its own
+    # (regime, model) slice; every other recorded study row is preserved
+    # (rows from before the model tag existed carry the old defaults).
+    new = [dict(r, ref_regime=args.ref_regime, model=args.model) for r in rows]
+
+    def key(r):
+        return (bool(r.get("ref_regime")),
+                r.get("model", "wnd" if r.get("ref_regime") else "ncf"))
+
+    if out.exists():
         prior = json.loads(out.read_text())
-        rows = [r for r in prior if not r.get("ref_regime")] + [
-            dict(r, ref_regime=True, model=args.model) for r in rows]
-    elif args.ref_regime:
-        rows = [dict(r, ref_regime=True, model=args.model) for r in rows]
-    out.write_text(json.dumps(rows, indent=2))
+        new = [r for r in prior if key(r) != key(new[0])] + new
+    out.write_text(json.dumps(new, indent=2))
 
 
 if __name__ == "__main__":

@@ -51,7 +51,8 @@ def init_fused_tables(key: jax.Array, table_rows, dim: int, dtype=jnp.float32,
     materializing both layouts inside an in-program init — the
     (R,d)->(R/p,p*d) reshape is a tiled-layout shuffle that cost ~2
     extra HBM-sized copies and OOMed DIN's 46M-row table at full scale.
-    Tail pad rows (never addressed by any lookup) keep their raw draw.
+    Tail pad rows (never addressed by any lookup) are zeroed via a zero
+    scale, matching ``pack_table``'s zero padding.
     """
     table_rows = np.asarray(table_rows, dtype=np.int64)
     total = int(table_rows.sum())

@@ -74,7 +74,11 @@ class LatencyModel:
 
     @classmethod
     def from_json(cls, d: dict) -> "LatencyModel":
-        return cls(d["batch_sizes"], d["latencies_ms"], d.get("base", 4.0))
+        m = cls(d["batch_sizes"], d["latencies_ms"], d.get("base", 4.0))
+        if d.get("overhead"):  # calibrated transport term round-trips
+            o = d["overhead"]
+            return m.with_overhead(o["a_ms"], o["ms_per_sample"])
+        return m
 
     def save(self, path: str | Path):
         Path(path).write_text(json.dumps(self.to_json()))
@@ -95,6 +99,11 @@ class _OverheadModel(LatencyModel):
     def predict_ms(self, batch_size: int) -> float:
         return (super().predict_ms(batch_size)
                 + self.a_ms + self.ms_per_sample * float(batch_size))
+
+    def to_json(self) -> dict:
+        d = super().to_json()
+        d["overhead"] = {"a_ms": self.a_ms, "ms_per_sample": self.ms_per_sample}
+        return d
 
 
 def characterize_engine(run_fn, batch_sizes=(1, 4, 16, 64, 256, 1024), warmup: int = 2,

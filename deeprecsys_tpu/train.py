@@ -299,7 +299,11 @@ class Trainer:
         if self.mesh is None:
             return jax.jit(step, donate_argnums=(0, 1))
         ps = param_shardings(self.params, self.mesh)
-        table_shape = tuple(self.params["tables"].shape)
+        tables = self.params["tables"]
+        # Packed float tables are {"packed": (Rp, pack*d)}; the optimizer
+        # accumulators mirror that leaf's shape and row-shard the same way.
+        table_arr = tables["packed"] if isinstance(tables, dict) else tables
+        table_shape = tuple(table_arr.shape)
 
         def state_leaf_sharding(leaf):
             # Optimizer accumulators shaped like the fused table (adagrad/

@@ -84,6 +84,17 @@ def test_latency_model_payload_overhead():
     assert m.predict_ms(8) == pytest.approx(3.0)  # base model untouched
 
 
+def test_latency_model_overhead_roundtrips_json():
+    """Persisting a calibrated with_overhead() model must keep the
+    transport term — a silent drop returns uncalibrated predictions."""
+    m = LatencyModel([1, 4, 16, 64], [1.0, 2.0, 4.0, 8.0])
+    o = m.with_overhead(a_ms=5.0, ms_per_sample=0.25)
+    o2 = LatencyModel.from_json(o.to_json())
+    assert o2.predict_ms(8) == pytest.approx(o.predict_ms(8))
+    # Plain models still round-trip without an overhead key.
+    assert "overhead" not in m.to_json()
+
+
 def test_payload_floor_fit_cpu():
     import jax
 

@@ -28,6 +28,20 @@ def test_trainer_sharded_matches_expectations():
     assert hist.losses[-1] < hist.losses[0]
 
 
+def test_trainer_sharded_dense_packed_tables():
+    """Dense (full-gradient) training on a mesh with ROW-PACKED tables:
+    the optimizer accumulators mirror the packed leaf and row-shard with
+    it (regression: table_shape lookup crashed on the dict layout)."""
+    cfg = zoo.get_config("rm1", table_scale=SCALE).replace(table_pack=2)
+    mesh = make_mesh(data=2, model=4)
+    tr = Trainer(cfg, mesh=mesh, optimizer="adagrad", learning_rate=0.2,
+                 loss="bce")
+    assert "packed" in tr.params["tables"]
+    hist = tr.fit(num_steps=8, batch_size=64)
+    assert np.isfinite(hist.losses).all()
+    assert hist.losses[-1] < hist.losses[0]
+
+
 @pytest.mark.parametrize("opt", ["sgd", "adagrad", "adam"])
 def test_all_optimizers_run(opt):
     cfg = zoo.get_config("ncf", table_scale=SCALE)

@@ -566,11 +566,16 @@ def job_sim_validation2(model):
     return out
 
 
-def job_model_hotcold(model, variant):
+def job_model_hotcold(model, variant, pack=1, hot_rows=None):
     """FULL-MODEL forward at production table scale on a Zipf id stream:
     'direct' = standard apply (same-data baseline), 'hotcold' = the
     hot/cold-split apply with a VMEM-budgeted hot set. The model-level
-    answer to the gather-level 1.61x."""
+    answer to the gather-level 1.61x. pack=0 (auto) measures the packed
+    cold-table composition (hotcold x table_pack). hot_rows overrides the
+    VMEM-budgeted hot-set size — the budgeted set covers 100% of the
+    zipf(1.2) stream for rm1/rm3 (hit_rate 1.0, empty cold stream), so
+    composition claims need a CONSTRAINED hot set that leaves a real
+    cold stream."""
     import time as _time
 
     import jax
@@ -591,7 +596,7 @@ def job_model_hotcold(model, variant):
     device = pick_accel_device()
     B = 512
     cfg = zoo.get_config(model, table_scale=1, param_dtype="bfloat16",
-                         compute_dtype="bfloat16")
+                         compute_dtype="bfloat16", table_pack=pack)
     model_fns = get_model(cfg)
     host = RecDataGenerator(cfg, seed=0).generate_batch(B)
     rows_np = np.asarray(cfg.scaled_rows, dtype=np.int64)
@@ -602,7 +607,8 @@ def job_model_hotcold(model, variant):
 
     if variant == "hotcold":
         offs = np.asarray(cfg.table_offsets, dtype=np.int64)
-        hot_rows = suggest_hot_rows(cfg)
+        if hot_rows is None:
+            hot_rows = suggest_hot_rows(cfg)
         hot_ids = select_hot_ids(idx, offs, hot_rows)
         hc = make_hotcold_model(model_fns, hot_ids)
         split = hc.prepare(Batch(dense=dense_host, indices=idx))
@@ -807,10 +813,10 @@ JOBS = [
     ("serving:ncf", lambda: job_serving("ncf")),
     # Full production-scale tables (table_scale=1): capacity + perf proof
     # on one chip. rm1 f32 would be 4 GB; bf16 2 GB; din ~3 GB.
-    ("full:rm1", lambda: job_full("rm1")),
-    ("full:rm2", lambda: job_full("rm2")),
-    ("full:din", lambda: job_full("din")),
-    ("full_int8:rm1", lambda: job_full("rm1", quant="int8")),
+    ("full:rm1", lambda: job_full("rm1", pack=1)),
+    ("full:rm2", lambda: job_full("rm2", pack=1)),
+    ("full:din", lambda: job_full("din", pack=1)),
+    ("full_int8:rm1", lambda: job_full("rm1", quant="int8", pack=1)),
     ("gather:segsum", lambda: job_gather("segsum")),
     ("gather:hotcold_zipf", lambda: job_gather("hotcold_zipf")),
     ("gather:direct_zipf", lambda: job_gather("direct_zipf")),
@@ -840,25 +846,25 @@ JOBS = [
     # needs ~15-20 min of remote compiles (6 batch-shape programs); the
     # characterization pattern is demonstrated with rm1/ncf/din.
     # Complete the production-scale (table_scale=1) table for all 8 models.
-    ("full:rm3", lambda: job_full("rm3")),
-    ("full:wnd", lambda: job_full("wnd")),
-    ("full:mtwnd", lambda: job_full("mtwnd")),
-    ("full:ncf", lambda: job_full("ncf")),
-    ("full:dien", lambda: job_full("dien")),
+    ("full:rm3", lambda: job_full("rm3", pack=1)),
+    ("full:wnd", lambda: job_full("wnd", pack=1)),
+    ("full:mtwnd", lambda: job_full("mtwnd", pack=1)),
+    ("full:ncf", lambda: job_full("ncf", pack=1)),
+    ("full:dien", lambda: job_full("dien", pack=1)),
     # Hot/cold split through the full serving stack on real TPU.
     ("serving_hotcold:rm1", lambda: job_serving_hotcold("rm1")),
     # Round 2: descriptor-wall attack (VERDICT r1 #4)
     # Round 2: re-warm + re-record the FULL-production-scale bench point
     # (now the judged default, VERDICT r1 #2) with the current model code,
     # so the driver's bench.py run hits a warm server-side compile cache.
-    ("full_r2:rm1", lambda: job_full("rm1")),
-    ("full_r2:rm2", lambda: job_full("rm2")),
-    ("full_r2:rm3", lambda: job_full("rm3")),
-    ("full_r2:wnd", lambda: job_full("wnd")),
-    ("full_r2:mtwnd", lambda: job_full("mtwnd")),
-    ("full_r2:ncf", lambda: job_full("ncf")),
-    ("full_r2:din", lambda: job_full("din")),
-    ("full_r2:dien", lambda: job_full("dien")),
+    ("full_r2:rm1", lambda: job_full("rm1", pack=1)),
+    ("full_r2:rm2", lambda: job_full("rm2", pack=1)),
+    ("full_r2:rm3", lambda: job_full("rm3", pack=1)),
+    ("full_r2:wnd", lambda: job_full("wnd", pack=1)),
+    ("full_r2:mtwnd", lambda: job_full("mtwnd", pack=1)),
+    ("full_r2:ncf", lambda: job_full("ncf", pack=1)),
+    ("full_r2:din", lambda: job_full("din", pack=1)),
+    ("full_r2:dien", lambda: job_full("dien", pack=1)),
     # Round 2: calibrated-sim error bands at a relay-unsaturated rate
     # (VERDICT r1 #5) — one job per model.
     ("sim_validate:rm1", lambda: job_sim_validation("rm1")),
@@ -913,6 +919,24 @@ JOBS = [
     # 35 ms, WORSE than bf16; decide the int8 auto-pack rule on data.
     ("full_int8u:rm2", lambda: job_full("rm2", quant="int8", pack=1)),
     ("full_int8u:rm1", lambda: job_full("rm1", quant="int8", pack=1)),
+    # Round 2d: packed cold tables composed with the hot/cold split at
+    # full production scale on the Zipf stream (compare model_hotcold:* =
+    # unpacked hotcold and full_r2p:* = packed direct).
+    ("model_hotcold_pack:rm1", lambda: job_model_hotcold("rm1", "hotcold", pack=0)),
+    ("model_hotcold_pack:rm3", lambda: job_model_hotcold("rm3", "hotcold", pack=0)),
+    ("model_hotcold_pack:din", lambda: job_model_hotcold("din", "hotcold", pack=0)),
+    # Round 2d-b: the VMEM-budgeted hot set covers 100% of the zipf(1.2)
+    # stream for rm1/rm3 (above), so those runs never exercise the packed
+    # COLD gather. Constrain the hot set to 8192 rows (~hit 60-80%) and
+    # measure packed vs unpacked hotcold on a REAL cold stream.
+    ("model_hotcold_sm:rm1", lambda: job_model_hotcold("rm1", "hotcold", hot_rows=8192)),
+    ("model_hotcold_sm_pack:rm1", lambda: job_model_hotcold("rm1", "hotcold", pack=0, hot_rows=8192)),
+    ("model_hotcold_sm:rm3", lambda: job_model_hotcold("rm3", "hotcold", hot_rows=8192)),
+    ("model_hotcold_sm_pack:rm3", lambda: job_model_hotcold("rm3", "hotcold", pack=0, hot_rows=8192)),
+    # din packed-hotcold came out SLOWER than unpacked (6.78 vs 4.55 ms)
+    # at the same 94.6% hit; repeat once to separate variance from signal.
+    ("model_hotcold_pack2:din", lambda: job_model_hotcold("din", "hotcold", pack=0)),
+    ("model_hotcold2:din", lambda: job_model_hotcold("din", "hotcold")),
 ]
 
 
