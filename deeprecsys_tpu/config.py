@@ -74,11 +74,18 @@ class ModelConfig:
     # after losing to it even extent-coalesced, see DESIGN.md §2).
     # "hotcold" (serving only): static VMEM-resident hot row set + compacted
     # cold HBM stream (models/hotcold.py; 1.61x measured on Zipf streams).
+    # "auto" (serving): sample the engine's data stream at warm-up and pick
+    # hotcold iff the hot set would cover >= hotcold_min_hit of lookups
+    # (standalone/training paths treat "auto" as the plain gather).
     embedding_impl: str = "xla"
     # Hot-set size for embedding_impl="hotcold" (rows kept on-chip).
     # 0 = auto: sized to an 8 MB VMEM budget by utils.memory.suggest_hot_rows
     # (int8 layouts fit 2-4x more rows in the same budget).
     hot_set_rows: int = 0
+    # Minimum sampled hot-set coverage for embedding_impl="auto" to choose
+    # hotcold. Measured: a clear win from ~79% hit (model_hotcold_sm:rm1
+    # 1.61x packed); near-uniform streams pay the split for nothing.
+    hotcold_min_hit: float = 0.6
     # Embedding table quantization: "none" | "int8" (symmetric per-table
     # scale; 4x HBM capacity vs f32 — gather speed is row-rate-bound so
     # int8 costs nothing in latency) | "int8_rowwise" (per-ROW scale
@@ -88,8 +95,10 @@ class ModelConfig:
     # Pack this many consecutive logical rows into one physical table row
     # (ops/embedding.py pack_table): 1 = unpacked, 0 = auto (pack narrow
     # rows up to 128 bytes — the measured TPU gather wall is per-DMA and
-    # sub-128-byte rows gather at ~half rate). Plain float/bf16 tables
-    # only; int8 layouts have their own packing. TPU-native addition.
+    # sub-128-byte rows gather at ~half rate). Applies to float/bf16 and
+    # per-table int8 (auto packs int8 only below 64-byte rows — see
+    # resolved_table_pack); the rowwise layout never packs. TPU-native
+    # addition.
     table_pack: int = 1
     # Divide all table sizes by this factor (testing / memory-constrained runs).
     table_scale: int = 1

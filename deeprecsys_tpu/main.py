@@ -35,8 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="divide embedding-table rows (memory-constrained runs)")
     p.add_argument("--param_dtype", type=str, default="float32")
     p.add_argument("--embedding_impl", type=str, default="xla",
-                   choices=["xla", "hotcold"],
-                   help="sparse-lookup implementation (config.py)")
+                   choices=["xla", "hotcold", "auto"],
+                   help="sparse-lookup implementation (config.py); auto = "
+                        "serving engines sample their stream at warm-up and "
+                        "pick hotcold iff coverage >= --hotcold_min_hit")
+    p.add_argument("--hotcold_min_hit", type=float, default=None,
+                   help="minimum sampled hot-set coverage for "
+                        "--embedding_impl auto to choose hotcold "
+                        "(default: config.py hotcold_min_hit)")
     p.add_argument("--table_pack", type=int, default=0,
                    help="pack N logical rows per physical table row "
                         "(0 = auto to 128-byte rows — the measured 2x fix "
@@ -112,6 +118,8 @@ def _model_overrides(args) -> dict:
     if args.embedding_impl != "xla":
         overrides["embedding_impl"] = args.embedding_impl
         overrides["hot_set_rows"] = args.hot_set_rows
+    if args.hotcold_min_hit is not None:
+        overrides["hotcold_min_hit"] = args.hotcold_min_hit
     if args.table_quant != "none":
         overrides["table_quant"] = args.table_quant
     overrides["table_pack"] = args.table_pack

@@ -117,11 +117,14 @@ def pooled_lookup(tables, batch: Batch, cfg: ModelConfig) -> jax.Array:
             "embedding_impl='hotcold' is a serving-engine path (use --queue/"
             "--serve, or models.hotcold.make_hotcold_model directly); the "
             "plain apply would silently run the xla gather instead")
-    if cfg.embedding_impl != "xla":
-        # "pallas" was retired in round 2 (DESIGN.md §2 closure); anything
-        # else is a typo. Raising beats silently benchmarking xla.
+    if cfg.embedding_impl not in ("xla", "auto"):
+        # "auto" is a SERVING-time decision (the engine samples its stream
+        # at warm-up); off-engine the direct gather is the right choice,
+        # not an error. "pallas" was retired in round 2 (DESIGN.md §2
+        # closure); anything else is a typo. Raising beats silently
+        # benchmarking xla.
         raise ValueError(f"unknown embedding_impl {cfg.embedding_impl!r} "
-                         "(valid: 'xla', 'hotcold')")
+                         "(valid: 'xla', 'hotcold', 'auto')")
     if isinstance(tables, dict) and "packed" in tables:
         from deeprecsys_tpu.ops.embedding import embedding_bag_packed
 

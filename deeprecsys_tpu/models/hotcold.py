@@ -229,13 +229,17 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
                         convert_params=convert_params, apply=apply, prepare=prepare)
 
 
-def hot_ids_from_generator(cfg, seed: int, hot_rows: int, n_batches: int = 8,
-                           batch_size: int = 256, data_generation: str = "random",
-                           trace_file: str | None = None) -> np.ndarray:
+def hot_ids_and_coverage_from_generator(
+        cfg, seed: int, hot_rows: int, n_batches: int = 8,
+        batch_size: int = 256, data_generation: str = "random",
+        trace_file: str | None = None) -> tuple[np.ndarray, float]:
     """Select the hot set by sampling the model's own data distribution
-    (the serving analog of profiling a production id trace). Pass the
-    engine's data_generation/trace_file so the sample sees the same
-    locality the serving stream will have."""
+    (the serving analog of profiling a production id trace) and measure
+    its COVERAGE: the fraction of the sampled lookup stream that falls in
+    the hot set — the "head mass" this module's docstring tells users to
+    measure before enabling hotcold (``embedding_impl="auto"`` automates
+    the decision on it). Pass the engine's data_generation/trace_file so
+    the sample sees the same locality the serving stream will have."""
     from deeprecsys_tpu.data import RecDataGenerator
 
     gen = RecDataGenerator(cfg, seed=seed, data_generation=data_generation,
@@ -243,4 +247,18 @@ def hot_ids_from_generator(cfg, seed: int, hot_rows: int, n_batches: int = 8,
     samples = [np.asarray(gen.generate_batch(batch_size).indices)
                for _ in range(n_batches)]
     sample = np.concatenate(samples, axis=0)
-    return select_hot_ids(sample, np.asarray(cfg.table_offsets), hot_rows)
+    offsets = np.asarray(cfg.table_offsets)
+    hot_ids = select_hot_ids(sample, offsets, hot_rows)
+    flat = (sample.astype(np.int64)
+            + offsets.astype(np.int64)[None, :, None]).reshape(-1)
+    coverage = float(np.isin(flat, hot_ids).mean()) if flat.size else 0.0
+    return hot_ids, coverage
+
+
+def hot_ids_from_generator(cfg, seed: int, hot_rows: int, n_batches: int = 8,
+                           batch_size: int = 256, data_generation: str = "random",
+                           trace_file: str | None = None) -> np.ndarray:
+    """``hot_ids_and_coverage_from_generator`` without the coverage."""
+    return hot_ids_and_coverage_from_generator(
+        cfg, seed, hot_rows, n_batches=n_batches, batch_size=batch_size,
+        data_generation=data_generation, trace_file=trace_file)[0]

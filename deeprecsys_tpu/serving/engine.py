@@ -110,7 +110,8 @@ class ComputeEngine(threading.Thread):
         self._jitted: dict[int, callable] = {}
         self._host_data: dict[int, Batch] = {}
         self._pending: "queue.Queue" = queue.Queue()
-        self._hotcold = None  # HotColdModel when embedding_impl == "hotcold"
+        self._hotcold = None  # HotColdModel when the hotcold path is active
+        self.hot_coverage = None  # sampled hot-set coverage (hotcold/auto)
         self.error: Exception | None = None
         # Observability: executions per bucket and coalesced-request count
         # (read by /v1/healthz and post-run reports; single-writer, so a
@@ -122,8 +123,9 @@ class ComputeEngine(threading.Thread):
 
     def _setup(self):
         model = get_model(self.model_cfg)
-        if self.model_cfg.embedding_impl == "hotcold":
-            self._setup_hotcold(model)
+        impl = self.model_cfg.embedding_impl
+        if impl in ("hotcold", "auto") and self._setup_hotcold(
+                model, require=(impl == "hotcold")):
             return
         if self.mesh is not None:
             from deeprecsys_tpu.parallel import shard_params, sharded_apply
@@ -159,14 +161,19 @@ class ComputeEngine(threading.Thread):
             # Warm-up compile for this bucket shape.
             apply_fn(self.params, self._device_batch(sliced)).block_until_ready()
 
-    def _setup_hotcold(self, model):
+    def _setup_hotcold(self, model, require: bool = True) -> bool:
         """Hot/cold-split serving (models/hotcold.py): hot set selected
         from the engine's own data distribution at warm-up; per request the
         native splitter compacts the cold stream on the host and the jitted
-        apply gathers hot rows from VMEM-resident state."""
+        apply gathers hot rows from VMEM-resident state.
+
+        With ``require=False`` (embedding_impl="auto") the decision rides
+        the sampled hot-set coverage: below ``cfg.hotcold_min_hit`` the
+        split isn't worth the host pass and the caller falls through to
+        the direct-gather setup. Returns whether hotcold was chosen."""
         from deeprecsys_tpu.models.hotcold import (
             cold_buckets_for,
-            hot_ids_from_generator,
+            hot_ids_and_coverage_from_generator,
             make_hotcold_model,
         )
 
@@ -175,10 +182,13 @@ class ComputeEngine(threading.Thread):
             from deeprecsys_tpu.utils.memory import suggest_hot_rows
 
             hot_rows = suggest_hot_rows(self.model_cfg)
-        hot_ids = hot_ids_from_generator(
+        hot_ids, coverage = hot_ids_and_coverage_from_generator(
             self.model_cfg, seed=self.seed + 31, hot_rows=hot_rows,
             data_generation=self.serving_cfg.data_generation,
             trace_file=self.serving_cfg.synthetic_trace_file)
+        self.hot_coverage = coverage
+        if not require and coverage < self.model_cfg.hotcold_min_hit:
+            return False
         hc = make_hotcold_model(model, hot_ids, mesh=self.mesh)
         self._hotcold = hc
         if self.mesh is not None:
@@ -230,6 +240,7 @@ class ComputeEngine(threading.Thread):
                     dummy["cold_seg"] = np.full(c_pad, b * T, np.int32)
                 apply_fn(self.params, self._device_batch(sliced),
                          self._device_split(dummy)).block_until_ready()
+        return True
 
     def _device_split(self, split: dict) -> dict:
         if self.mesh is not None:

@@ -485,6 +485,54 @@ def test_engine_hotcold_end_to_end():
     req_q.put(None)
 
 
+def test_engine_auto_embedding_impl_picks_by_coverage():
+    """embedding_impl='auto': the engine samples its own stream at warm-up
+    and picks hotcold iff the hot set covers >= hotcold_min_hit of
+    lookups. Small tables + VMEM-budgeted hot set -> coverage ~1 ->
+    hotcold; a forced tiny hot set over the same uniform stream ->
+    coverage ~tiny -> direct path."""
+    import time
+
+    import jax
+
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    def run_engine(model_cfg):
+        cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                            max_mini_batch_size=8)
+        req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+        eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q,
+                            device=jax.devices("cpu")[0])
+        eng.start()
+        got = ready_q.get(timeout=300)
+        assert not isinstance(got, Exception), got
+        req_q.put(ServiceRequest(batch_id=0, epoch=0, arrival_time=time.time(),
+                                 batch_size=5, total_sub_batches=1))
+        r = resp_q.get(timeout=120)
+        assert r.batch_size == 5
+        req_q.put(None)
+        return eng
+
+    # 16k-row total, budgeted hot set covers everything -> hotcold.
+    hot_cfg = zoo.get_config("rm1", table_scale=2000).replace(
+        embedding_impl="auto")
+    eng = run_engine(hot_cfg)
+    assert eng._hotcold is not None and eng.hot_coverage > 0.9
+
+    # Same stream, hot set capped at 64 of 16k uniform rows -> direct.
+    cold_cfg = zoo.get_config("rm1", table_scale=2000).replace(
+        embedding_impl="auto", hot_set_rows=64)
+    eng = run_engine(cold_cfg)
+    assert eng._hotcold is None and eng.hot_coverage < 0.5
+
+    # require=True keeps forcing the split regardless of coverage.
+    forced = zoo.get_config("rm1", table_scale=2000).replace(
+        embedding_impl="hotcold", hot_set_rows=64)
+    eng = run_engine(forced)
+    assert eng._hotcold is not None
+
+
 @pytest.mark.parametrize("quant", ["int8", "int8_rowwise"])
 def test_hotcold_quantized_matches_plain_quantized(quant):
     """Hot/cold composes with quantized tables: output identical to the

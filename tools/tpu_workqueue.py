@@ -566,7 +566,8 @@ def job_sim_validation2(model):
     return out
 
 
-def job_model_hotcold(model, variant, pack=1, hot_rows=None):
+def job_model_hotcold(model, variant, pack=1, hot_rows=None, hot_arg=False,
+                      no_cold=False, hot_build=None):
     """FULL-MODEL forward at production table scale on a Zipf id stream:
     'direct' = standard apply (same-data baseline), 'hotcold' = the
     hot/cold-split apply with a VMEM-budgeted hot set. The model-level
@@ -613,27 +614,88 @@ def job_model_hotcold(model, variant, pack=1, hot_rows=None):
         hc = make_hotcold_model(model_fns, hot_ids)
         split = hc.prepare(Batch(dense=dense_host, indices=idx))
         hit = 1.0 - split["n_cold"] / idx.size
+        if no_cold:
+            # Bisect diagnostic: replace the cold stream with all-pad slots
+            # (same shapes/program structure, zero real cold gathers) to
+            # attribute packed-vs-unpacked deltas to the cold or hot side.
+            split["cold_ids"] = np.zeros_like(split["cold_ids"])
+            split["cold_seg"] = np.full_like(split["cold_seg"],
+                                             idx.shape[0] * idx.shape[1])
         log(f"model_hotcold {model}: hot {len(hot_ids)} rows, hit {hit:.1%}, "
             f"cold padded {split['cold_ids'].shape[0]}")
         sp_host = {k: jnp.asarray(v) for k, v in split.items() if k != "n_cold"}
 
-        def program(n, dense, indices, hs, hm, ci, cseg):
-            params = model_fns.init(jax.random.PRNGKey(0))
-            hcp = hc.convert_params(params)
+        if hot_arg:
+            # Materialize the hot table ONCE in a prepass program and feed
+            # it as an ARGUMENT: with it computed in-program, XLA can
+            # rematerialize the hot-row select inside the loop body (the
+            # serving engine always passes converted params as args, so
+            # in-program hot tables misattribute that remat cost to the
+            # per-iteration time).
+            hot_prog = jax.jit(
+                lambda: hc.convert_params(model_fns.init(jax.random.PRNGKey(0)))["hot_table"],
+                device=device)
+            hot_tbl = hot_prog()
 
-            def body(i, c):
-                sp = {"hot_sel": jnp.roll(hs, i, axis=0),
-                      "hot_mask": jnp.roll(hm, i, axis=0),
-                      "cold_ids": jnp.roll(ci, i, axis=0), "cold_seg": cseg}
-                d = None if dense is None else dense
-                out = hc.apply(hcp, Batch(dense=d, indices=indices), sp)
-                return c + jnp.sum(out.astype(jnp.float32))
+            def program(n, dense, indices, hot_t, hs, hm, ci, cseg):
+                params = model_fns.init(jax.random.PRNGKey(0))
+                hcp = dict(hc.convert_params(params), hot_table=hot_t)
 
-            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+                def body(i, c):
+                    sp = {"hot_sel": jnp.roll(hs, i, axis=0),
+                          "hot_mask": jnp.roll(hm, i, axis=0),
+                          "cold_ids": jnp.roll(ci, i, axis=0), "cold_seg": cseg}
+                    d = None if dense is None else dense
+                    out = hc.apply(hcp, Batch(dense=d, indices=indices), sp)
+                    return c + jnp.sum(out.astype(jnp.float32))
 
-        args = (None if dense_host is None else jnp.asarray(dense_host),
-                jnp.asarray(idx), sp_host["hot_sel"], sp_host["hot_mask"],
-                sp_host["cold_ids"], sp_host["cold_seg"])
+                return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+            args = (None if dense_host is None else jnp.asarray(dense_host),
+                    jnp.asarray(idx), hot_tbl, sp_host["hot_sel"],
+                    sp_host["hot_mask"], sp_host["cold_ids"], sp_host["cold_seg"])
+        else:
+            def rebuild_hot(params):
+                # Diagnostic hot-table constructions (layout hypothesis):
+                # convert_params builds it with a one-hot EINSUM whose
+                # output layout may gather slower per iteration than a
+                # gather-produced array.
+                arr = params["tables"]["packed"]
+                pk = arr.shape[1] // cfg.sparse_feature_size
+                hid = jnp.asarray(hot_ids, dtype=jnp.int32)
+                if hot_build == "where":
+                    d = cfg.sparse_feature_size
+                    phys = jnp.take(arr, hid // pk, axis=0).reshape(-1, pk, d)
+                    sel = (hid % pk)[:, None]
+                    out = phys[:, 0, :]
+                    for q in range(1, pk):
+                        out = jnp.where(sel == q, phys[:, q, :], out)
+                    return out
+                if hot_build == "unpack":
+                    from deeprecsys_tpu.ops.embedding import unpack_table
+                    return jnp.take(unpack_table(arr, pk, cfg.total_rows),
+                                    hid, axis=0)
+                raise ValueError(hot_build)
+
+            def program(n, dense, indices, hs, hm, ci, cseg):
+                params = model_fns.init(jax.random.PRNGKey(0))
+                hcp = hc.convert_params(params)
+                if hot_build is not None:
+                    hcp = dict(hcp, hot_table=rebuild_hot(params))
+
+                def body(i, c):
+                    sp = {"hot_sel": jnp.roll(hs, i, axis=0),
+                          "hot_mask": jnp.roll(hm, i, axis=0),
+                          "cold_ids": jnp.roll(ci, i, axis=0), "cold_seg": cseg}
+                    d = None if dense is None else dense
+                    out = hc.apply(hcp, Batch(dense=d, indices=indices), sp)
+                    return c + jnp.sum(out.astype(jnp.float32))
+
+                return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+            args = (None if dense_host is None else jnp.asarray(dense_host),
+                    jnp.asarray(idx), sp_host["hot_sel"], sp_host["hot_mask"],
+                    sp_host["cold_ids"], sp_host["cold_seg"])
     else:
         def program(n, dense, indices):
             params = model_fns.init(jax.random.PRNGKey(0))
@@ -937,6 +999,26 @@ JOBS = [
     # at the same 94.6% hit; repeat once to separate variance from signal.
     ("model_hotcold_pack2:din", lambda: job_model_hotcold("din", "hotcold", pack=0)),
     ("model_hotcold2:din", lambda: job_model_hotcold("din", "hotcold")),
+    # Round 2d-c: din's packed-hotcold regression reproduced exactly
+    # (6.80/6.78 vs 4.58/4.55) — hypothesis: with the hot table computed
+    # IN-PROGRAM, XLA remats the packed hot-row select into the loop.
+    # Feed the hot table as an argument (what the serving engine does)
+    # and re-measure both layouts.
+    ("model_hotcold_arg_pack:din", lambda: job_model_hotcold("din", "hotcold", pack=0, hot_arg=True)),
+    ("model_hotcold_arg:din", lambda: job_model_hotcold("din", "hotcold", hot_arg=True)),
+    ("model_hotcold_arg_sm_pack:rm1", lambda: job_model_hotcold("rm1", "hotcold", pack=0, hot_rows=8192, hot_arg=True)),
+    ("model_hotcold_arg_sm:rm1", lambda: job_model_hotcold("rm1", "hotcold", hot_rows=8192, hot_arg=True)),
+    # Round 2d-d: bisect din's packed-hotcold regression (persists with
+    # hot-as-arg): zero the cold stream — if packed is STILL slower with
+    # no real cold gathers, the cost is on the hot/pad side, not the
+    # packed cold gather.
+    ("model_hotcold_nc_pack:din", lambda: job_model_hotcold("din", "hotcold", pack=0, no_cold=True)),
+    ("model_hotcold_nc:din", lambda: job_model_hotcold("din", "hotcold", no_cold=True)),
+    # Round 2d-e: hot-table LAYOUT hypothesis — einsum-built hot tables may
+    # gather slower per iteration than gather-built ones. Rebuild the hot
+    # table two other ways in the packed program.
+    ("model_hotcold_hw_pack:din", lambda: job_model_hotcold("din", "hotcold", pack=0, hot_build="where")),
+    ("model_hotcold_hu_pack:din", lambda: job_model_hotcold("din", "hotcold", pack=0, hot_build="unpack")),
 ]
 
 
