@@ -83,9 +83,12 @@ class ModelConfig:
     # (int8 layouts fit 2-4x more rows in the same budget).
     hot_set_rows: int = 0
     # Minimum sampled hot-set coverage for embedding_impl="auto" to choose
-    # hotcold. Measured: a clear win from ~79% hit (model_hotcold_sm:rm1
-    # 1.61x packed); near-uniform streams pay the split for nothing.
-    hotcold_min_hit: float = 0.6
+    # hotcold. Measured crossover on rm1 zipf at full scale (vs packed
+    # direct 3.35 ms): hit 100% -> 1.86x win, 79% -> 1.46x win, 66% ->
+    # 0.82x LOSS, 49% -> 0.43x loss (model_hotcold_{sm,xs,xxs}_pack:rm1) —
+    # below ~75% the padded cold stream plus the hot pass cost more than
+    # they save. 0.75 sits on the safe side of the measured crossover.
+    hotcold_min_hit: float = 0.75
     # Embedding table quantization: "none" | "int8" (symmetric per-table
     # scale; 4x HBM capacity vs f32 — gather speed is row-rate-bound so
     # int8 costs nothing in latency) | "int8_rowwise" (per-ROW scale

@@ -1018,7 +1018,17 @@ JOBS = [
     # gather slower per iteration than gather-built ones. Rebuild the hot
     # table two other ways in the packed program.
     ("model_hotcold_hw_pack:din", lambda: job_model_hotcold("din", "hotcold", pack=0, hot_build="where")),
-    ("model_hotcold_hu_pack:din", lambda: job_model_hotcold("din", "hotcold", pack=0, hot_build="unpack")),
+    # model_hotcold_hu_pack:din (hot_build="unpack") OOMs at compile BY
+    # DESIGN — the (R,d)<-(R/p,p*d) unpack reshape is the tiled-layout
+    # shuffle that costs ~2 HBM copies at din's 2.9 GB scale (same reason
+    # init generates packed directly). Recorded as FAILED in the ledger;
+    # not re-queued.
+    # Round 2d-f: data-back the embedding_impl="auto" threshold
+    # (hotcold_min_hit): packed DIRECT baseline on the same zipf stream +
+    # packed hotcold at shrinking hot sets traces the hit-rate crossover.
+    ("model_zipf_pack:rm1", lambda: job_model_hotcold("rm1", "direct", pack=0)),
+    ("model_hotcold_xs_pack:rm1", lambda: job_model_hotcold("rm1", "hotcold", pack=0, hot_rows=1024)),
+    ("model_hotcold_xxs_pack:rm1", lambda: job_model_hotcold("rm1", "hotcold", pack=0, hot_rows=128)),
 ]
 
 
