@@ -50,6 +50,25 @@ from deeprecsys_tpu.serving.packets import ServiceRequest, ServiceResponse
 _SENTINEL = None
 
 
+class ReloadHandle:
+    """One scheduled zero-downtime checkpoint swap (``request_reload``).
+
+    ``event`` is set once the engine applied (or rejected) the swap —
+    which happens atomically BEFORE the next request that engine serves,
+    so a request submitted after scheduling is guaranteed the new params.
+    On failure ``error`` holds the exception and the engine keeps serving
+    the previous params. Thread-queue engines only (the cpu-mp process
+    engines speak the 64-byte POD ring protocol and would need a
+    file-path side channel)."""
+
+    __slots__ = ("path", "event", "error")
+
+    def __init__(self, path: str):
+        self.path = path
+        self.event = threading.Event()
+        self.error: Exception | None = None
+
+
 def pick_bucket(buckets, batch_size: int) -> int:
     """Smallest compiled bucket >= batch_size (last bucket caps)."""
     for b in buckets:
@@ -112,6 +131,8 @@ class ComputeEngine(threading.Thread):
         self._pending: "queue.Queue" = queue.Queue()
         self._hotcold = None  # HotColdModel when the hotcold path is active
         self.hot_coverage = None  # sampled hot-set coverage (hotcold/auto)
+        self._reload: ReloadHandle | None = None  # pending checkpoint swap
+        self._raw_template = None  # ShapeDtypeStruct tree of the MODEL layout
         self.error: Exception | None = None
         # Observability: executions per bucket and coalesced-request count
         # (read by /v1/healthz and post-run reports; single-writer, so a
@@ -145,6 +166,9 @@ class ComputeEngine(threading.Thread):
             apply_fn = jax.jit(model.apply, device=self.device)
         else:
             apply_fn = jax.jit(model.apply, device=self.device)
+        # Model-layout skeleton for checkpoint reloads (shapes/dtypes only).
+        self._raw_template = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params)
         # Pre-generate one max-size batch; per-bucket host slices feed each
         # request (reference: pre-generate then slice, inferenceEngine.py:200-206).
         gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17,
@@ -196,6 +220,9 @@ class ComputeEngine(threading.Thread):
 
             if self.params is None:
                 self.params = model.init(jax.random.PRNGKey(self.seed))
+            # Reload skeleton is the RAW model layout (pre-conversion).
+            self._raw_template = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params)
             # shard_params row-shards the fused table over "model"; the
             # hot_table (top-level key) and MLPs replicate.
             self.params = shard_params(hc.convert_params(self.params), self.mesh)
@@ -204,6 +231,8 @@ class ComputeEngine(threading.Thread):
             if self.params is None:
                 with jax.default_device(self.device):
                     self.params = model.init(jax.random.PRNGKey(self.seed))
+            self._raw_template = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params)
             self.params = jax.device_put(hc.convert_params(self.params), self.device)
             apply_fn = jax.jit(hc.apply, device=self.device)
 
@@ -307,6 +336,36 @@ class ComputeEngine(threading.Thread):
             if request is _SENTINEL or request is None:
                 return
 
+    # -- zero-downtime checkpoint reload --------------------------------
+
+    def request_reload(self, path: str) -> ReloadHandle:
+        """Schedule a checkpoint swap (utils/checkpoint.py layout, MODEL
+        params — the engine re-runs its own conversion: hotcold hot-table
+        re-derivation, sharding, device placement). Applied atomically
+        before the next request this engine serves; on failure the old
+        params keep serving. Thread-safe."""
+        handle = ReloadHandle(path)
+        self._reload = handle
+        return handle
+
+    def _apply_reload(self, handle: ReloadHandle):
+        try:
+            from deeprecsys_tpu.utils.checkpoint import load_params
+
+            new = load_params(handle.path, like=self._raw_template)
+            if self._hotcold is not None:
+                new = self._hotcold.convert_params(new)
+            if self.mesh is not None:
+                from deeprecsys_tpu.parallel import shard_params
+
+                self.params = shard_params(new, self.mesh)
+            else:
+                self.params = jax.device_put(new, self.device)
+        except Exception as e:
+            handle.error = e
+        finally:
+            handle.event.set()
+
     def _serve_loop(self):
         cfg = self.serving_cfg
         done = False
@@ -316,6 +375,9 @@ class ComputeEngine(threading.Thread):
             carry = None
             if request is _SENTINEL:
                 break
+            pending_reload = self._reload
+            if pending_reload is not None and not pending_reload.event.is_set():
+                self._apply_reload(pending_reload)
             group = [request]
             if cfg.coalesce_requests:
                 # Dynamic batching: drain waiting requests into one bucket

@@ -223,6 +223,33 @@ class ServingServer:
                     del self._pending[key]
                     pend.event.set()
 
+    # -- model management -----------------------------------------------
+
+    def reload(self, path: str) -> list:
+        """Zero-downtime checkpoint swap: schedule a reload on every
+        compute engine (each applies it atomically before the next
+        request it serves — see ``ComputeEngine.request_reload``).
+        Returns the per-engine ReloadHandles; callers may wait on their
+        events or poll ``reload_status``. Sim engines have no params and
+        are skipped; cpu-mp process engines are unsupported (POD ring
+        protocol carries no file paths)."""
+        targets = [e for e in self.engines if hasattr(e, "request_reload")]
+        if not targets:
+            raise NotImplementedError(
+                "reload needs in-process compute engines (backend "
+                f"{self.cfg.engine_backend!r} has none)")
+        self._reload_handles = [e.request_reload(path) for e in targets]
+        return self._reload_handles
+
+    def reload_status(self) -> dict:
+        """{scheduled, applied, failed, errors} for the last reload()."""
+        handles = getattr(self, "_reload_handles", [])
+        applied = [h for h in handles if h.event.is_set() and h.error is None]
+        failed = [h for h in handles if h.event.is_set() and h.error is not None]
+        return {"scheduled": len(handles), "applied": len(applied),
+                "failed": len(failed),
+                "errors": [f"{h.path}: {h.error!r}" for h in failed]}
+
     # -- metrics --------------------------------------------------------
 
     def stats(self) -> dict:
@@ -284,10 +311,40 @@ def _make_handler(registry: dict[str, ServingServer], default: str):
                 self._json(200, registry[default].stats())
             elif self.path == "/v1/models":
                 self._json(200, {name: _health(s) for name, s in registry.items()})
+            elif self.path == "/v1/reload":
+                self._json(200, registry[default].reload_status())
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            if self.path == "/v1/reload" or (
+                    self.path.startswith("/v1/models/")
+                    and self.path.endswith("/reload")):
+                if self.path == "/v1/reload":
+                    server = registry[default]
+                else:
+                    name = self.path[len("/v1/models/"):-len("/reload")]
+                    server = registry.get(name)
+                    if server is None:
+                        self._json(404, {"error": f"unknown model {name!r}; "
+                                                  f"have {sorted(registry)}"})
+                        return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    path = payload["path"]
+                    if not isinstance(path, str) or not path:
+                        raise ValueError("path must be a non-empty string")
+                except (KeyError, ValueError, TypeError,
+                        json.JSONDecodeError, AttributeError) as e:
+                    self._json(400, {"error": f"bad request: {e}"})
+                    return
+                try:
+                    handles = server.reload(path)
+                    self._json(200, {"scheduled": len(handles)})
+                except NotImplementedError as e:
+                    self._json(501, {"error": str(e)})
+                return
             if self.path == "/v1/infer":
                 server = registry[default]
             elif (self.path.startswith("/v1/models/")

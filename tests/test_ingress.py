@@ -181,3 +181,65 @@ def test_healthz_reports_bucket_executions_and_liveness(ingress):
     assert h["live_engines"] == h["engines"] == 3
     assert h["status"] == "ok"
     # sim engines have no buckets; bucket_executions only for compute engines
+
+
+def test_reload_endpoint_zero_downtime(tmp_path):
+    """POST /v1/reload hot-swaps a checkpoint: applied by each engine
+    before its next request, old params keep serving on a bad path, and
+    GET /v1/reload reports per-engine status."""
+    import jax
+    import numpy as np
+
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.utils.checkpoint import save_params
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    cfg = ServingConfig(engine_backend="cpu", inference_engines=1,
+                        batch_buckets=(16,), max_mini_batch_size=16)
+    server = ServingServer(model_cfg, cfg)
+    server.start()
+    ing = HttpIngress(server)
+    ing.start()
+    url = "http://%s:%s" % ing.address
+    try:
+        new = get_model(model_cfg).init(jax.random.PRNGKey(123))
+        save_params(tmp_path / "ckpt", new)
+        status, out = _post(f"{url}/v1/reload", {"path": str(tmp_path / "ckpt")})
+        assert status == 200 and out["scheduled"] == 1
+        _post(f"{url}/v1/infer", {"batch_size": 4})  # triggers the apply
+        status, st = _get(f"{url}/v1/reload")
+        assert st == {"scheduled": 1, "applied": 1, "failed": 0, "errors": []}
+        eng = server.engines[0]
+        for got, want in zip(jax.tree_util.tree_leaves(eng.params),
+                             jax.tree_util.tree_leaves(new)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-6)
+
+        # Bad path: the swap fails, the error is reported, serving
+        # continues on the previous params.
+        _post(f"{url}/v1/reload", {"path": str(tmp_path / "missing")})
+        status, r = _post(f"{url}/v1/infer", {"batch_size": 4})
+        assert status == 200 and r["latency_ms"] > 0
+        st = _get(f"{url}/v1/reload")[1]
+        assert st["failed"] == 1 and "missing" in st["errors"][0]
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(eng.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(new)[0]), rtol=1e-6)
+
+        # Malformed body.
+        try:
+            _post(f"{url}/v1/reload", {})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        ing.stop()
+        server.stop()
+
+
+def test_reload_unsupported_on_sim_engines(ingress):
+    try:
+        _post(f"{ingress}/v1/reload", {"path": "/tmp/x"})
+        raise AssertionError("expected 501")
+    except urllib.error.HTTPError as e:
+        assert e.code == 501

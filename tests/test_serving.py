@@ -401,6 +401,46 @@ def test_hotcold_model_packed_matches_base():
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_engine_reload_rederives_hotcold_state(tmp_path):
+    """request_reload on a hotcold engine: the new checkpoint's MODEL
+    params are re-converted (hot table re-gathered from the new tables)
+    before the next served request."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+    from deeprecsys_tpu.utils.checkpoint import save_params
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000).replace(
+        embedding_impl="hotcold", hot_set_rows=32)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8)
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q,
+                        device=jax.devices("cpu")[0])
+    eng.start()
+    got = ready_q.get(timeout=300)
+    assert not isinstance(got, Exception), got
+
+    new = get_model(model_cfg).init(jax.random.PRNGKey(321))
+    save_params(tmp_path / "ckpt", new)
+    handle = eng.request_reload(str(tmp_path / "ckpt"))
+    req_q.put(ServiceRequest(batch_id=0, epoch=0, arrival_time=time.time(),
+                             batch_size=5, total_sub_batches=1))
+    r = resp_q.get(timeout=120)
+    assert r.batch_size == 5
+    assert handle.event.wait(timeout=30) and handle.error is None
+    hid = np.asarray(eng._hotcold.hot_ids, dtype=np.int64)
+    want_hot = np.asarray(new["tables"])[hid]
+    np.testing.assert_allclose(np.asarray(eng.params["hot_table"]), want_hot,
+                               rtol=1e-6)
+    req_q.put(None)
+
+
 def test_cold_ladder_shapes():
     from deeprecsys_tpu.models.hotcold import cold_ladder
 

@@ -1029,6 +1029,10 @@ JOBS = [
     ("model_zipf_pack:rm1", lambda: job_model_hotcold("rm1", "direct", pack=0)),
     ("model_hotcold_xs_pack:rm1", lambda: job_model_hotcold("rm1", "hotcold", pack=0, hot_rows=1024)),
     ("model_hotcold_xxs_pack:rm1", lambda: job_model_hotcold("rm1", "hotcold", pack=0, hot_rows=128)),
+    # rm3 crossover points (threshold evidence beyond one model).
+    ("model_zipf_pack:rm3", lambda: job_model_hotcold("rm3", "direct", pack=0)),
+    ("model_hotcold_xs_pack:rm3", lambda: job_model_hotcold("rm3", "hotcold", pack=0, hot_rows=1024)),
+    ("model_hotcold_xxs_pack:rm3", lambda: job_model_hotcold("rm3", "hotcold", pack=0, hot_rows=128)),
 ]
 
 
