@@ -36,11 +36,17 @@ def sweep(model: str, backend: str, sla_ms: float, arrivals_ms, engines: int,
           num_batches: int, table_scale: int, sub_batch: int) -> dict:
     lm = None
     eff_backend = backend
-    if backend == "calibrated-sim":
-        path = CHAR_DIR / f"tpu_{model}.json"
+    if backend in ("calibrated-sim", "cpu-calibrated-sim"):
+        # cpu-calibrated-sim drives the SAME serving stack with the CPU f32
+        # engine characterization (cpu_<model>.json) — the self-measured
+        # reference-style baseline BASELINE.md's ">=2x QPS" target compares
+        # against (run it at the reference's 32-engine regime).
+        prefix = "tpu" if backend == "calibrated-sim" else "cpu"
+        path = CHAR_DIR / f"{prefix}_{model}.json"
         if not path.exists():
             raise FileNotFoundError(
-                f"no TPU characterization for {model}; run tools/tpu_workqueue.py"
+                f"no {prefix} characterization for {model}; run "
+                "tools/tpu_workqueue.py (tpu) or experiments/sweep.py (cpu)"
             )
         lm = LatencyModel.load(path)
         eff_backend = "sim"
@@ -67,7 +73,8 @@ def sweep(model: str, backend: str, sla_ms: float, arrivals_ms, engines: int,
         if meets and (best is None or res.measured_qps > best["qps"]):
             best = rows[-1]
     return {"model": model, "backend": backend, "sla_ms": sla_ms,
-            "sweep": rows, "latency_bounded_qps": best["qps"] if best else 0.0}
+            "engines": engines, "sweep": rows,
+            "latency_bounded_qps": best["qps"] if best else 0.0}
 
 
 def main(argv=None):
