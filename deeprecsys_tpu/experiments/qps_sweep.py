@@ -40,7 +40,11 @@ def sweep(model: str, backend: str, sla_ms: float, arrivals_ms, engines: int,
         # cpu-calibrated-sim drives the SAME serving stack with the CPU f32
         # engine characterization (cpu_<model>.json) — the self-measured
         # reference-style baseline BASELINE.md's ">=2x QPS" target compares
-        # against (run it at the reference's 32-engine regime).
+        # against. Run it at the SAME engine count as the TPU sweep (the
+        # recorded comparison uses 2): the ladders were characterized solo,
+        # so many sim engines would model zero host contention — the
+        # 32-engine CPU sweep was measured and discarded as optimistic
+        # (benchmarks/README.md "Latency-bounded QPS").
         prefix = "tpu" if backend == "calibrated-sim" else "cpu"
         path = CHAR_DIR / f"{prefix}_{model}.json"
         if not path.exists():

@@ -239,7 +239,18 @@ def hot_ids_and_coverage_from_generator(
     the hot set — the "head mass" this module's docstring tells users to
     measure before enabling hotcold (``embedding_impl="auto"`` automates
     the decision on it). Pass the engine's data_generation/trace_file so
-    the sample sees the same locality the serving stream will have."""
+    the sample sees the same locality the serving stream will have.
+
+    Coverage is estimated OUT-OF-SAMPLE: the hot set is chosen on the
+    first half of the sampled batches and scored on the held-out second
+    half. Scoring a hot set on the stream it was selected from is
+    degenerate — whenever the hot budget exceeds the number of distinct
+    sampled ids (small models, short samples) the in-sample hit rate is
+    exactly 1.0 even on a uniform stream whose true hit rate is near
+    zero, and ``embedding_impl="auto"`` would enable hotcold on exactly
+    the workloads it regresses. The RETURNED hot ids are still selected
+    from the full sample (best selection for deployment); only the
+    estimate uses the split."""
     from deeprecsys_tpu.data import RecDataGenerator
 
     gen = RecDataGenerator(cfg, seed=seed, data_generation=data_generation,
@@ -249,9 +260,17 @@ def hot_ids_and_coverage_from_generator(
     sample = np.concatenate(samples, axis=0)
     offsets = np.asarray(cfg.table_offsets)
     hot_ids = select_hot_ids(sample, offsets, hot_rows)
-    flat = (sample.astype(np.int64)
-            + offsets.astype(np.int64)[None, :, None]).reshape(-1)
-    coverage = float(np.isin(flat, hot_ids).mean()) if flat.size else 0.0
+    half = max(1, len(samples) // 2)
+    select_half = np.concatenate(samples[:half], axis=0)
+    holdout = np.concatenate(samples[half:], axis=0) if len(samples) > half \
+        else np.empty((0,) + sample.shape[1:], dtype=sample.dtype)
+    holdout_flat = (holdout.astype(np.int64)
+                    + offsets.astype(np.int64)[None, :, None]).reshape(-1)
+    if holdout_flat.size:
+        half_hot = select_hot_ids(select_half, offsets, hot_rows)
+        coverage = float(np.isin(holdout_flat, half_hot).mean())
+    else:
+        coverage = 0.0
     return hot_ids, coverage
 
 

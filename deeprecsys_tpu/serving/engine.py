@@ -132,6 +132,7 @@ class ComputeEngine(threading.Thread):
         self._hotcold = None  # HotColdModel when the hotcold path is active
         self.hot_coverage = None  # sampled hot-set coverage (hotcold/auto)
         self._reload: ReloadHandle | None = None  # pending checkpoint swap
+        self._reload_lock = threading.Lock()
         self._raw_template = None  # ShapeDtypeStruct tree of the MODEL layout
         self.error: Exception | None = None
         # Observability: executions per bucket and coalesced-request count
@@ -141,6 +142,13 @@ class ComputeEngine(threading.Thread):
         self.coalesced_requests = 0
 
     # -- setup ---------------------------------------------------------
+
+    @staticmethod
+    def _layout_template(params):
+        """ShapeDtypeStruct skeleton of the MODEL param layout — the
+        ``like=`` tree checkpoint reloads are validated against."""
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
 
     def _setup(self):
         model = get_model(self.model_cfg)
@@ -167,8 +175,7 @@ class ComputeEngine(threading.Thread):
         else:
             apply_fn = jax.jit(model.apply, device=self.device)
         # Model-layout skeleton for checkpoint reloads (shapes/dtypes only).
-        self._raw_template = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params)
+        self._raw_template = self._layout_template(self.params)
         # Pre-generate one max-size batch; per-bucket host slices feed each
         # request (reference: pre-generate then slice, inferenceEngine.py:200-206).
         gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17,
@@ -221,8 +228,7 @@ class ComputeEngine(threading.Thread):
             if self.params is None:
                 self.params = model.init(jax.random.PRNGKey(self.seed))
             # Reload skeleton is the RAW model layout (pre-conversion).
-            self._raw_template = jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params)
+            self._raw_template = self._layout_template(self.params)
             # shard_params row-shards the fused table over "model"; the
             # hot_table (top-level key) and MLPs replicate.
             self.params = shard_params(hc.convert_params(self.params), self.mesh)
@@ -231,8 +237,7 @@ class ComputeEngine(threading.Thread):
             if self.params is None:
                 with jax.default_device(self.device):
                     self.params = model.init(jax.random.PRNGKey(self.seed))
-            self._raw_template = jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params)
+            self._raw_template = self._layout_template(self.params)
             self.params = jax.device_put(hc.convert_params(self.params), self.device)
             apply_fn = jax.jit(hc.apply, device=self.device)
 
@@ -343,24 +348,45 @@ class ComputeEngine(threading.Thread):
         params — the engine re-runs its own conversion: hotcold hot-table
         re-derivation, sharding, device placement). Applied atomically
         before the next request this engine serves; on failure the old
-        params keep serving. Thread-safe."""
+        params keep serving. A newer request supersedes a pending one:
+        the superseded handle's event is set with error="superseded" so
+        waiters never hang. Thread-safe."""
         handle = ReloadHandle(path)
-        self._reload = handle
+        with self._reload_lock:
+            prev, self._reload = self._reload, handle
+        if prev is not None and not prev.event.is_set():
+            prev.error = RuntimeError(
+                f"superseded by a newer reload request ({handle.path})")
+            prev.event.set()
         return handle
+
+    def _take_pending_reload(self) -> "ReloadHandle | None":
+        # Atomic take: once the engine owns a handle, a concurrent
+        # request_reload sees None and won't supersede it mid-apply.
+        with self._reload_lock:
+            pending, self._reload = self._reload, None
+        return pending
 
     def _apply_reload(self, handle: ReloadHandle):
         try:
             from deeprecsys_tpu.utils.checkpoint import load_params
 
             new = load_params(handle.path, like=self._raw_template)
-            if self._hotcold is not None:
-                new = self._hotcold.convert_params(new)
-            if self.mesh is not None:
-                from deeprecsys_tpu.parallel import shard_params
+            # Pin the conversion to this engine's backend: load_params
+            # returns uncommitted host arrays, and the hotcold hot-table
+            # rebuild (gathers/casts) would otherwise dispatch on the
+            # DEFAULT backend — on a relayed TPU default that is minutes
+            # of remote compile for a CPU-backend engine's reload.
+            dev0 = self.device if self.mesh is None else self.mesh.devices.flat[0]
+            with jax.default_device(dev0):
+                if self._hotcold is not None:
+                    new = self._hotcold.convert_params(new)
+                if self.mesh is not None:
+                    from deeprecsys_tpu.parallel import shard_params
 
-                self.params = shard_params(new, self.mesh)
-            else:
-                self.params = jax.device_put(new, self.device)
+                    self.params = shard_params(new, self.mesh)
+                else:
+                    self.params = jax.device_put(new, self.device)
         except Exception as e:
             handle.error = e
         finally:
@@ -375,9 +401,6 @@ class ComputeEngine(threading.Thread):
             carry = None
             if request is _SENTINEL:
                 break
-            pending_reload = self._reload
-            if pending_reload is not None and not pending_reload.event.is_set():
-                self._apply_reload(pending_reload)
             group = [request]
             if cfg.coalesce_requests:
                 # Dynamic batching: drain waiting requests into one bucket
@@ -404,6 +427,13 @@ class ComputeEngine(threading.Thread):
                         break
                     group.append(nxt)
                     total += nxt.batch_size
+            # Apply a pending checkpoint swap AFTER the coalescing drain:
+            # a request scheduled after request_reload() can land in this
+            # group via get_nowait(), and the ReloadHandle contract says
+            # it must see the new params.
+            pending_reload = self._take_pending_reload()
+            if pending_reload is not None:
+                self._apply_reload(pending_reload)
             queue_start = time.time()
             bucket = pick_bucket(self.buckets, sum(r.batch_size for r in group))
             self.bucket_counts[bucket] = self.bucket_counts.get(bucket, 0) + 1

@@ -304,6 +304,16 @@ def _make_handler(registry: dict[str, ServingServer], default: str):
             self.end_headers()
             self.wfile.write(body)
 
+        def _model_route(self, suffix: str):
+            """Resolve ``/v1/models/<name>/<suffix>`` to its server.
+            Sends the 404 and returns None for unknown model names."""
+            name = self.path[len("/v1/models/"):-len("/" + suffix)]
+            server = registry.get(name)
+            if server is None:
+                self._json(404, {"error": f"unknown model {name!r}; "
+                                          f"have {sorted(registry)}"})
+            return server
+
         def do_GET(self):
             if self.path == "/v1/healthz":
                 self._json(200, _health(registry[default]))
@@ -313,6 +323,11 @@ def _make_handler(registry: dict[str, ServingServer], default: str):
                 self._json(200, {name: _health(s) for name, s in registry.items()})
             elif self.path == "/v1/reload":
                 self._json(200, registry[default].reload_status())
+            elif (self.path.startswith("/v1/models/")
+                  and self.path.endswith("/reload")):
+                server = self._model_route("reload")
+                if server is not None:
+                    self._json(200, server.reload_status())
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
@@ -323,11 +338,8 @@ def _make_handler(registry: dict[str, ServingServer], default: str):
                 if self.path == "/v1/reload":
                     server = registry[default]
                 else:
-                    name = self.path[len("/v1/models/"):-len("/reload")]
-                    server = registry.get(name)
+                    server = self._model_route("reload")
                     if server is None:
-                        self._json(404, {"error": f"unknown model {name!r}; "
-                                                  f"have {sorted(registry)}"})
                         return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
@@ -349,11 +361,8 @@ def _make_handler(registry: dict[str, ServingServer], default: str):
                 server = registry[default]
             elif (self.path.startswith("/v1/models/")
                   and self.path.endswith("/infer")):
-                name = self.path[len("/v1/models/"):-len("/infer")]
-                server = registry.get(name)
+                server = self._model_route("infer")
                 if server is None:
-                    self._json(404, {"error": f"unknown model {name!r}; "
-                                              f"have {sorted(registry)}"})
                     return
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})

@@ -167,9 +167,18 @@ def test_multi_model_registry():
         s, out = _post(f"{base}/v1/infer", {"batch_size": 4})  # default=ncf
         assert s == 200 and out["sub_batches"] == 1
 
+        # Per-model reload status is reachable over HTTP (not just the
+        # default model's /v1/reload).
+        s, st = _get(f"{base}/v1/models/rm1/reload")
+        assert s == 200 and st == {"scheduled": 0, "applied": 0,
+                                   "failed": 0, "errors": []}
+
         import urllib.error
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(f"{base}/v1/models/nope/infer", {"batch_size": 1})
+        assert e.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"{base}/v1/models/nope/reload")
         assert e.value.code == 404
     finally:
         ing.stop()

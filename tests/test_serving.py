@@ -837,3 +837,106 @@ def test_mesh_buckets_round_up_not_drop():
     eng = ComputeEngine(0, model_cfg, cfg, _q.Queue(), _q.Queue(), _q.Queue(),
                         mesh=mesh)
     assert eng.buckets == (8, 64, 120, 1000)  # rounded, none dropped
+
+
+def test_auto_coverage_estimated_out_of_sample():
+    """The auto-impl coverage estimate must be out-of-sample: when the hot
+    budget exceeds the number of DISTINCT sampled ids (small models, short
+    warm-up samples), every sampled id lands in the hot set and an
+    in-sample hit rate reads exactly 1.0 on a uniform stream whose true
+    hit rate is tiny — auto would enable hotcold on exactly the workloads
+    it regresses. Held-out estimation reports the generalizing rate."""
+    from deeprecsys_tpu.models.hotcold import hot_ids_and_coverage_from_generator
+
+    cfg = zoo.get_config("ncf", table_scale=10)
+    # Budget 16384 rows >> the ~6.7k distinct ids an 8x256-query uniform
+    # sample of ncf's 4 single-lookup tables produces.
+    hot_ids, cov = hot_ids_and_coverage_from_generator(cfg, seed=31,
+                                                       hot_rows=16384)
+    assert len(hot_ids) < 16384  # select_hot_ids hit the "all sampled" branch
+    assert cov < 0.5  # in-sample this reads exactly 1.0
+
+    # Control: when the hot set genuinely covers the whole (scaled) table,
+    # the held-out estimate still reads ~1.
+    small = zoo.get_config("rm1", table_scale=2000)
+    _, cov_all = hot_ids_and_coverage_from_generator(small, seed=31,
+                                                     hot_rows=65536)
+    assert cov_all > 0.9
+
+
+def test_reload_superseded_handle_released():
+    """A second request_reload before the first applies must set the
+    first handle's event with a 'superseded' error — a waiter on the
+    orphaned handle would otherwise block forever."""
+    import jax
+
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8)
+    eng = ComputeEngine(0, model_cfg, cfg, queue.Queue(), queue.Queue(),
+                        queue.Queue(), device=jax.devices("cpu")[0])
+    h1 = eng.request_reload("/tmp/ckpt_a")
+    h2 = eng.request_reload("/tmp/ckpt_b")
+    assert h1.event.is_set() and "superseded" in str(h1.error)
+    assert not h2.event.is_set() and eng._reload is h2
+
+
+def test_reload_applies_to_coalesced_drain(tmp_path):
+    """A request drained into a coalescing group AFTER request_reload()
+    must be served with the new params (the ReloadHandle contract). The
+    trigger queue schedules the reload from inside the drain's
+    get_nowait — the exact interleaving where the pre-drain check used
+    to serve the drained request stale."""
+    import time
+
+    import jax
+
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+    from deeprecsys_tpu.utils.checkpoint import save_params
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    new = get_model(model_cfg).init(jax.random.PRNGKey(77))
+    save_params(tmp_path / "ckpt", new)
+
+    class TriggerQueue(queue.Queue):
+        """Schedules the reload the first time the drain polls."""
+
+        engine = None
+        handle = None
+
+        def get_nowait(self):
+            if self.handle is None and self.engine is not None:
+                self.handle = self.engine.request_reload(str(tmp_path / "ckpt"))
+            return super().get_nowait()
+
+    req_q = TriggerQueue()
+    resp_q, ready_q = queue.Queue(), queue.Queue()
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8, coalesce_requests=True,
+                        max_coalesce=4)
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q,
+                        device=jax.devices("cpu")[0])
+    # Both requests queued before the engine starts: it blocks-gets R1,
+    # then the drain's get_nowait schedules the reload and returns R2.
+    now = time.time()
+    req_q.put(ServiceRequest(batch_id=0, epoch=0, arrival_time=now,
+                             batch_size=3, total_sub_batches=1))
+    req_q.put(ServiceRequest(batch_id=1, epoch=0, arrival_time=now,
+                             batch_size=4, total_sub_batches=1))
+    req_q.engine = eng
+    eng.start()
+    got = ready_q.get(timeout=300)
+    assert not isinstance(got, Exception), got
+    seen = [resp_q.get(timeout=120) for _ in range(2)]
+    assert sorted(r.batch_size for r in seen) == [3, 4]
+    # The swap must have been applied BEFORE the group executed.
+    assert req_q.handle is not None and req_q.handle.event.is_set()
+    assert req_q.handle.error is None
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(eng.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(new)[0]), rtol=1e-6)
+    req_q.put(None)
