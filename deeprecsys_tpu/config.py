@@ -356,11 +356,14 @@ class ServingConfig:
     accel_request_size_thres: int = 1024
 
     # Engine input data (reference --data_generation / --synthetic_data_trace_file,
-    # utils/utils.py dataset group): "random" uniform ids, or "synthetic"
+    # utils/utils.py dataset group): "random" uniform ids, "synthetic"
     # stack-distance trace replay from a distribution file — the locality
-    # model that makes hot/cold splits representative.
+    # model that makes hot/cold splits representative — or "dataset"
+    # (reference --data_set/--raw_data_file, dlrm_data_caffe2.py:36-37):
+    # real Criteo click logs streamed into the fused layout.
     data_generation: str = "random"
     synthetic_trace_file: str | None = None
+    raw_data_file: str | None = None
 
     seed: int = 123
     debug_mode: bool = False

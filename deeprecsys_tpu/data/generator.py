@@ -70,21 +70,41 @@ class RecDataGenerator:
         data_generation: str = "random",
         trace_file: str | None = None,
         trace_enable_padding: bool = False,
+        raw_data_file: str | None = None,
     ):
         self.cfg = cfg
         self.rng = np.random.default_rng(seed)
         self.data_generation = data_generation
         self.trace_file = trace_file
         self.trace_enable_padding = trace_enable_padding
-        if data_generation not in ("random", "synthetic"):
+        self.raw_data_file = raw_data_file
+        if data_generation not in ("random", "synthetic", "dataset"):
             raise ValueError(f"unknown data_generation {data_generation!r}")
         if data_generation == "synthetic" and trace_file is None:
             raise ValueError("synthetic mode requires a trace (distribution) file")
+        if data_generation == "dataset":
+            # Real-dataset mode (reference dlrm_data_caffe2.py:36-37,
+            # --data_set/--raw_data_file): Criteo TSV streamed into the
+            # fused layout, cycling at EOF (the reference pre-generates
+            # num_batches and replays them; cycling is the streaming
+            # equivalent for serving engines that draw indefinitely).
+            if raw_data_file is None:
+                raise ValueError("dataset mode requires --raw_data_file")
+            from deeprecsys_tpu.data.criteo import CriteoReader
+
+            self._reader = CriteoReader(raw_data_file, cfg)
+            self._ds_iter = None
+            self._ds_iter_bs = None
+            self.last_labels: np.ndarray | None = None
 
     # ------------------------------------------------------------------
 
     def generate_batch(self, batch_size: int) -> Batch:
         cfg = self.cfg
+        if self.data_generation == "dataset":
+            batch, labels = self._next_dataset(batch_size)
+            self.last_labels = labels
+            return batch
         dense = None
         if cfg.dense_dim:
             dense = self.rng.random((batch_size, cfg.dense_dim), dtype=np.float32)
@@ -96,11 +116,34 @@ class RecDataGenerator:
 
     def generate_targets(self, batch_size: int, round_targets: bool = False) -> np.ndarray:
         """Uniform targets (reference generate_random_output_data,
-        dlrm_data_caffe2.py:128-148)."""
+        dlrm_data_caffe2.py:128-148). In dataset mode: the REAL labels of
+        the batch most recently returned by ``generate_batch`` (the
+        reference's dataset path reads y from the file alongside X)."""
+        if self.data_generation == "dataset":
+            if self.last_labels is None or len(self.last_labels) < batch_size:
+                raise ValueError(
+                    "dataset targets follow generate_batch: call it first "
+                    "with batch_size >= the requested target count")
+            return self.last_labels[:batch_size]
         t = self.rng.random((batch_size, self.cfg.out_dim), dtype=np.float32)
         if round_targets:
             t = np.round(t).astype(np.float32)
         return t
+
+    def _next_dataset(self, batch_size: int):
+        if self._ds_iter_bs != batch_size:
+            self._ds_iter = None  # batch size changed: restart the stream
+        for _ in range(2):
+            if self._ds_iter is None:
+                self._ds_iter = self._reader.batches(batch_size)
+                self._ds_iter_bs = batch_size
+            try:
+                return next(self._ds_iter)
+            except StopIteration:
+                self._ds_iter = None  # EOF: cycle from the top
+        raise ValueError(
+            f"dataset {self.raw_data_file!r} holds fewer than "
+            f"{batch_size} rows (one full batch)")
 
     def generate_batches(self, num_batches: int, batch_size: int) -> list[Batch]:
         return [self.generate_batch(batch_size) for _ in range(num_batches)]

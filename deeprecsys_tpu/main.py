@@ -56,8 +56,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     # Standalone characterization (reference: inferenceEngine standalone mode)
     p.add_argument("--data_generation", type=str, default="random",
-                   choices=["random", "synthetic"])
+                   choices=["random", "synthetic", "dataset"])
     p.add_argument("--synthetic_data_trace_file", type=str, default=None)
+    # Real-dataset mode (reference --data_set/--raw_data_file,
+    # utils/utils.py:58-60; consumed dlrm_data_caffe2.py:36-37). Works with
+    # --model criteo (26-table DLRM matching the Criteo columns) or any
+    # reference-format JSON with 26 single-lookup tables.
+    p.add_argument("--data_set", type=str, default="kaggle",
+                   choices=["kaggle", "criteo"],
+                   help="dataset flavor for --data_generation dataset "
+                        "(both values mean Criteo display-advertising TSV)")
+    p.add_argument("--raw_data_file", type=str, default=None,
+                   help="Criteo TSV path for --data_generation dataset")
     p.add_argument("--num_batches", type=int, default=16)
     p.add_argument("--mini_batch_size", type=int, default=64)
     p.add_argument("--nepochs", type=int, default=1)
@@ -133,6 +143,11 @@ def _model_overrides(args) -> dict:
 def model_config_from_args(args, name: str | None = None) -> ModelConfig:
     name = name if name is not None else args.model
     overrides = _model_overrides(args)
+    if name == "criteo":
+        from deeprecsys_tpu.data.criteo import criteo_model_config
+
+        return criteo_model_config().replace(table_scale=args.table_scale,
+                                             **overrides)
     if name in zoo.MODEL_NAMES:
         return zoo.get_config(name, table_scale=args.table_scale, **overrides)
     return load_model_config(name, table_scale=args.table_scale, **overrides)
@@ -153,6 +168,7 @@ def serving_config_from_args(args) -> ServingConfig:
         sub_task_batch_size=args.sub_task_batch_size,
         data_generation=args.data_generation,
         synthetic_trace_file=args.synthetic_data_trace_file,
+        raw_data_file=args.raw_data_file,
         bucket_policy=args.bucket_policy,
         max_auto_buckets=args.max_auto_buckets,
         inference_engines=args.inference_engines,
@@ -210,7 +226,8 @@ def run_standalone(model_cfg: ModelConfig, args) -> dict:
     params = model.init(jax.random.PRNGKey(args.numpy_rand_seed))
     gen = RecDataGenerator(model_cfg, seed=args.numpy_rand_seed,
                            data_generation=args.data_generation,
-                           trace_file=args.synthetic_data_trace_file)
+                           trace_file=args.synthetic_data_trace_file,
+                           raw_data_file=args.raw_data_file)
     fn = jax.jit(model.apply)
 
     t_load = 0.0

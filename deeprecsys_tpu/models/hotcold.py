@@ -232,7 +232,8 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
 def hot_ids_and_coverage_from_generator(
         cfg, seed: int, hot_rows: int, n_batches: int = 8,
         batch_size: int = 256, data_generation: str = "random",
-        trace_file: str | None = None) -> tuple[np.ndarray, float]:
+        trace_file: str | None = None,
+        raw_data_file: str | None = None) -> tuple[np.ndarray, float]:
     """Select the hot set by sampling the model's own data distribution
     (the serving analog of profiling a production id trace) and measure
     its COVERAGE: the fraction of the sampled lookup stream that falls in
@@ -254,7 +255,7 @@ def hot_ids_and_coverage_from_generator(
     from deeprecsys_tpu.data import RecDataGenerator
 
     gen = RecDataGenerator(cfg, seed=seed, data_generation=data_generation,
-                           trace_file=trace_file)
+                           trace_file=trace_file, raw_data_file=raw_data_file)
     samples = [np.asarray(gen.generate_batch(batch_size).indices)
                for _ in range(n_batches)]
     sample = np.concatenate(samples, axis=0)
@@ -276,8 +277,10 @@ def hot_ids_and_coverage_from_generator(
 
 def hot_ids_from_generator(cfg, seed: int, hot_rows: int, n_batches: int = 8,
                            batch_size: int = 256, data_generation: str = "random",
-                           trace_file: str | None = None) -> np.ndarray:
+                           trace_file: str | None = None,
+                           raw_data_file: str | None = None) -> np.ndarray:
     """``hot_ids_and_coverage_from_generator`` without the coverage."""
     return hot_ids_and_coverage_from_generator(
         cfg, seed, hot_rows, n_batches=n_batches, batch_size=batch_size,
-        data_generation=data_generation, trace_file=trace_file)[0]
+        data_generation=data_generation, trace_file=trace_file,
+        raw_data_file=raw_data_file)[0]

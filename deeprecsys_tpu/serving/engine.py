@@ -180,7 +180,8 @@ class ComputeEngine(threading.Thread):
         # request (reference: pre-generate then slice, inferenceEngine.py:200-206).
         gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17,
                                data_generation=self.serving_cfg.data_generation,
-                               trace_file=self.serving_cfg.synthetic_trace_file)
+                               trace_file=self.serving_cfg.synthetic_trace_file,
+                               raw_data_file=self.serving_cfg.raw_data_file)
         full = gen.generate_batch(max(self.buckets))
         for b in self.buckets:
             sliced = Batch(
@@ -216,7 +217,8 @@ class ComputeEngine(threading.Thread):
         hot_ids, coverage = hot_ids_and_coverage_from_generator(
             self.model_cfg, seed=self.seed + 31, hot_rows=hot_rows,
             data_generation=self.serving_cfg.data_generation,
-            trace_file=self.serving_cfg.synthetic_trace_file)
+            trace_file=self.serving_cfg.synthetic_trace_file,
+            raw_data_file=self.serving_cfg.raw_data_file)
         self.hot_coverage = coverage
         if not require and coverage < self.model_cfg.hotcold_min_hit:
             return False
@@ -243,7 +245,8 @@ class ComputeEngine(threading.Thread):
 
         gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17,
                                data_generation=self.serving_cfg.data_generation,
-                               trace_file=self.serving_cfg.synthetic_trace_file)
+                               trace_file=self.serving_cfg.synthetic_trace_file,
+                               raw_data_file=self.serving_cfg.raw_data_file)
         full = gen.generate_batch(max(self.buckets))
         T, L = full.indices.shape[1], full.indices.shape[2]
         for b in self.buckets:

@@ -231,3 +231,45 @@ def test_synthetic_trace_degenerate_raises(tmp_path):
                            trace_file=str(p))
     with pytest.raises(ValueError, match="distinct ids"):
         gen.generate_batch(2)
+
+
+def test_dataset_mode_streams_criteo(tmp_path):
+    """data_generation='dataset' (reference --data_set/--raw_data_file,
+    dlrm_data_caffe2.py:36-37): Criteo TSV streamed into the fused layout,
+    real labels via generate_targets, cycling at EOF."""
+    from deeprecsys_tpu.data.criteo import criteo_model_config, write_synthetic_criteo
+
+    path = tmp_path / "criteo.tsv"
+    write_synthetic_criteo(path, 300, seed=3)
+    cfg = criteo_model_config(rows_per_table=1000)
+    gen = RecDataGenerator(cfg, data_generation="dataset", raw_data_file=str(path))
+    b1 = gen.generate_batch(128)
+    t1 = gen.generate_targets(128)
+    assert b1.indices.shape == (128, 26, 1) and b1.dense.shape == (128, 13)
+    assert b1.indices.min() >= 0 and b1.indices.max() < 1000
+    assert set(np.unique(t1)) <= {0.0, 1.0}  # real click labels
+    b2 = gen.generate_batch(128)
+    b3 = gen.generate_batch(128)  # 300 rows / 128 = 2 full batches, then cycle
+    assert not np.array_equal(b1.indices, b2.indices)
+    assert np.array_equal(b1.indices, b3.indices)
+
+
+def test_dataset_mode_errors(tmp_path):
+    from deeprecsys_tpu.data.criteo import criteo_model_config, write_synthetic_criteo
+
+    cfg = criteo_model_config(rows_per_table=1000)
+    with pytest.raises(ValueError, match="raw_data_file"):
+        RecDataGenerator(cfg, data_generation="dataset")
+    path = tmp_path / "tiny.tsv"
+    write_synthetic_criteo(path, 5, seed=0)
+    gen = RecDataGenerator(cfg, data_generation="dataset", raw_data_file=str(path))
+    with pytest.raises(ValueError, match="fewer than"):
+        gen.generate_batch(64)
+    # dataset targets follow generate_batch
+    gen2 = RecDataGenerator(cfg, data_generation="dataset", raw_data_file=str(path))
+    with pytest.raises(ValueError, match="generate_batch"):
+        gen2.generate_targets(4)
+    # config must match the Criteo column layout
+    with pytest.raises(ValueError, match="26 tables"):
+        RecDataGenerator(zoo.get_config("rm1", table_scale=1000),
+                         data_generation="dataset", raw_data_file=str(path))

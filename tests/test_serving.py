@@ -940,3 +940,34 @@ def test_reload_applies_to_coalesced_drain(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(eng.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(new)[0]), rtol=1e-6)
     req_q.put(None)
+
+
+def test_engine_serves_real_dataset(tmp_path):
+    """End-to-end serving on data_generation='dataset': a ComputeEngine
+    warms up from a Criteo TSV (reference parity: the engines' data layer
+    supports dataset mode, dlrm_data_caffe2.py:36-37)."""
+    import time
+
+    import jax
+
+    from deeprecsys_tpu.data.criteo import criteo_model_config, write_synthetic_criteo
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    path = tmp_path / "criteo.tsv"
+    write_synthetic_criteo(path, 64, seed=7)
+    model_cfg = criteo_model_config(rows_per_table=1000)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(16,),
+                        max_mini_batch_size=16, data_generation="dataset",
+                        raw_data_file=str(path))
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q,
+                        device=jax.devices("cpu")[0])
+    eng.start()
+    got = ready_q.get(timeout=300)
+    assert not isinstance(got, Exception), got
+    req_q.put(ServiceRequest(batch_id=0, epoch=0, arrival_time=time.time(),
+                             batch_size=9, total_sub_batches=1))
+    r = resp_q.get(timeout=120)
+    assert r.batch_size == 9 and r.inference_end_time >= r.queue_start_time
+    req_q.put(None)
