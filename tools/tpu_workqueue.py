@@ -852,6 +852,61 @@ def job_serving_hotcold(model):
     return res.to_dict()
 
 
+def job_train(model, batch=512, table_scale=1, iters=16):
+    """Training-step throughput at FULL production table scale: forward +
+    loss + grads + dense optax updates + SPARSE touched-rows table update
+    with row-wise AdaGrad (train.py make_sparse_table_step — step cost
+    O(B*T*L) rows regardless of R). Timed as a data-dependent chained
+    fori_loop (params of step k feed step k+1), two-point readback slope.
+
+    No donation in the chain (the readback helper re-calls it with the
+    same arrays), so peak HBM ~= input params + the loop's double-buffered
+    carry (~3x the f32 table). din's 5.9 GB f32 table exceeds that budget
+    on a 16 GB chip — it runs at table_scale=2, recorded as such."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.train import Trainer
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+
+    dev = pick_accel_device()
+    cfg = zoo.get_config(model, table_scale=table_scale,
+                         compute_dtype="bfloat16")
+    with jax.default_device(dev):
+        tr = Trainer(cfg, sparse_tables=True, optimizer="adagrad",
+                     learning_rate=0.01, loss="bce", seed=0)
+        gen = RecDataGenerator(cfg, seed=11)
+        host = gen.generate_batch(batch)
+        dev_batch = Batch(
+            dense=None if host.dense is None else jnp.asarray(host.dense),
+            indices=jnp.asarray(host.indices))
+        targets = jnp.asarray(gen.generate_targets(batch))
+        step = tr._step
+
+        @jax.jit
+        def prog(n, params, opt_state, b, t):
+            def body(i, c):
+                p, s, _ = c
+                return step(p, s, b, t)
+            init = (params, opt_state, jnp.zeros((), jnp.float32))
+            _, _, loss = lax.fori_loop(0, n, body, init)
+            return loss.astype(jnp.float32)
+
+        ms, compile_s = _chain_readback(prog, tr.params, tr.opt_state,
+                                        dev_batch, targets, iters=iters)
+    r = {"model": model, "batch": batch, "table_scale": table_scale,
+         "step_ms": ms, "samples_per_s": batch / ms * 1000.0,
+         "compile_s": compile_s, "sparse_tables": True,
+         "optimizer": "adagrad+rowwise_adagrad_tables", "loss": "bce"}
+    log(f"train {model} (scale {table_scale}): {ms:.3f} ms/step "
+        f"({r['samples_per_s']:.0f} samples/s), compile {compile_s:.0f}s")
+    return r
+
+
 JOBS = [
     ("warm:rm1", lambda: job_warm("rm1")),
     ("warm:rm2", lambda: job_warm("rm2")),
@@ -1033,6 +1088,16 @@ JOBS = [
     ("model_zipf_pack:rm3", lambda: job_model_hotcold("rm3", "direct", pack=0)),
     ("model_hotcold_xs_pack:rm3", lambda: job_model_hotcold("rm3", "hotcold", pack=0, hot_rows=1024)),
     ("model_hotcold_xxs_pack:rm3", lambda: job_model_hotcold("rm3", "hotcold", pack=0, hot_rows=128)),
+    # Round 2g: training-step throughput at full production table scale
+    # (sparse touched-rows updates; din at scale 2 — see job_train).
+    ("train:rm1", lambda: job_train("rm1")),
+    ("train:rm2", lambda: job_train("rm2")),
+    ("train:rm3", lambda: job_train("rm3")),
+    ("train:wnd", lambda: job_train("wnd")),
+    ("train:mtwnd", lambda: job_train("mtwnd")),
+    ("train:ncf", lambda: job_train("ncf")),
+    ("train:din", lambda: job_train("din", table_scale=2)),
+    ("train:dien", lambda: job_train("dien")),
 ]
 
 
