@@ -37,4 +37,17 @@ def get_model(cfg: ModelConfig) -> ModelFns:
     )
 
 
-__all__ = ["get_model", "Batch", "ModelFns"]
+# Model families whose reference graphs end in a Sigmoid (scores are
+# probabilities): dlrm_s_caffe2.py:268-272 (sigmoid_top = last layer),
+# wide_and_deep.py / multi_task_wnd.py same. ncf/din/dien emit raw
+# FC/ReLU scores (din.py create_mlp has no sigmoid path) — losses must
+# treat those as logits (parallel/sharding.py::loss_fn_for).
+_SIGMOID_OUTPUT_TYPES = frozenset({"dlrm", "wnd", "mtwnd"})
+
+
+def sigmoid_output(cfg: ModelConfig) -> bool:
+    """Whether this model's apply() returns sigmoid probabilities."""
+    return cfg.model_type in _SIGMOID_OUTPUT_TYPES
+
+
+__all__ = ["get_model", "Batch", "ModelFns", "sigmoid_output"]

@@ -30,6 +30,8 @@ records the closure.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -174,6 +176,11 @@ def embedding_bag_packed(
     flat = (indices + offsets[None, :, None]).reshape(-1)
     rows = select_packed_rows(table_packed, flat, pack)
     cdt = compute_dtype if compute_dtype is not None else table_packed.dtype
+    if jnp.issubdtype(jnp.dtype(cdt), jnp.integer) and jnp.dtype(cdt).itemsize < 4:
+        # Pooling L rows of int8/int16 wraps (L up to 120 here); the int8
+        # sibling (embedding_bag_packed_int8) pools in exact int32 — match
+        # that instead of silently corrupting every bag.
+        cdt = jnp.int32
     return rows.astype(cdt).reshape(B, T, L, d).sum(axis=2)
 
 
@@ -360,7 +367,7 @@ def _split_hot_cold_native(indices: np.ndarray, offsets: np.ndarray,
 
 
 def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray,
-                   cold_buckets=None, impl: str = "auto"):
+                   cold_buckets=None, impl: str = "auto", pad: bool = True):
     """Host-side split of a batch's lookups into hot-set hits and a
     COMPACTED cold stream (the refined dedup design, ROADMAP: general
     dedup is VMEM-bound; instead a STATIC hot set sized to VMEM serves
@@ -380,6 +387,10 @@ def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray
       cold_seg (C_pad,) int32  — pooling-group id (b*T + t) per cold slot;
                                  pad slots point at group B*T (dropped)
       n_cold   int
+
+    ``pad=False`` returns the compacted stream at its EXACT length
+    (C = n_cold) — for the sharded/hybrid splitters, which re-pad per
+    partition cell and would otherwise pay a wasted pad+slice per request.
     """
     B, T, L = indices.shape
 
@@ -406,6 +417,12 @@ def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray
         raw_cold_ids = flat[cold_positions]
         raw_cold_seg = groups[cold_positions]
 
+    if not pad:
+        return {"hot_sel": hot_sel.reshape(B, T, L),
+                "hot_mask": hot_mask.reshape(B, T, L),
+                "cold_ids": np.asarray(raw_cold_ids[:n_cold], dtype=np.int32),
+                "cold_seg": np.asarray(raw_cold_seg[:n_cold], dtype=np.int32),
+                "n_cold": n_cold}
     c_pad = _pad_bucket(n_cold, cold_buckets)
     cold_ids = np.zeros(c_pad, dtype=np.int32)
     cold_seg = np.full(c_pad, B * T, dtype=np.int32)  # pad -> dropped segment
@@ -493,17 +510,28 @@ def quantize_pertable_int8(table: jax.Array, table_rows) -> dict:
     """Quantize a TRAINED float fused table to the per-table int8 layout
     ({"q", "scale"}, see ``init_fused_tables_int8``): scale_t = per-table
     max|value| / 127. For tables whose row norms diverge after training,
-    prefer ``quantize_rowwise_int8``."""
+    prefer ``quantize_rowwise_int8``.
+
+    One jitted program (segment_max over a per-row table-id vector), not a
+    per-table eager loop: DIN's 254 tables would cost ~4 device dispatches
+    each — tens of seconds of pure round-trips on a relayed backend — in
+    the train->quantize->serve export path."""
     table_rows = np.asarray(table_rows, dtype=np.int64)
-    starts = np.concatenate([[0], np.cumsum(table_rows)])
-    scales = []
-    qs = []
-    for t in range(len(table_rows)):
-        block = table[int(starts[t]): int(starts[t + 1])]
-        s = jnp.maximum(jnp.max(jnp.abs(block)), 1e-30) / 127.0
-        scales.append(s)
-        qs.append(jnp.clip(jnp.round(block / s), -127, 127).astype(jnp.int8))
-    return {"q": jnp.concatenate(qs, axis=0), "scale": jnp.stack(scales)}
+    T = len(table_rows)
+    row_tid = jnp.asarray(np.repeat(np.arange(T, dtype=np.int32), table_rows))
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _quant(tbl, tid, num_tables):
+        absmax = jax.ops.segment_max(
+            jnp.max(jnp.abs(tbl.astype(jnp.float32)), axis=1), tid,
+            num_segments=num_tables)
+        scale = jnp.maximum(absmax, 1e-30) / 127.0
+        q = jnp.clip(jnp.round(tbl.astype(jnp.float32) / scale[tid][:, None]),
+                     -127, 127).astype(jnp.int8)
+        return q, scale
+
+    q, scale = _quant(table, row_tid, T)
+    return {"q": q, "scale": scale}
 
 
 def select_hot_ids(indices_sample: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
@@ -540,24 +568,17 @@ def split_hot_cold_sharded(indices: np.ndarray, offsets: np.ndarray,
       cold_seg   (M, C_pad) int32 — pooling group per slot (pad -> B*T)
       n_cold     int               — total real cold lookups
     C_pad is the bucketed max over shards (uniform shapes for jit).
+
+    Implemented as the hybrid partition at n_data=1 (one stable argsort,
+    O(n log n) independent of M) — per-shard boolean masks would rescan
+    the compacted stream M times per request on the serving host path.
     """
-    base = split_hot_cold(indices, offsets, hot_ids, impl=impl)
-    B, T, L = indices.shape
-    n_cold = base["n_cold"]
-    ids = base["cold_ids"][:n_cold].astype(np.int64)
-    segs = base["cold_seg"][:n_cold]
-    owner = np.clip(ids // rows_per_shard, 0, n_shards - 1)
-    per_shard = [(ids[owner == m] - m * rows_per_shard, segs[owner == m])
-                 for m in range(n_shards)]
-    c_max = max((len(i) for i, _ in per_shard), default=0)
-    c_pad = _pad_bucket(c_max, cold_buckets, floor=8)
-    cold_local = np.zeros((n_shards, c_pad), dtype=np.int32)
-    cold_seg = np.full((n_shards, c_pad), B * T, dtype=np.int32)
-    for m, (i, s) in enumerate(per_shard):
-        cold_local[m, : len(i)] = i
-        cold_seg[m, : len(s)] = s
-    return {"hot_sel": base["hot_sel"], "hot_mask": base["hot_mask"],
-            "cold_local": cold_local, "cold_seg": cold_seg, "n_cold": n_cold}
+    h = split_hot_cold_hybrid(indices, offsets, hot_ids, 1, n_shards,
+                              rows_per_shard, cold_buckets=cold_buckets,
+                              impl=impl)
+    return {"hot_sel": h["hot_sel"], "hot_mask": h["hot_mask"],
+            "cold_local": h["cold_local"][0], "cold_seg": h["cold_seg"][0],
+            "n_cold": h["n_cold"]}
 
 
 def split_hot_cold_hybrid(indices: np.ndarray, offsets: np.ndarray,
@@ -577,13 +598,13 @@ def split_hot_cold_hybrid(indices: np.ndarray, offsets: np.ndarray,
       cold_seg   (D, M, C_pad) int32 — local pooling group (pad -> B/D*T)
       n_cold     int
     """
-    base = split_hot_cold(indices, offsets, hot_ids, impl=impl)
+    base = split_hot_cold(indices, offsets, hot_ids, impl=impl, pad=False)
     B, T, L = indices.shape
     assert B % n_data == 0, (B, n_data)
     b_loc = B // n_data
     n_cold = base["n_cold"]
-    ids = base["cold_ids"][:n_cold].astype(np.int64)
-    segs = base["cold_seg"][:n_cold].astype(np.int64)  # global b*T + t
+    ids = base["cold_ids"].astype(np.int64)   # exact length (pad=False)
+    segs = base["cold_seg"].astype(np.int64)  # global b*T + t
     d_of = segs // (b_loc * T)
     seg_local = segs % (b_loc * T)
     m_of = np.clip(ids // rows_per_shard, 0, n_model - 1)

@@ -78,6 +78,37 @@ def shard_params(params, mesh: Mesh):
 # ----------------------------------------------------------------------
 
 
+def shard_local_indices(indices: jax.Array, offsets: jax.Array,
+                        rows_per_shard: int, axis: str = "model"):
+    """Map global per-table (B, T, L) ids to THIS row shard's local rows.
+    Must run inside a shard_map over ``axis``. Returns (safe, valid):
+    clamped shard-local row ids and the ownership mask. Shared by the
+    inference lookup (``sharded_embedding_bag``) and the trainer's
+    sharded sparse-table step — one body, so a masking/index fix cannot
+    diverge training from inference numerics."""
+    shard_id = jax.lax.axis_index(axis)
+    row_start = shard_id * rows_per_shard
+    gidx = indices + offsets[None, :, None]  # fused global row ids
+    lidx = gidx - row_start
+    valid = (lidx >= 0) & (lidx < rows_per_shard)
+    return jnp.where(valid, lidx, 0), valid
+
+
+def masked_pooled_psum(table_shard: jax.Array, safe: jax.Array,
+                       valid: jax.Array, *, compute_dtype=None,
+                       axis: str = "model") -> jax.Array:
+    """Shard-local masked gather + L-pool, completed by one psum over
+    ``axis`` (non-owned rows contribute zeros). (B, T, L)-shaped safe/valid
+    from ``shard_local_indices``; returns (B, T, d)."""
+    B, T, L = safe.shape
+    rows = jnp.take(table_shard, safe.reshape(-1), axis=0)
+    if compute_dtype is not None:
+        rows = rows.astype(compute_dtype)
+    rows = rows.reshape(B, T, L, -1)
+    rows = jnp.where(valid[..., None], rows, jnp.zeros((), rows.dtype))
+    return jax.lax.psum(rows.sum(axis=2), axis)
+
+
 def sharded_embedding_bag(
     table: jax.Array,
     offsets: jax.Array,
@@ -105,20 +136,9 @@ def sharded_embedding_bag(
 
     def local_fn(table_shard, offsets_rep, idx_local):
         # table_shard: (rows_per_shard, d); idx_local: (B_loc, T, L) global-per-table
-        shard_id = jax.lax.axis_index("model")
-        row_start = shard_id * rows_per_shard
-        gidx = idx_local + offsets_rep[None, :, None]  # fused global row ids
-        lidx = gidx - row_start
-        valid = (lidx >= 0) & (lidx < rows_per_shard)
-        safe = jnp.where(valid, lidx, 0)
-        B, T, L = idx_local.shape
-        rows = jnp.take(table_shard, safe.reshape(-1), axis=0)
-        if compute_dtype is not None:
-            rows = rows.astype(compute_dtype)
-        rows = rows.reshape(B, T, L, -1)
-        rows = jnp.where(valid[..., None], rows, jnp.zeros((), rows.dtype))
-        pooled = rows.sum(axis=2)
-        return jax.lax.psum(pooled, "model")
+        safe, valid = shard_local_indices(idx_local, offsets_rep, rows_per_shard)
+        return masked_pooled_psum(table_shard, safe, valid,
+                                  compute_dtype=compute_dtype)
 
     return shard_map(
         local_fn,
@@ -373,18 +393,45 @@ def bce_loss(scores: jax.Array, targets: jax.Array) -> jax.Array:
     return -jnp.mean(t * jnp.log(s) + (1.0 - t) * jnp.log(1.0 - s))
 
 
+def bce_logits_loss(scores: jax.Array, targets: jax.Array) -> jax.Array:
+    """Numerically stable BCE in LOGIT space, for the models whose
+    reference graphs emit raw FC/ReLU scores with no sigmoid head (ncf,
+    din, dien — e.g. din.py create_mlp has no sigmoid path). Probability-
+    space ``bce_loss`` on those outputs is ill-defined: scores above
+    1-eps hit the clip, whose VJP zeroes their gradient, and training
+    silently stalls."""
+    s = scores.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    return jnp.mean(jnp.maximum(s, 0.0) - s * t + jnp.log1p(jnp.exp(-jnp.abs(s))))
+
+
 def mse_loss(scores: jax.Array, targets: jax.Array) -> jax.Array:
     return jnp.mean((scores.astype(jnp.float32) - targets.astype(jnp.float32)) ** 2)
 
 
+def loss_fn_for(loss: str, sigmoid_output: bool):
+    """Resolve a user-facing loss name to the implementation matching the
+    model's output space: "bce" means binary cross-entropy, computed in
+    probability space for sigmoid-headed models (dlrm/wnd/mtwnd) and in
+    logit space otherwise (ncf/din/dien)."""
+    if loss == "mse":
+        return mse_loss
+    if loss == "bce":
+        return bce_loss if sigmoid_output else bce_logits_loss
+    raise ValueError(f"unknown loss {loss!r} (use 'bce' or 'mse')")
+
+
 def make_train_step(model_apply: Callable, mesh: Mesh, has_dense: bool,
-                    learning_rate: float = 0.01, loss: str = "mse"):
+                    learning_rate: float = 0.01, loss: str = "mse",
+                    sigmoid_output: bool = True):
     """Build a jitted SGD train step with hybrid shardings.
 
     Gradients of the fused-table gather are scatter-adds that stay local to
     each row shard; MLP grads are psum'd across "data" by XLA automatically.
+    ``sigmoid_output`` tells "bce" which space the model's scores live in
+    (see ``loss_fn_for``).
     """
-    loss_fn = {"mse": mse_loss, "bce": bce_loss}[loss]
+    loss_fn = loss_fn_for(loss, sigmoid_output)
 
     def step(params, batch: Batch, targets):
         def objective(p):

@@ -32,14 +32,17 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from deeprecsys_tpu.config import ModelConfig
 from deeprecsys_tpu.data import RecDataGenerator
-from deeprecsys_tpu.models import get_model
+from deeprecsys_tpu.models import get_model, sigmoid_output
 from deeprecsys_tpu.models.base import Batch
 from deeprecsys_tpu.parallel.sharding import (
     batch_shardings,
     bce_loss,
+    loss_fn_for,
+    masked_pooled_psum,
     mse_loss,
     param_shardings,
     shard_params,
+    shard_local_indices,
 )
 from deeprecsys_tpu.utils.metrics_ml import auc
 
@@ -87,21 +90,11 @@ def make_sharded_sparse_table_step(model, cfg: ModelConfig, tx_rest,
 
     def local_step(table_shard, acc_shard, rest, tx_state, dense, indices, targets):
         # table_shard: (rows/M, d); indices: (B_loc, T, L); data-parallel rest.
-        shard_id = jax.lax.axis_index("model")
-        row_start = shard_id * rows_per_shard
-        gidx = indices + jnp.asarray(offsets_np)[None, :, None]
-        lidx = gidx - row_start
-        valid = (lidx >= 0) & (lidx < rows_per_shard)
-        safe = jnp.where(valid, lidx, 0)
+        # Same shard-local lookup body as inference (sharding.py helpers).
+        safe, valid = shard_local_indices(indices, jnp.asarray(offsets_np),
+                                          rows_per_shard)
         B, T, L = indices.shape
-
-        def pooled_of(tbl):
-            rows = jnp.take(tbl, safe.reshape(-1), axis=0).astype(cdt)
-            rows = rows.reshape(B, T, L, -1)
-            rows = jnp.where(valid[..., None], rows, jnp.zeros((), cdt))
-            return jax.lax.psum(rows.sum(axis=2), "model")
-
-        pooled = pooled_of(table_shard)
+        pooled = masked_pooled_psum(table_shard, safe, valid, compute_dtype=cdt)
         batch = Batch(dense=dense if cfg.dense_dim else None, indices=indices)
 
         def objective(rest_params, pooled_in):
@@ -202,13 +195,15 @@ def make_sparse_table_step(model, cfg: ModelConfig, tx_rest, learning_rate: floa
         )
 
         def objective(rest_params, pooled_in):
-            out = model.apply_from_pooled(dict(rest_params, tables=table), pooled_in, batch)
+            # apply_from_pooled never reads params["tables"] (the lookup is
+            # exactly what `pooled_in` replaces), so the dense half sees
+            # only the non-table params — same as the sharded twin above.
+            out = model.apply_from_pooled(rest_params, pooled_in, batch)
             return loss_fn(out, targets)
 
         (loss, (g_rest, g_pooled)) = jax.value_and_grad(objective, argnums=(0, 1))(
             rest, pooled
         )
-        g_rest.pop("tables", None)
 
         # Dense half: optax as usual.
         updates, tx_state = tx_rest.update(g_rest, tx_state, rest)
@@ -252,7 +247,9 @@ class Trainer:
         self.mesh = mesh
         self.sparse_tables = sparse_tables
         self.model = get_model(cfg)
-        self.loss_fn = {"bce": bce_loss, "mse": mse_loss}[loss]
+        # "bce" resolves to probability- or logit-space depending on
+        # whether the model's graph ends in a sigmoid (loss_fn_for).
+        self.loss_fn = loss_fn_for(loss, sigmoid_output(cfg))
         self.tx = make_optimizer(optimizer, learning_rate)
         self.params = self.model.init(jax.random.PRNGKey(seed))
         if mesh is not None:
@@ -305,15 +302,21 @@ class Trainer:
         table_arr = tables["packed"] if isinstance(tables, dict) else tables
         table_shape = tuple(table_arr.shape)
 
-        def state_leaf_sharding(leaf):
-            # Optimizer accumulators shaped like the fused table (adagrad/
-            # adam moments) follow the table's row sharding; everything
-            # else (MLP moments, counters) is small and replicated.
-            if hasattr(leaf, "shape") and tuple(leaf.shape) == table_shape:
+        def state_leaf_sharding(path, leaf):
+            # Optimizer state trees mirror the param tree (adagrad's
+            # sum_of_squares / adam's mu+nu carry the "tables" key), so
+            # shard by TREE PATH like param_shardings does — a shape-
+            # equality test would also row-shard any MLP moment whose
+            # weight coincidentally matches the fused-table shape, forcing
+            # a silent reshard collective every step.
+            keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+            if ("tables" in keys and hasattr(leaf, "shape")
+                    and tuple(leaf.shape) == table_shape):
                 return NamedSharding(self.mesh, P("model", None))
             return NamedSharding(self.mesh, P())
 
-        os_sh = jax.tree_util.tree_map(state_leaf_sharding, self.opt_state)
+        os_sh = jax.tree_util.tree_map_with_path(state_leaf_sharding,
+                                                 self.opt_state)
         bs = batch_shardings(self.mesh, has_dense=self.cfg.dense_dim > 0)
         tgt_sh = NamedSharding(self.mesh, P("data", None))
         return jax.jit(

@@ -265,3 +265,21 @@ def test_basic_rnn_matches_loop():
         h = np.tanh(np.asarray(xs[t]) @ p["i2h_w"] + p["i2h_b"] + h @ p["h2h_w"] + p["h2h_b"])
     np.testing.assert_allclose(np.asarray(last), h, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(all_h[-1]), h, rtol=1e-5, atol=1e-6)
+
+
+def test_embedding_bag_packed_int8_default_dtype_no_wraparound():
+    """embedding_bag_packed on an int8 table with compute_dtype=None must
+    pool in (at least) int32 — pooling L narrow ints wraps mod 256 and
+    silently corrupts every bag."""
+    from deeprecsys_tpu.ops import embedding_bag_packed, pack_table
+
+    rng = np.random.default_rng(2)
+    rows, d, B, L, pack = 64, 8, 4, 40, 2
+    q = jnp.asarray(rng.integers(-127, 128, size=(rows, d)).astype(np.int8))
+    offsets = jnp.asarray(np.array([0], dtype=np.int32))
+    indices = jnp.asarray(rng.integers(0, rows, size=(B, 1, L)).astype(np.int32))
+    got = embedding_bag_packed(pack_table(q, pack), offsets, indices, pack=pack)
+    want = np.asarray(q, dtype=np.int64)[np.asarray(indices).reshape(-1)] \
+        .reshape(B, 1, L, d).sum(axis=2)
+    assert np.asarray(got).dtype == np.int32
+    np.testing.assert_array_equal(np.asarray(got, dtype=np.int64), want)

@@ -236,3 +236,43 @@ def test_export_after_checkpoint_roundtrip(tmp_path):
     restored = load_params(ckpt, params)
     sp, scfg = export_serving_params(restored, cfg, table_quant="int8_rowwise")
     assert "qrows" in sp["tables"] and scfg.table_quant == "int8_rowwise"
+
+
+def test_bce_routes_to_logit_space_for_raw_score_models():
+    """din/dien/ncf emit raw FC/ReLU scores (no sigmoid head in the
+    reference graphs); 'bce' must resolve to the logit-space
+    implementation there — probability-space bce_loss clips scores >=
+    1-eps and its VJP zeroes their gradients, silently stalling training."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprecsys_tpu.parallel.sharding import (bce_logits_loss, bce_loss,
+                                                  loss_fn_for)
+
+    # Equivalence: logit-space bce == probability-space bce(sigmoid(x)).
+    x = jnp.asarray(np.linspace(-6, 6, 13, dtype=np.float32)[:, None])
+    t = jnp.asarray((np.arange(13) % 2).astype(np.float32)[:, None])
+    np.testing.assert_allclose(float(bce_logits_loss(x, t)),
+                               float(bce_loss(jax.nn.sigmoid(x), t)),
+                               rtol=1e-5)
+
+    # Gradient survives large raw scores where the clipped version dies.
+    big = jnp.full((4, 1), 25.0)
+    ones = jnp.ones((4, 1))
+    g_logit = jax.grad(lambda s: bce_logits_loss(s, 1.0 - ones))(big)
+    g_prob = jax.grad(lambda s: bce_loss(s, 1.0 - ones))(big)
+    assert float(jnp.abs(g_logit).min()) > 0.1
+    assert float(jnp.abs(g_prob).max()) == 0.0  # the clip kills it
+
+    # Routing: sigmoid-headed models keep probability-space bce.
+    assert Trainer(zoo.get_config("din", table_scale=SCALE),
+                   loss="bce").loss_fn is bce_logits_loss
+    assert Trainer(zoo.get_config("rm1", table_scale=SCALE),
+                   loss="bce").loss_fn is bce_loss
+
+    # And a raw-score model actually learns under the default loss.
+    tr = Trainer(zoo.get_config("ncf", table_scale=SCALE),
+                 optimizer="adagrad", learning_rate=0.3, loss="bce")
+    hist = tr.fit(num_steps=60, batch_size=128)
+    assert np.isfinite(hist.losses).all()
+    assert np.mean(hist.losses[-10:]) < np.mean(hist.losses[:10])
