@@ -63,10 +63,42 @@ class TrainHistory:
     eval_aucs: list
 
 
+def dedup_touched_rows(flat: jax.Array, g_rows: jax.Array):
+    """Merge duplicate touched-row gradients BEFORE the scatter: one
+    argsort + sorted segment-sum emits each unique row's TRUE gradient
+    (the sum over occurrences — what dense autodiff produces), so the
+    scatter issues one write per unique row.
+
+    MEASURED NEGATIVE as a throughput lever (train_dedup:* vs train:*
+    jobs, benchmarks/README.md): the colliding scatter is FASTER on this
+    chip everywhere (dedup 0.56x on rm2's 2M-lookup stream, 0.85-0.88x
+    elsewhere) — XLA's scatter-add absorbs collisions better than the
+    sort+segment pipeline costs. Kept as an option (``dedup=True``) for
+    its cleaner AdaGrad semantics (the accumulator sees each row's true
+    gradient once), not for speed.
+
+    Returns (uids (N,), summed (N, d)): one entry per unique row followed
+    by an inert tail (uids=0, summed=0 — zero-adds on row 0)."""
+    N = flat.shape[0]
+    order = jnp.argsort(flat)
+    sid = jnp.take(flat, order)
+    sg = jnp.take(g_rows, order, axis=0)
+    newrun = jnp.concatenate([jnp.ones((1,), jnp.int32),
+                              (sid[1:] != sid[:-1]).astype(jnp.int32)])
+    seg = jnp.cumsum(newrun) - 1  # sorted segment ids in [0, n_unique)
+    summed = jax.ops.segment_sum(sg, seg, num_segments=N,
+                                 indices_are_sorted=True)
+    uids = jax.ops.segment_max(sid, seg, num_segments=N,
+                               indices_are_sorted=True)
+    slot = jnp.arange(N) < seg[-1] + 1
+    return jnp.where(slot, uids, 0), summed
+
+
 def make_sharded_sparse_table_step(model, cfg: ModelConfig, tx_rest,
                                    learning_rate: float, loss_fn, mesh,
                                    eps: float = 1e-8,
-                                   table_learning_rate: float | None = None):
+                                   table_learning_rate: float | None = None,
+                                   dedup: bool = False):
     """Sparse-table training over a (data, model) mesh.
 
     The fused table and its row-wise AdaGrad accumulator are ROW-SHARDED
@@ -128,8 +160,21 @@ def make_sharded_sparse_table_step(model, cfg: ModelConfig, tx_rest,
 
         g_all = jax.lax.all_gather(g_rows, "data", axis=0, tiled=True)
         flat_all = jax.lax.all_gather(flatl, "data", axis=0, tiled=True)
-        g2_all = jax.lax.all_gather(row_g2, "data", axis=0, tiled=True)
 
+        if dedup:
+            # One write per unique row (dedup_touched_rows); accumulator
+            # takes the true row gradient's g2 — the dense-autodiff
+            # row-wise-AdaGrad semantics, and no colliding scatter lanes.
+            uids, summed = dedup_touched_rows(flat_all, g_all)
+            row_g2_u = jnp.mean(summed * summed, axis=-1)
+            acc_shard = acc_shard.at[uids].add(row_g2_u)
+            scale = jax.lax.rsqrt(acc_shard[uids] + eps)
+            table_shard = table_shard.astype(jnp.float32).at[uids].add(
+                -table_learning_rate * summed * scale[:, None]
+            ).astype(table_shard.dtype)
+            return table_shard, acc_shard, rest, tx_state, loss
+
+        g2_all = jax.lax.all_gather(row_g2, "data", axis=0, tiled=True)
         acc_shard = acc_shard.at[flat_all].add(g2_all)
         scale = jax.lax.rsqrt(acc_shard[flat_all] + eps)
         table_shard = table_shard.astype(jnp.float32).at[flat_all].add(
@@ -164,7 +209,8 @@ def make_sharded_sparse_table_step(model, cfg: ModelConfig, tx_rest,
 
 def make_sparse_table_step(model, cfg: ModelConfig, tx_rest, learning_rate: float,
                            loss_fn, rowwise_adagrad: bool = True, eps: float = 1e-8,
-                           table_learning_rate: float | None = None):
+                           table_learning_rate: float | None = None,
+                           dedup: bool = False):
     """Train step with SPARSE embedding-table updates.
 
     Autodiff through a gather materializes a dense (R, d) gradient and a
@@ -215,7 +261,14 @@ def make_sparse_table_step(model, cfg: ModelConfig, tx_rest, learning_rate: floa
         g_rows = jnp.broadcast_to(
             g_pooled[:, :, None, :].astype(jnp.float32), (B, T, L, g_pooled.shape[-1])
         ).reshape(B * T * L, -1)
+        if dedup:
+            flat, g_rows = dedup_touched_rows(flat, g_rows)
         if rowwise_adagrad:
+            # With dedup, g_rows holds the TRUE per-row gradient (summed
+            # over occurrences) — the accumulator sees its g2 once, the
+            # dense-autodiff row-wise-AdaGrad semantics; without, each
+            # occurrence contributes its own g2 (legacy path, kept for
+            # the measured A/B).
             row_g2 = jnp.mean(g_rows * g_rows, axis=-1)  # (N,)
             table_acc = table_acc.at[flat].add(row_g2)
             scale = jax.lax.rsqrt(table_acc[flat] + eps)  # post-update accumulator
@@ -240,6 +293,7 @@ class Trainer:
         seed: int = 0,
         sparse_tables: bool = False,
         table_learning_rate: float | None = None,
+        dedup: bool = False,
     ):
         if cfg.table_quant != "none":
             raise ValueError("training requires float tables (table_quant='none')")
@@ -267,7 +321,7 @@ class Trainer:
                 self.opt_state = (self.tx.init(rest), table_acc)
                 self._step = make_sharded_sparse_table_step(
                     self.model, cfg, self.tx, learning_rate, self.loss_fn, mesh,
-                    table_learning_rate=table_learning_rate,
+                    table_learning_rate=table_learning_rate, dedup=dedup,
                 )
             else:
                 self.opt_state = (self.tx.init(rest), table_acc)
@@ -275,7 +329,7 @@ class Trainer:
                 # device instead of being copied every step.
                 self._step = jax.jit(make_sparse_table_step(
                     self.model, cfg, self.tx, learning_rate, self.loss_fn,
-                    table_learning_rate=table_learning_rate,
+                    table_learning_rate=table_learning_rate, dedup=dedup,
                 ), donate_argnums=(0, 1))
         else:
             self.opt_state = self.tx.init(self.params)

@@ -276,3 +276,58 @@ def test_bce_routes_to_logit_space_for_raw_score_models():
     hist = tr.fit(num_steps=60, batch_size=128)
     assert np.isfinite(hist.losses).all()
     assert np.mean(hist.losses[-10:]) < np.mean(hist.losses[:10])
+
+
+def test_dedup_touched_rows_merges_duplicates():
+    """dedup_touched_rows: one (id, summed grad) pair per unique row,
+    inert zero tail — equivalent to np.add.at on a dense buffer."""
+    import jax.numpy as jnp
+
+    from deeprecsys_tpu.train import dedup_touched_rows
+
+    rng = np.random.default_rng(4)
+    flat = rng.integers(0, 7, size=24).astype(np.int32)
+    g = rng.normal(size=(24, 5)).astype(np.float32)
+    uids, summed = dedup_touched_rows(jnp.asarray(flat), jnp.asarray(g))
+    dense = np.zeros((7, 5), np.float32)
+    np.add.at(dense, flat, g)
+    got = np.zeros((7, 5), np.float32)
+    np.add.at(got, np.asarray(uids), np.asarray(summed))
+    np.testing.assert_allclose(got, dense, rtol=1e-5, atol=1e-6)
+    n_uniq = len(np.unique(flat))
+    assert (np.asarray(uids)[n_uniq:] == 0).all()
+    assert (np.asarray(summed)[n_uniq:] == 0).all()
+
+
+def test_sparse_step_dedup_matches_colliding_scatter_sgd():
+    """With plain SGD (no accumulator) the dedup step must produce the
+    same table as the colliding-scatter step — summation order aside."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.train import make_sparse_table_step
+
+    cfg = zoo.get_config("rm1", table_scale=SCALE)  # L=80: heavy collisions
+    lr = 0.05
+    trs = [Trainer(cfg, optimizer="sgd", learning_rate=lr, loss="mse",
+                   sparse_tables=True, seed=0, dedup=d) for d in (False, True)]
+    for tr, d in zip(trs, (False, True)):
+        tr._step = jax.jit(make_sparse_table_step(
+            tr.model, cfg, tr.tx, lr, tr.loss_fn, rowwise_adagrad=False,
+            dedup=d))
+    gen = RecDataGenerator(cfg, seed=5)
+    host = gen.generate_batch(16)
+    targets = jnp.asarray(gen.generate_targets(16))
+    batch = Batch(dense=jnp.asarray(host.dense), indices=jnp.asarray(host.indices))
+    outs = [tr._step(tr.params, tr.opt_state, batch, targets) for tr in trs]
+    np.testing.assert_allclose(np.asarray(outs[0][0]["tables"]),
+                               np.asarray(outs[1][0]["tables"]),
+                               rtol=1e-4, atol=1e-6)
+    # And the dedup rowwise-adagrad default learns.
+    tr = Trainer(cfg, optimizer="adagrad", learning_rate=0.05, loss="bce",
+                 sparse_tables=True, table_learning_rate=0.01, dedup=True)
+    hist = tr.fit(num_steps=60, batch_size=128)
+    assert np.isfinite(hist.losses).all()
+    assert np.mean(hist.losses[-10:]) < np.mean(hist.losses[:10])

@@ -852,7 +852,7 @@ def job_serving_hotcold(model):
     return res.to_dict()
 
 
-def job_train(model, batch=512, table_scale=1, iters=16):
+def job_train(model, batch=512, table_scale=1, iters=16, dedup=False):
     """Training-step throughput at FULL production table scale: forward +
     loss + grads + dense optax updates + SPARSE touched-rows table update
     with row-wise AdaGrad (train.py make_sparse_table_step — step cost
@@ -878,7 +878,7 @@ def job_train(model, batch=512, table_scale=1, iters=16):
                          compute_dtype="bfloat16")
     with jax.default_device(dev):
         tr = Trainer(cfg, sparse_tables=True, optimizer="adagrad",
-                     learning_rate=0.01, loss="bce", seed=0)
+                     learning_rate=0.01, loss="bce", seed=0, dedup=dedup)
         gen = RecDataGenerator(cfg, seed=11)
         host = gen.generate_batch(batch)
         dev_batch = Batch(
@@ -900,7 +900,7 @@ def job_train(model, batch=512, table_scale=1, iters=16):
                                         dev_batch, targets, iters=iters)
     r = {"model": model, "batch": batch, "table_scale": table_scale,
          "step_ms": ms, "samples_per_s": batch / ms * 1000.0,
-         "compile_s": compile_s, "sparse_tables": True,
+         "compile_s": compile_s, "sparse_tables": True, "dedup": dedup,
          "optimizer": "adagrad+rowwise_adagrad_tables", "loss": "bce"}
     log(f"train {model} (scale {table_scale}): {ms:.3f} ms/step "
         f"({r['samples_per_s']:.0f} samples/s), compile {compile_s:.0f}s")
@@ -1098,6 +1098,15 @@ JOBS = [
     ("train:ncf", lambda: job_train("ncf")),
     ("train:din", lambda: job_train("din", table_scale=2)),
     ("train:dien", lambda: job_train("dien")),
+    # A/B: dedup-before-scatter (one write per unique row) vs the
+    # colliding scatter above. MEASURED NEGATIVE: dedup 0.56-0.88x —
+    # the colliding scatter wins on this chip (dedup stays an option
+    # for its cleaner AdaGrad semantics; default off).
+    ("train_dedup:rm1", lambda: job_train("rm1", dedup=True)),
+    ("train_dedup:rm2", lambda: job_train("rm2", dedup=True)),
+    ("train_dedup:rm3", lambda: job_train("rm3", dedup=True)),
+    ("train_dedup:din", lambda: job_train("din", table_scale=2, dedup=True)),
+    ("train_dedup:dien", lambda: job_train("dien", dedup=True)),
 ]
 
 
