@@ -21,9 +21,14 @@
 
 #include <algorithm>
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
 #include <ctime>
+#include <deque>
+#include <functional>
+#include <memory>
+#include <mutex>
 #include <new>
 #include <thread>
 #include <vector>
@@ -177,6 +182,112 @@ void drs_precise_sleep_ns(int64_t total_ns, int64_t spin_ns) {
 // preserving the ascending order the numpy path produces.
 //
 // Returns the cold count; caller pads to its bucket ladder.
+namespace {
+
+// Persistent worker pool for the splitter. It runs once per served
+// request on the host critical path, and fresh std::thread create/join
+// (~20-60 us each) rivals the scan itself at serving batch sizes.
+// Design: a shared task queue of (job, chunk) pairs; each job carries its
+// own completion counter + condvar behind a shared_ptr, so stragglers
+// from one request can never consume another request's chunk indices
+// (concurrent engine threads may overlap calls). The singleton leaks
+// deliberately: detached workers may still be parked on the queue
+// condvar at process exit, and destroying it under them is UB.
+class SplitPool {
+ public:
+  static SplitPool& get() {
+    static SplitPool* p = new SplitPool();
+    return *p;
+  }
+
+  void run(int n_chunks, std::function<void(int)> fn) {
+    if (n_chunks <= 1) {
+      if (n_chunks == 1) fn(0);
+      return;
+    }
+    auto job = std::make_shared<Job>();
+    job->fn = std::move(fn);
+    job->remaining.store(n_chunks, std::memory_order_relaxed);
+    ensure_workers(std::min(n_chunks - 1, max_helpers()));
+    {
+      std::lock_guard<std::mutex> lk(qm_);
+      for (int c = 1; c < n_chunks; ++c) tasks_.push_back(Task{job, c});
+    }
+    qcv_.notify_all();
+    exec(job, 0);  // the caller works chunk 0 itself...
+    for (;;) {     // ...then helps drain until its own job completes
+      Task t;
+      {
+        std::lock_guard<std::mutex> lk(qm_);
+        if (job->remaining.load(std::memory_order_acquire) == 0 ||
+            tasks_.empty())
+          break;
+        t = std::move(tasks_.front());
+        tasks_.pop_front();
+      }
+      exec(t.job, t.c);
+    }
+    std::unique_lock<std::mutex> lk(job->m);
+    job->cv.wait(lk, [&] {
+      return job->remaining.load(std::memory_order_acquire) == 0;
+    });
+  }
+
+ private:
+  struct Job {
+    std::function<void(int)> fn;
+    std::atomic<int> remaining{0};
+    std::mutex m;
+    std::condition_variable cv;
+  };
+  struct Task {
+    std::shared_ptr<Job> job;
+    int c = 0;
+  };
+
+  static int max_helpers() {
+    return (int)std::min<unsigned>(
+               std::max(1u, std::thread::hardware_concurrency()), 8) -
+           1;
+  }
+
+  static void exec(const std::shared_ptr<Job>& j, int c) {
+    j->fn(c);
+    if (j->remaining.fetch_sub(1, std::memory_order_acq_rel) == 1) {
+      std::lock_guard<std::mutex> lk(j->m);
+      j->cv.notify_all();
+    }
+  }
+
+  void worker_loop() {
+    for (;;) {
+      Task t;
+      {
+        std::unique_lock<std::mutex> lk(qm_);
+        qcv_.wait(lk, [&] { return !tasks_.empty(); });
+        t = std::move(tasks_.front());
+        tasks_.pop_front();
+      }
+      exec(t.job, t.c);
+    }
+  }
+
+  void ensure_workers(int want) {
+    std::lock_guard<std::mutex> lk(qm_);
+    while (n_workers_ < want) {
+      std::thread([this] { worker_loop(); }).detach();
+      ++n_workers_;
+    }
+  }
+
+  std::mutex qm_;
+  std::condition_variable qcv_;
+  std::deque<Task> tasks_;
+  int n_workers_ = 0;
+};
+
+}  // namespace
+
 extern "C" int64_t drs_split_hot_cold(
     const int32_t* indices, int64_t n, const int64_t* offsets, int64_t T,
     int64_t L, const int64_t* hot_ids, int64_t K, int32_t* hot_sel,
@@ -218,14 +329,8 @@ extern "C" int64_t drs_split_hot_cold(
     chunk_cold[c] = w - lo;
   };
 
-  if (n_chunks == 1) {
-    work(0);
-  } else {
-    std::vector<std::thread> threads;
-    threads.reserve(n_chunks);
-    for (int c = 0; c < n_chunks; ++c) threads.emplace_back(work, c);
-    for (auto& th : threads) th.join();
-  }
+  // Persistent pool (no per-request thread create/join on the hot path).
+  SplitPool::get().run(n_chunks, work);
 
   // Compact: move each chunk's cold run down to the running total.
   int64_t total = chunk_cold[0];

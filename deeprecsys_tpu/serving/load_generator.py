@@ -156,7 +156,14 @@ class LoadGenerator(threading.Thread):
         arrival_rate = cfg.avg_arrival_rate_ms
         if tuning_batch:
             self.state.sub_task_batch_size = int(cfg.batch_configs[0])
-            self.state.accel_request_size_thres = cfg.max_mini_batch_size
+            # Exclude the accelerator entirely during CPU sub-batch tuning
+            # (the reference's intent, scheduler.py "lets not run with the
+            # Accel sweeps"). Sizes are clipped INCLUSIVELY to max and
+            # routed with >=, so the threshold must sit one above max —
+            # at exactly max, every clipped-to-max query would route to
+            # the accel engine and the hill-climber would tune
+            # sub_task_batch_size against latencies it never affects.
+            self.state.accel_request_size_thres = cfg.max_mini_batch_size + 1
 
         epoch = 0
         exp_epochs = 0

@@ -134,11 +134,34 @@ def run_serving(
                 print("[deeprecsys_tpu] WARNING: load generator died "
                       f"({loadgen.error!r}); shutting engines down",
                       flush=True)
-                for _ in range(cfg.inference_engines):
-                    request_q.put(None)
-                if cfg.model_accel:
-                    accel_request_q.put(None)
+                # Best-effort injection: if the request queue is FULL and
+                # the engines are dead too, a blocking put would deadlock
+                # the watchdog's own recovery — skip what doesn't fit (no
+                # one would consume it) and let the next timeout hit the
+                # all-dead branch below.
+                try:
+                    for _ in range(cfg.inference_engines):
+                        request_q.put(None, timeout=0.5)
+                    if cfg.model_accel:
+                        accel_request_q.put(None, timeout=0.5)
+                except Exception:
+                    print("[deeprecsys_tpu] WARNING: request queue full "
+                          "while injecting shutdown sentinels; proceeding",
+                          flush=True)
                 continue
+            if loadgen.is_alive() and not live_engines:
+                # Every engine is dead while the load generator still
+                # runs: with no consumer it eventually blocks forever in
+                # put() on the bounded queue, and waiting on it would spin
+                # this loop forever (the exact hang the watchdog exists to
+                # prevent). Abort; threads are daemons.
+                raise RuntimeError(
+                    f"serving stalled: no responses for {watchdog_s}s and "
+                    f"ALL engines exited (dead: {dead}) while the load "
+                    f"generator is still running (blocked on a full "
+                    f"queue); {finished}/{total_engines} engines had "
+                    f"signalled done"
+                )
             if not loadgen.is_alive() and not live_engines:
                 if finished > 0:
                     # Partial failure: every engine has exited and at least

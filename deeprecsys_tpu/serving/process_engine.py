@@ -30,29 +30,52 @@ def _engine_child(engine_id: int, model_cfg: ModelConfig, serving_cfg: ServingCo
     from deeprecsys_tpu.runtime.shm_queue import ShmRingQueue
     from deeprecsys_tpu.serving.engine import ComputeEngine
 
-    request_q = ShmRingQueue(capacity, shm_name=req_name, create=False)
-    response_q = ShmRingQueue(capacity, shm_name=resp_name, create=False)
-    ready_q = _ReadySender(ShmRingQueue(64, shm_name=ready_name, create=False))
-    engine = ComputeEngine(
-        engine_id, model_cfg, serving_cfg, request_q, response_q, ready_q,
-        device=jax.devices("cpu")[0], seed=serving_cfg.seed + engine_id,
-    )
+    # Everything before engine.run() sits OUTSIDE the engine's own setup
+    # guard: an unguarded failure here (ring attach, config validation,
+    # backend init) would kill the child silently and hang the parent's
+    # ready barrier forever. Report through the ready ring if it attached;
+    # a response sentinel keeps the aggregator's engine count honest.
+    ready_q = response_q = None
+    try:
+        request_q = ShmRingQueue(capacity, shm_name=req_name, create=False)
+        response_q = ShmRingQueue(capacity, shm_name=resp_name, create=False)
+        ready_q = _ReadySender(
+            ShmRingQueue(64, shm_name=ready_name, create=False),
+            engine_id=engine_id)
+        engine = ComputeEngine(
+            engine_id, model_cfg, serving_cfg, request_q, response_q, ready_q,
+            device=jax.devices("cpu")[0], seed=serving_cfg.seed + engine_id,
+        )
+    except Exception as e:
+        print(f"[deeprecsys_tpu] engine child {engine_id} failed before "
+              f"serving: {e!r}", flush=True)
+        try:
+            if ready_q is not None:
+                ready_q.put(e)
+            if response_q is not None:
+                response_q.put(None)
+        except Exception:
+            pass
+        return
     engine.run()  # run the serving loop synchronously in this process
 
 
 class _ReadySender:
     """Adapts the ready-barrier protocol onto the packet ring: readiness is
     a ServiceRequest with batch_id = engine_id; setup failure is
-    batch_id = -(engine_id+1)."""
+    batch_id = -(engine_id+1) (the 64-byte POD packet cannot carry the
+    exception text — the child prints it to its stderr)."""
 
-    def __init__(self, ring):
+    def __init__(self, ring, engine_id: int | None = None):
         self.ring = ring
+        self.engine_id = engine_id
 
     def put(self, item):
         from deeprecsys_tpu.serving.packets import ServiceRequest
 
         if isinstance(item, Exception):
-            self.ring.put(ServiceRequest(batch_id=-1))
+            eid = self.engine_id if self.engine_id is not None else 0
+            self.ring.put(ServiceRequest(batch_id=-(eid + 1)))
         else:
             self.ring.put(ServiceRequest(batch_id=int(item)))
 
@@ -69,7 +92,10 @@ class _ReadyReceiver:
     def get(self, timeout=None):
         pkt = self.ring.get(timeout=timeout)
         if pkt is not None and pkt.batch_id < 0:
-            return RuntimeError("engine process failed during setup")
+            eid = -pkt.batch_id - 1
+            return RuntimeError(
+                f"engine process {eid} failed during setup (its stderr "
+                f"has the exception)")
         return pkt.batch_id if pkt is not None else None
 
 

@@ -87,3 +87,35 @@ def test_one_engine_crash_completes_degraded(monkeypatch):
     # The survivor answered (almost) everything; at most the one request
     # in flight inside the killed engine may be lost.
     assert res.num_responses >= 55, res.num_responses
+
+
+def test_engine_child_setup_failure_returns_instead_of_raising():
+    """_engine_child guards everything before engine.run(): a ring-attach
+    failure must not escape (a raising child dies without posting the
+    ready packet and the parent barrier hangs forever)."""
+    from deeprecsys_tpu.serving.process_engine import _engine_child
+
+    cfg = zoo.get_config("ncf", table_scale=5000)
+    scfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                         max_mini_batch_size=8)
+    # Nonexistent shm names: attach raises inside the guard -> clean return.
+    _engine_child(0, cfg, scfg, "drs_no_such_req", "drs_no_such_resp",
+                  "drs_no_such_rdy", 64)
+
+
+def test_ready_protocol_carries_engine_id_on_failure():
+    from deeprecsys_tpu.serving.process_engine import _ReadyReceiver, _ReadySender
+
+    class FakeRing:
+        def put(self, pkt):
+            self.pkt = pkt
+
+        def get(self, timeout=None):
+            return self.pkt
+
+    ring = FakeRing()
+    _ReadySender(ring, engine_id=5).put(RuntimeError("boom"))
+    got = _ReadyReceiver(ring).get()
+    assert isinstance(got, RuntimeError) and "engine process 5" in str(got)
+    _ReadySender(ring, engine_id=5).put(5)
+    assert _ReadyReceiver(ring).get() == 5

@@ -971,3 +971,58 @@ def test_engine_serves_real_dataset(tmp_path):
     r = resp_q.get(timeout=120)
     assert r.batch_size == 9 and r.inference_end_time >= r.queue_start_time
     req_q.put(None)
+
+
+def test_batch_tuning_excludes_accel_for_clipped_max_queries():
+    """During CPU sub-batch tuning the accelerator must see ZERO traffic
+    (the reference's stated intent, scheduler.py 'lets not run with the
+    Accel sweeps'). Sizes clip INCLUSIVELY to max and route with >=, so a
+    threshold of exactly max leaks every clipped-to-max query to the
+    accel engine and the hill-climber tunes against latencies
+    sub_task_batch_size never affects."""
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(
+        num_batches=48, nepochs=1, inference_engines=1, engine_backend="sim",
+        avg_arrival_rate_ms=1.0, batch_size_distribution="fixed",
+        avg_mini_batch_size=512, max_mini_batch_size=256,  # clips to 256
+        sub_task_batch_size=64, req_granularity=8, seed=7,
+        tune_batch_qps=True, batch_configs=(64, 128),
+        arr_steps=4, sched_timeout=3, target_latency_ms=5.0,
+        min_arr_range=0.5, max_arr_range=8.0,
+        model_accel=True, accel_request_size_thres=256,
+    )
+    lm = LatencyModel([1, 32, 256], [0.1, 0.3, 1.2])
+    accel_lm = LatencyModel([1, 256], [0.05, 0.1])
+    res = run_serving(model_cfg, cfg, latency_model=lm,
+                      accel_latency_model=accel_lm, settle_s=0.01)
+    assert res.accel_requests == 0
+    assert res.cpu_requests > 0
+
+
+def test_all_engines_dead_with_live_loadgen_raises_not_hangs():
+    """The last hang quadrant: every engine dies mid-run while the load
+    generator is still alive (eventually blocked on the bounded queue).
+    The watchdog must raise — its 'engines still alive' continue branch
+    used to spin forever because loadgen.is_alive() stayed True."""
+
+    class DyingLatencyModel(LatencyModel):
+        def __init__(self):
+            super().__init__([1, 256], [0.05, 0.1])
+            self.calls = 0
+
+        def predict_ms(self, batch_size):
+            self.calls += 1
+            if self.calls > 3:
+                raise RuntimeError("injected engine death")
+            return super().predict_ms(batch_size)
+
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(
+        num_batches=5000, nepochs=1, inference_engines=1, engine_backend="sim",
+        avg_arrival_rate_ms=0.2, batch_size_distribution="fixed",
+        avg_mini_batch_size=64, max_mini_batch_size=64,
+        sub_task_batch_size=64, req_granularity=8, seed=2,
+    )
+    with pytest.raises(RuntimeError, match="ALL engines exited"):
+        run_serving(model_cfg, cfg, latency_model=DyingLatencyModel(),
+                    settle_s=0.01, watchdog_s=2.0)
