@@ -98,28 +98,29 @@ def measure_model(name: str, device, batch_size: int, table_scale: int,
 
         return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
+    from deeprecsys_tpu.utils.timing import two_point_slope_ms
+
     fn = jax.jit(program, device=device)
     if in_program_init:
         params_arg = 0
     else:
-        params_arg = jax.jit(model.init, device=device)(jax.random.PRNGKey(0))
+        # Everything here must stay OFF the default backend: in combined
+        # mode the default is the TPU relay, and an eagerly-created PRNG
+        # key or intermediate array costs a remote dispatch (minutes under
+        # load) for the CPU-side baseline.
+        with jax.default_device(device):
+            params_arg = jax.jit(model.init, device=device)(jax.random.PRNGKey(0))
         jax.block_until_ready(params_arg)
-    dense = None if host.dense is None else jax.device_put(jnp.asarray(host.dense), device)
-    indices = jax.device_put(jnp.asarray(host.indices), device)
+    # host.dense/indices are numpy: device_put places them directly.
+    dense = None if host.dense is None else jax.device_put(host.dense, device)
+    indices = jax.device_put(host.indices, device)
 
     def slope_ms(n_lo, n_hi):
-        # Two-point slope: per-iter = (t(n_hi) - t(n_lo)) / (n_hi - n_lo).
         # Round-trip floor (and in-program init cost, where applicable)
-        # cancel exactly.
-        best_lo = best_hi = float("inf")
-        for _ in range(trials):
-            t0 = _time.perf_counter()
-            float(fn(n_lo, params_arg, dense, indices))
-            best_lo = min(best_lo, _time.perf_counter() - t0)
-            t0 = _time.perf_counter()
-            float(fn(n_hi, params_arg, dense, indices))
-            best_hi = min(best_hi, _time.perf_counter() - t0)
-        return max(best_hi - best_lo, 1e-9) / (n_hi - n_lo) * 1000.0
+        # cancel exactly in the two-point slope (utils/timing.py).
+        return two_point_slope_ms(
+            lambda n: float(fn(n, params_arg, dense, indices)),
+            n_lo, n_hi, trials)
 
     t0 = _time.perf_counter()
     float(fn(iters, params_arg, dense, indices))  # compile + warm
@@ -128,8 +129,16 @@ def measure_model(name: str, device, batch_size: int, table_scale: int,
     # Adaptive: fast models need longer chains to rise above timing noise
     # (~ms of jitter on the readback). Same compiled program, bigger n.
     while ms * iters < 50.0 and iters < 16384:
-        iters *= 8
+        iters = min(iters * 8, 16384)
         ms = slope_ms(max(iters // 8, 1), iters)
+    if ms <= 0:
+        # Jitter exceeded the signal even at the longest chain. Refuse to
+        # emit the garbage-huge throughput a clamped slope would imply in
+        # the judged artifact.
+        raise RuntimeError(
+            f"{name}: two-point slope non-positive ({ms:.3g} ms/iter) at "
+            f"{iters} chained iterations — backend jitter exceeds the "
+            f"signal; re-run when the device is quiet")
     del dense, indices
     return {
         "model": name,
@@ -183,12 +192,17 @@ def main():
                 if BASELINE_PATH.exists() else None)
     stale = baseline is not None and (
         baseline.get("batch") != args.batch
-        or baseline.get("table_scale") != args.table_scale)
+        or baseline.get("table_scale") != args.table_scale
+        # Coverage counts too: a baseline missing a requested model would
+        # silently shrink the speedup geomean to a different model set
+        # than the throughput geomean.
+        or not set(args.models) <= set(baseline.get("results", {})))
     if stale:
         # Never divide a TPU measurement by a CPU baseline from a
         # different operating point — remeasure instead.
         print(f"# cached CPU baseline is for batch={baseline.get('batch')} "
-              f"table_scale={baseline.get('table_scale')}; remeasuring at "
+              f"table_scale={baseline.get('table_scale')} models="
+              f"{sorted(baseline.get('results', {}))}; remeasuring at "
               f"the requested point", flush=True)
     if args.cpu_baseline or args.baseline_only or baseline is None or stale:
         cpu = jax.devices("cpu")[0]
@@ -211,7 +225,10 @@ def main():
         if base and base["samples_per_s"] > 0:
             speedups.append(results[name]["samples_per_s"] / base["samples_per_s"])
     geomean_tput = float(np.exp(np.mean([np.log(results[m]["samples_per_s"]) for m in models])))
-    geomean_speedup = float(np.exp(np.mean(np.log(speedups)))) if speedups else float("nan")
+    # None (JSON null), never NaN: json.dumps would emit the non-standard
+    # NaN token and break strict parsers of the judged one-line artifact.
+    geomean_speedup = (round(float(np.exp(np.mean(np.log(speedups)))), 2)
+                       if speedups else None)
 
     DETAIL_PATH.parent.mkdir(exist_ok=True)
     if set(models) != set(MODELS) and DETAIL_PATH.exists():
@@ -238,7 +255,7 @@ def main():
                    f"(TPU bf16)"),
         "value": round(geomean_tput, 1),
         "unit": "samples/s",
-        "vs_baseline": round(geomean_speedup, 2),
+        "vs_baseline": geomean_speedup,
     }))
 
 

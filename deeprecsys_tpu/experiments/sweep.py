@@ -41,7 +41,10 @@ def sweep_model(name: str, device, batch_sizes, table_scale: int, param_dtype: s
                          table_pack=table_pack)
     model = get_model(cfg)
     with jax.default_device(device):
-        params = jax.device_put(model.init(jax.random.PRNGKey(0)), device)
+        # jit the init: eager init dispatches every op individually, which
+        # on the relayed TPU backend costs a slow round trip per op
+        # (bench.py does the same for the same reason).
+        params = jax.jit(model.init, device=device)(jax.random.PRNGKey(0))
         gen = RecDataGenerator(cfg, seed=0)
         lat_ms = []
         for b in batch_sizes:
@@ -81,9 +84,13 @@ def main(argv=None):
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    from deeprecsys_tpu.utils.devices import pick_accel_device
+    if not args.cpu_only:
+        # --cpu-only must never touch the accel backend: merely listing
+        # devices initializes the TPU relay, which can block for minutes
+        # when busy — skipping that is this flag's whole purpose.
+        from deeprecsys_tpu.utils.devices import pick_accel_device
 
-    accel = pick_accel_device()
+        accel = pick_accel_device()
 
     speedup_table = {}
     for name in args.models:

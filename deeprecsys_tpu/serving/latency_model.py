@@ -25,6 +25,11 @@ class LatencyModel:
     """Piecewise log-linear latency vs. batch-size model."""
 
     def __init__(self, batch_sizes, latencies_ms, base: float = 4.0):
+        if len(batch_sizes) != len(latencies_ms):
+            raise ValueError(
+                f"{len(batch_sizes)} batch sizes vs {len(latencies_ms)} "
+                f"latencies — a mismatched ladder would silently drop or "
+                f"misalign measurements")
         order = np.argsort(batch_sizes)
         self.batches = np.asarray(batch_sizes, dtype=np.float64)[order]
         self.lat_ms = np.asarray(latencies_ms, dtype=np.float64)[order]
@@ -37,14 +42,18 @@ class LatencyModel:
 
         Mirrors the reference's scheme: exact hit returns the measurement;
         otherwise linear interpolation between the bracketing points on a
-        log_base(batch) axis; out-of-range clamps to the end segments'
+        log_base(batch) axis. Below the smallest measured point the model
+        CLAMPS to lat_ms[0] (latency cannot drop below the smallest-batch
+        floor); above the largest it extrapolates with the last segment's
         slope (the reference only ever queries within its sweep range).
         """
         b = float(batch_size)
+        if b <= self.batches[0]:
+            # Clamp before any log: b can legitimately be 0 (an empty
+            # request probe) and must not raise inside a daemon engine.
+            return float(self.lat_ms[0])
         logb = math.log(b, self.base)
         logs = np.log(self.batches) / math.log(self.base)
-        if b <= self.batches[0]:
-            return float(self.lat_ms[0])
         if b >= self.batches[-1]:
             if len(self.batches) == 1:
                 return float(self.lat_ms[-1])
@@ -106,19 +115,8 @@ class _OverheadModel(LatencyModel):
         return d
 
 
-def characterize_engine(run_fn, batch_sizes=(1, 4, 16, 64, 256, 1024), warmup: int = 2,
-                        iters: int = 5) -> LatencyModel:
-    """Sweep ``run_fn(batch_size) -> None`` (blocking until done) over batch
-    sizes and fit a LatencyModel — the ``generate_data.py`` analog run
-    against our own engine."""
-    import time
-
-    lat = []
-    for b in batch_sizes:
-        for _ in range(warmup):
-            run_fn(b)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            run_fn(b)
-        lat.append((time.perf_counter() - t0) / iters * 1000.0)
-    return LatencyModel(batch_sizes, lat)
+# NOTE: there is deliberately no wall-clock "characterize_engine" helper
+# here. Characterization sweeps live in experiments/sweep.py on the
+# utils/timing.py chained-readback discipline — a perf_counter loop
+# around a run_fn trusts block_until_ready, which is not a fence on
+# relayed backends (the exact failure mode utils/timing.py documents).

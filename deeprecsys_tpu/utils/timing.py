@@ -86,6 +86,32 @@ def payload_floor_fit(device=None, sizes_mb=(0.0, 1.0, 4.0), trials: int = 4) ->
             "points_mb": pts_mb, "points_ms": pts_ms}
 
 
+def two_point_slope_ms(call: Callable[[int], object], n_lo: int, n_hi: int,
+                       trials: int = 3) -> float:
+    """Best-of-trials two-point slope in ms/iter.
+
+    ``call(n)`` must execute a chained program with RUNTIME trip count n
+    and block on a scalar readback before returning. The dispatch/readback
+    floor (and any per-call setup inside the program, e.g. in-program
+    param init) cancels exactly in the difference. The result can be
+    NEGATIVE when jitter exceeds the signal — callers decide whether to
+    grow the chain or fail; clamping here would silently turn noise into
+    a huge throughput number."""
+    if n_hi <= n_lo:
+        raise ValueError(
+            f"two-point slope needs distinct chain lengths (n_lo={n_lo}, "
+            f"n_hi={n_hi}); raise iters to at least 2")
+    best_lo = best_hi = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        call(n_lo)
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        call(n_hi)
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    return (best_hi - best_lo) / (n_hi - n_lo) * 1000.0
+
+
 def time_step_chain(
     step_fn: Callable,
     init_carry,
@@ -112,15 +138,9 @@ def time_step_chain(
     fn = jax.jit(chain, device=device)
     n_lo, n_hi = max(iters // 8, 1), iters
     float(fn(n_hi, init_carry, *args))  # compile + warm
-    best_lo = best_hi = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        float(fn(n_lo, init_carry, *args))
-        best_lo = min(best_lo, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(fn(n_hi, init_carry, *args))
-        best_hi = min(best_hi, time.perf_counter() - t0)
-    return max(best_hi - best_lo, 1e-9) / (n_hi - n_lo) * 1000.0
+    ms = two_point_slope_ms(
+        lambda n: float(fn(n, init_carry, *args)), n_lo, n_hi, trials)
+    return max(ms, 1e-6)
 
 
 # Backwards-compatible name (older call sites / docs).

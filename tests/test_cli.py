@@ -178,3 +178,37 @@ def test_serve_mode_sim_calibrated(tmp_path):
     finally:
         proc.kill()
         proc.wait(timeout=30)
+
+
+def test_bench_end_to_end_emits_valid_json(tmp_path, capsys, monkeypatch):
+    """bench.py is the judged artifact: the full main() flow (baseline
+    staleness incl. model coverage, suite run, one-line output) must
+    produce PARSEABLE strict JSON with a numeric vs_baseline."""
+    import bench
+
+    monkeypatch.setattr(bench, "BASELINE_PATH", tmp_path / "cpu_baseline.json")
+    monkeypatch.setattr(bench, "DETAIL_PATH", tmp_path / "last_bench.json")
+    monkeypatch.setattr(bench, "MODELS", ("ncf", "wnd"))
+    argv = ["bench", "--batch", "32", "--table-scale", "2000", "--iters", "8",
+            "--models", "ncf", "wnd"]
+    monkeypatch.setattr("sys.argv", argv)
+    bench.main()  # no TPU here: pick_accel_device falls back to host CPU
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    out = json.loads(lines[-1])  # strict JSON (NaN would fail)
+    assert out["unit"] == "samples/s" and out["value"] > 0
+    assert isinstance(out["vs_baseline"], (int, float))
+    detail = json.loads((tmp_path / "last_bench.json").read_text())
+    assert set(detail["tpu"]) == {"ncf", "wnd"}
+
+    # A cached baseline MISSING a requested model is stale (coverage):
+    # rerunning with a third model must remeasure rather than shrink the
+    # speedup geomean to a subset.
+    monkeypatch.setattr(bench, "MODELS", ("ncf", "wnd", "dien"))
+    monkeypatch.setattr("sys.argv", argv[:-2] + ["ncf", "wnd", "dien"])
+    bench.main()
+    out2 = json.loads([l for l in capsys.readouterr().out.splitlines()
+                       if l.startswith("{")][-1])
+    assert isinstance(out2["vs_baseline"], (int, float))
+    base = json.loads((tmp_path / "cpu_baseline.json").read_text())
+    assert set(base["results"]) >= {"ncf", "wnd", "dien"}

@@ -1026,3 +1026,13 @@ def test_all_engines_dead_with_live_loadgen_raises_not_hangs():
     with pytest.raises(RuntimeError, match="ALL engines exited"):
         run_serving(model_cfg, cfg, latency_model=DyingLatencyModel(),
                     settle_s=0.01, watchdog_s=2.0)
+
+
+def test_latency_model_edge_cases():
+    m = LatencyModel([4, 16, 64], [1.0, 2.0, 4.0])
+    # batch 0 (empty probe) and sub-range batches CLAMP — math.log would
+    # raise inside a daemon engine thread and silently kill it.
+    assert m.predict_ms(0) == pytest.approx(1.0)
+    assert m.predict_ms(1) == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="mismatched|latencies"):
+        LatencyModel([1, 4], [1.0, 2.0, 3.0])
