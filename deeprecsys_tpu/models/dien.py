@@ -61,9 +61,14 @@ def apply_from_pooled(params: dict, emb: jax.Array, batch: Batch, cfg: ModelConf
     seq = jnp.transpose(behavior, (1, 0, 2))  # time-major (T_b, B, m)
     out0, _ = basic_rnn_scan(params["rnn0"], seq, h0=initial_h,
                              seq_lengths=seq_lengths)  # (T_b, B, H)
+    # Bias-add and softmax in f32, then downcast at the boundary (the
+    # mlp_apply convention) — adding the f32 bias AFTER a bf16 downcast
+    # would type-promote gate/rnn1/top back to f32 and silently double the
+    # activation width of the whole tail under compute_dtype=bfloat16.
     gate = jnp.dot(out0, params["gate_fc"]["w"],
-                   preferred_element_type=jnp.float32).astype(out0.dtype)
-    gate = jax.nn.softmax(gate + params["gate_fc"]["b"], axis=2)
+                   preferred_element_type=jnp.float32)
+    gate = jax.nn.softmax(gate + params["gate_fc"]["b"].astype(jnp.float32),
+                          axis=2).astype(out0.dtype)
     gated = out0 + gate  # reference brew.sum of rnn_0 output and softmax gate
     _, last = basic_rnn_scan(params["rnn1"], gated, h0=initial_h,
                              seq_lengths=seq_lengths)  # (B, H)

@@ -92,10 +92,12 @@ def autotune_buckets(
     or above the accel threshold go whole to the accel engine (which also
     buckets), the rest are partitioned into ``sub_task_batch_size`` chunks.
     """
+    import dataclasses
+
     from deeprecsys_tpu.serving.load_generator import model_batch_sizes, partition_query
 
     rng = np.random.default_rng(cfg.seed + 9173)
-    sample_cfg = cfg.__class__(**{**cfg.__dict__, "num_batches": n_samples})
+    sample_cfg = dataclasses.replace(cfg, num_batches=n_samples)
     query_sizes = model_batch_sizes(sample_cfg, rng)
 
     # DeepRecSched tuning walks sub_task_batch_size over batch_configs at
@@ -116,6 +118,14 @@ def autotune_buckets(
         # The accel-threshold walk can route ANY whole query to the accel
         # engine once the threshold drops below it; cover them all.
         engine_sizes.extend(int(s) for s in query_sizes)
+    if cfg.model_accel:
+        # The ladder sample is a DIFFERENT finite draw than the live
+        # stream (load generator: cfg.seed); an unlucky sample whose max
+        # falls short of a live whole query would make pick_bucket clamp
+        # it at the cap (silent undercompute). Sizes clip at
+        # max_mini_batch_size, so force that cap into the ladder — one
+        # sample's weight in the DP, a hard guarantee for the cap.
+        engine_sizes.append(int(cfg.max_mini_batch_size))
     if max_buckets is None:
         max_buckets = cfg.max_auto_buckets
     return optimal_bucket_ladder(engine_sizes, max_buckets)

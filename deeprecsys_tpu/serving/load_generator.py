@@ -175,6 +175,15 @@ class LoadGenerator(threading.Thread):
                     if step.drain_and_settle:
                         self._drain_and_settle()
                     if not tuning_batch:
+                        # Batch tuning is over: restore the CONFIGURED
+                        # offload threshold (the exclusion above is a
+                        # tuning-phase override, not a deployment change).
+                        # Without this, measurement epochs — and the accel
+                        # scheduler's first convergence window — run with
+                        # the accelerator silently disabled. The reference
+                        # restores its default (1024) by construction.
+                        self.state.accel_request_size_thres = \
+                            cfg.accel_request_size_thres
                         if cfg.model_accel and cfg.tune_accel_qps:
                             tuning_accel = True
                         continue

@@ -193,3 +193,19 @@ def test_dien_seq_lengths_match_oracle():
     S_indices, S_lengths = csr_from_batch(batch.indices)
     ref = dien_forward(w, S_indices, S_lengths, seq_lengths=lengths)
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_dien_bf16_compute_stays_bf16():
+    """The gate bias-add must not type-promote the DIEN tail back to f32
+    under compute_dtype=bfloat16 (f32 bias + bf16 activation promotes,
+    silently doubling activation width for gate/rnn1/top)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = zoo.get_config("dien", table_scale=5000).replace(
+        param_dtype="float32", compute_dtype="bfloat16")
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = RecDataGenerator(cfg, seed=1).generate_batch(4)
+    out = model.apply(params, batch)
+    assert out.dtype == jnp.bfloat16

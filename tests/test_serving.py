@@ -973,14 +973,16 @@ def test_engine_serves_real_dataset(tmp_path):
     req_q.put(None)
 
 
-def test_batch_tuning_excludes_accel_for_clipped_max_queries():
+def test_batch_tuning_excludes_accel_then_restores_threshold(tmp_path):
     """During CPU sub-batch tuning the accelerator must see ZERO traffic
     (the reference's stated intent, scheduler.py 'lets not run with the
-    Accel sweeps'). Sizes clip INCLUSIVELY to max and route with >=, so a
-    threshold of exactly max leaks every clipped-to-max query to the
-    accel engine and the hill-climber tunes against latencies
-    sub_task_batch_size never affects."""
+    Accel sweeps' — sizes clip INCLUSIVELY to max and route with >=, so a
+    threshold of exactly max would leak every clipped-to-max query).
+    When tuning ends, the CONFIGURED threshold must be restored: the
+    measurement epochs serve the deployment the config asked for, accel
+    included."""
     model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    log = tmp_path / "responses.log"
     cfg = ServingConfig(
         num_batches=48, nepochs=1, inference_engines=1, engine_backend="sim",
         avg_arrival_rate_ms=1.0, batch_size_distribution="fixed",
@@ -990,13 +992,24 @@ def test_batch_tuning_excludes_accel_for_clipped_max_queries():
         arr_steps=4, sched_timeout=3, target_latency_ms=5.0,
         min_arr_range=0.5, max_arr_range=8.0,
         model_accel=True, accel_request_size_thres=256,
+        log_file=str(log),
     )
     lm = LatencyModel([1, 32, 256], [0.1, 0.3, 1.2])
     accel_lm = LatencyModel([1, 256], [0.05, 0.1])
     res = run_serving(model_cfg, cfg, latency_model=lm,
-                      accel_latency_model=accel_lm, settle_s=0.01)
-    assert res.accel_requests == 0
-    assert res.cpu_requests > 0
+                      accel_latency_model=accel_lm, settle_s=0.01,
+                      log_responses=True)
+    import ast
+
+    rows = [ast.literal_eval(line) for line in log.read_text().splitlines()]
+    accel_ids = {i for i in range(cfg.inference_engines, cfg.inference_engines + 1)}
+    tuning_on_accel = [r for r in rows if r["exp_packet"]
+                       and r["consumer_id"] in accel_ids]
+    measured_on_accel = [r for r in rows if not r["exp_packet"]
+                         and r["consumer_id"] in accel_ids]
+    assert not tuning_on_accel  # exclusion held through the whole climb
+    assert measured_on_accel    # restore: accel serves the measurement
+    assert res.accel_requests == len(measured_on_accel)
 
 
 def test_all_engines_dead_with_live_loadgen_raises_not_hangs():
