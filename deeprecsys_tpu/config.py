@@ -218,8 +218,6 @@ class ModelConfig:
     def out_dim(self) -> int:
         if self.model_type == "mtwnd":
             return self.mlp_tasks[-1] * self.num_multi_tasks
-        if self.model_type == "ncf":
-            return self.mlp_top[-1]
         return self.mlp_top[-1]
 
     # DIN table-role helpers (din.py:295-300, dien.py:393-398).

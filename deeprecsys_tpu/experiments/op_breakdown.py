@@ -27,7 +27,6 @@ from pathlib import Path
 import numpy as np
 
 
-STAGES = ("embedding", "interaction", "bottom_mlp", "top_mlp", "attention", "rnn")
 
 
 def _time_fn(fn, *args, iters=16) -> float:

@@ -139,6 +139,10 @@ def main(argv=None):
         return (bool(r.get("ref_regime")),
                 r.get("model", "wnd" if r.get("ref_regime") else "ncf"))
 
+    if not new:
+        # An empty study (e.g. --seeds none converged) must neither crash
+        # the merge below (new[0]) nor clobber the artifact with [].
+        raise SystemExit("study produced no rows; artifact left untouched")
     if out.exists():
         prior = json.loads(out.read_text())
         new = [r for r in prior if key(r) != key(new[0])] + new

@@ -109,6 +109,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_accel", action="store_true",
                    help="add a big-batch offload engine (TPU path)")
     p.add_argument("--accel_request_size_thres", type=int, default=1024)
+    # Dynamic batching (TPU-native addition; off by default for
+    # reference-faithful behavior, see config.py coalesce_requests).
+    p.add_argument("--coalesce_requests", action="store_true",
+                   help="engines drain waiting requests into one bucket "
+                        "execution (the MXU-native inverse of query "
+                        "splitting); measured QPS win in serving_coalesce:*")
+    p.add_argument("--max_coalesce", type=int, default=8)
     p.add_argument("--numpy_rand_seed", type=int, default=123)
     p.add_argument("--log_file", type=str, default=None)
     p.add_argument("--debug_mode", action="store_true")
@@ -186,6 +193,8 @@ def serving_config_from_args(args) -> ServingConfig:
         sched_timeout=args.sched_timeout,
         model_accel=args.model_accel,
         accel_request_size_thres=args.accel_request_size_thres,
+        coalesce_requests=args.coalesce_requests,
+        max_coalesce=args.max_coalesce,
         seed=args.numpy_rand_seed,
         log_file=args.log_file,
         debug_mode=args.debug_mode,

@@ -86,12 +86,17 @@ def get_config(name: str, table_scale: int = 1, **overrides) -> ModelConfig:
     memory-constrained smoke runs; 1 = full production sizes.
     """
     cfg = _ZOO[name]
+    if overrides:
+        # Overrides BEFORE the DIN expansion: the reference applies its
+        # config-file override after expansion (making user_behavior_tables
+        # silently inert, SURVEY §5) — here a user_behavior_tables override
+        # must actually size the expansion, matching the JSON path
+        # (config.model_config_from_dict).
+        cfg = cfg.replace(**overrides)
     if cfg.model_type == "din" and len(cfg.embedding_rows) == 4:
         cfg = cfg.replace(
             embedding_rows=_expand_din_tables(cfg.embedding_rows, cfg.user_behavior_tables)
         )
     if table_scale != 1:
         cfg = cfg.replace(table_scale=table_scale)
-    if overrides:
-        cfg = cfg.replace(**overrides)
     return cfg

@@ -139,3 +139,16 @@ def test_resolved_table_pack_auto_rules():
     assert zoo.get_config("rm1", table_pack=0,
                           table_quant="int8_rowwise").resolved_table_pack == 1
     assert zoo.get_config("rm2", table_pack=3).resolved_table_pack == 3
+
+
+def test_zoo_din_override_sizes_expansion():
+    """zoo.get_config must apply overrides BEFORE the DIN behavior-table
+    expansion — the reference's ordering makes user_behavior_tables
+    silently inert (SURVEY §5), and the JSON path here already fixed it;
+    the zoo path must agree."""
+    from deeprecsys_tpu import zoo
+
+    small = zoo.get_config("din", user_behavior_tables=10)
+    assert small.num_tables == 10 + 4  # profile + behaviors + ad + ctx
+    assert small.user_behavior_tables == 10
+    assert zoo.get_config("din").num_tables == 250 + 4  # default unchanged
