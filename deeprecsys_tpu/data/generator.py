@@ -226,11 +226,18 @@ class RecDataGenerator:
                 refs = self._trace_refs(t, L)
                 if refs.min(initial=0) < 0 or refs.max(initial=0) >= size:
                     refs = np.mod(refs, size)  # reference mod-guard (:207-215)
-                # unique AFTER the mod: distinct lines can collapse to the
-                # same residue, and the sorted+unique invariant is on the
-                # final in-range ids.
-                group = np.unique(refs)
-                # Top up to fixed L if unique() shrank the group. Draws
+                # Dedup AFTER the mod (distinct lines can collapse to the
+                # same residue) but in FIRST-OCCURRENCE draw order: the
+                # sorted+unique invariant applies to the final ids, and a
+                # sorted working set would make the L-truncation below keep
+                # the SMALLEST ids — systematically biasing groups toward
+                # low rows (and inflating hot-set coverage estimates).
+                def _uniq_ordered(a):
+                    _, idx = np.unique(a, return_index=True)
+                    return a[np.sort(idx)]
+
+                group = _uniq_ordered(refs)
+                # Top up to fixed L if dedup shrank the group. Draws
                 # double on no-progress rounds so rare tail ids of a
                 # skewed trace are still found quickly; a trace with fewer
                 # distinct residues than L can never satisfy the invariant
@@ -240,7 +247,8 @@ class RecDataGenerator:
                 draw = max(L - group.size, 1)
                 while group.size < L:
                     extra = self._trace_refs(t, draw)
-                    new = np.unique(np.concatenate([group, np.mod(extra, size)]))
+                    new = _uniq_ordered(
+                        np.concatenate([group, np.mod(extra, size)]))
                     if new.size == group.size:
                         stalled += 1
                         draw = min(draw * 2, 4096)

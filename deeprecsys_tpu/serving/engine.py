@@ -133,6 +133,7 @@ class ComputeEngine(threading.Thread):
         self.hot_coverage = None  # sampled hot-set coverage (hotcold/auto)
         self._reload: ReloadHandle | None = None  # pending checkpoint swap
         self._reload_lock = threading.Lock()
+        self._stopped = False  # set (under the lock) when the engine exits
         self._raw_template = None  # ShapeDtypeStruct tree of the MODEL layout
         self.error: Exception | None = None
         # Observability: executions per bucket and coalesced-request count
@@ -140,6 +141,7 @@ class ComputeEngine(threading.Thread):
         # plain dict is safe).
         self.bucket_counts: dict[int, int] = {}
         self.coalesced_requests = 0
+        self.clamped_requests = 0
 
     # -- setup ---------------------------------------------------------
 
@@ -173,25 +175,19 @@ class ComputeEngine(threading.Thread):
                 )
             apply_fn = jax.jit(model.apply, device=self.device)
         else:
+            # Externally supplied params (checkpoint / export): pin them to
+            # THIS engine's device like every other path — host-numpy
+            # leaves would otherwise re-transfer the full table on every
+            # jitted call, and params committed to another device fail the
+            # warm-up with an incompatible-devices error.
+            self.params = jax.device_put(self.params, self.device)
             apply_fn = jax.jit(model.apply, device=self.device)
         # Model-layout skeleton for checkpoint reloads (shapes/dtypes only).
         self._raw_template = self._layout_template(self.params)
-        # Pre-generate one max-size batch; per-bucket host slices feed each
-        # request (reference: pre-generate then slice, inferenceEngine.py:200-206).
-        gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17,
-                               data_generation=self.serving_cfg.data_generation,
-                               trace_file=self.serving_cfg.synthetic_trace_file,
-                               raw_data_file=self.serving_cfg.raw_data_file)
-        full = gen.generate_batch(max(self.buckets))
-        for b in self.buckets:
-            sliced = Batch(
-                dense=None if full.dense is None else full.dense[:b],
-                indices=full.indices[:b],
-            )
-            self._host_data[b] = sliced
-            self._jitted[b] = apply_fn
-            # Warm-up compile for this bucket shape.
-            apply_fn(self.params, self._device_batch(sliced)).block_until_ready()
+        self._warm_buckets(
+            lambda sliced: apply_fn(
+                self.params, self._device_batch(sliced)).block_until_ready(),
+            apply_fn)
 
     def _setup_hotcold(self, model, require: bool = True) -> bool:
         """Hot/cold-split serving (models/hotcold.py): hot set selected
@@ -239,23 +235,17 @@ class ComputeEngine(threading.Thread):
             if self.params is None:
                 with jax.default_device(self.device):
                     self.params = model.init(jax.random.PRNGKey(self.seed))
+            else:
+                # Supplied params: pin to this device BEFORE conversion,
+                # so the hot-table rebuild runs here too (same rationale
+                # as _apply_reload).
+                self.params = jax.device_put(self.params, self.device)
             self._raw_template = self._layout_template(self.params)
             self.params = jax.device_put(hc.convert_params(self.params), self.device)
             apply_fn = jax.jit(hc.apply, device=self.device)
 
-        gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17,
-                               data_generation=self.serving_cfg.data_generation,
-                               trace_file=self.serving_cfg.synthetic_trace_file,
-                               raw_data_file=self.serving_cfg.raw_data_file)
-        full = gen.generate_batch(max(self.buckets))
-        T, L = full.indices.shape[1], full.indices.shape[2]
-        for b in self.buckets:
-            sliced = Batch(
-                dense=None if full.dense is None else full.dense[:b],
-                indices=full.indices[:b],
-            )
-            self._host_data[b] = sliced
-            self._jitted[b] = apply_fn
+        def warm(sliced: Batch):
+            b, T, L = sliced.indices.shape
             # Warm every cold-pad bucket so no request hits a compile.
             # Same ladder the splitter pads with (per-cell on a mesh).
             for c_pad in cold_buckets_for(b * T * L, self.mesh):
@@ -277,7 +267,28 @@ class ComputeEngine(threading.Thread):
                     dummy["cold_seg"] = np.full(c_pad, b * T, np.int32)
                 apply_fn(self.params, self._device_batch(sliced),
                          self._device_split(dummy)).block_until_ready()
+
+        self._warm_buckets(warm, apply_fn)
         return True
+
+    def _warm_buckets(self, warm_fn, apply_fn):
+        """Shared warm-up scaffolding: pre-generate one max-size batch,
+        register per-bucket host slices + the jitted apply, and run
+        ``warm_fn(sliced)`` per bucket to compile every serve-time shape
+        (reference: pre-generate then slice, inferenceEngine.py:200-206)."""
+        gen = RecDataGenerator(self.model_cfg, seed=self.seed + 17,
+                               data_generation=self.serving_cfg.data_generation,
+                               trace_file=self.serving_cfg.synthetic_trace_file,
+                               raw_data_file=self.serving_cfg.raw_data_file)
+        full = gen.generate_batch(max(self.buckets))
+        for b in self.buckets:
+            sliced = Batch(
+                dense=None if full.dense is None else full.dense[:b],
+                indices=full.indices[:b],
+            )
+            self._host_data[b] = sliced
+            self._jitted[b] = apply_fn
+            warm_fn(sliced)
 
     def _device_split(self, split: dict) -> dict:
         if self.mesh is not None:
@@ -313,6 +324,12 @@ class ComputeEngine(threading.Thread):
         except Exception as e:  # surface engine failures instead of hanging
             self.error = e
             self.ready_q.put(e)
+            with self._reload_lock:
+                self._stopped = True
+                pending, self._reload = self._reload, None
+            if pending is not None:
+                pending.error = RuntimeError("engine failed during setup")
+                pending.event.set()
             self.response_q.put(_SENTINEL)
             return
         self.ready_q.put(self.engine_id)
@@ -336,6 +353,17 @@ class ComputeEngine(threading.Thread):
             self._sink_requests()
         self._pending.put(_SENTINEL)
         completer.join()
+        # A reload scheduled against a crashed/shut-down engine must not
+        # leave its waiters hanging: mark stopped and take the pending
+        # handle under ONE lock section, so request_reload can never park
+        # a handle in the gap.
+        with self._reload_lock:
+            self._stopped = True
+            pending, self._reload = self._reload, None
+        if pending is not None:
+            pending.error = RuntimeError(
+                "engine shut down before applying the reload")
+            pending.event.set()
         self.response_q.put(_SENTINEL)
 
     def _sink_requests(self):
@@ -356,6 +384,12 @@ class ComputeEngine(threading.Thread):
         waiters never hang. Thread-safe."""
         handle = ReloadHandle(path)
         with self._reload_lock:
+            if self._stopped:
+                # The engine already exited: fail fast instead of parking
+                # a handle nobody will ever apply (waiters would hang).
+                handle.error = RuntimeError("engine has shut down")
+                handle.event.set()
+                return handle
             prev, self._reload = self._reload, handle
         if prev is not None and not prev.event.is_set():
             prev.error = RuntimeError(
@@ -395,12 +429,29 @@ class ComputeEngine(threading.Thread):
         finally:
             handle.event.set()
 
+    def _next_request(self):
+        """Blocking get — with a periodic wake on stdlib queues to apply
+        pending checkpoint reloads while IDLE (an idle engine would
+        otherwise hold a scheduled swap, and anyone waiting on its handle,
+        until traffic arrives). Ring queues return None for both timeout
+        and the shutdown sentinel, so cpu-mp engines keep the plain
+        blocking get (reload is unsupported on the POD ring protocol)."""
+        if not isinstance(self.request_q, queue.Queue):
+            return self.request_q.get()
+        while True:
+            try:
+                return self.request_q.get(timeout=0.5)
+            except queue.Empty:
+                pending = self._take_pending_reload()
+                if pending is not None:
+                    self._apply_reload(pending)
+
     def _serve_loop(self):
         cfg = self.serving_cfg
         done = False
         carry = None  # request drained during coalescing that didn't fit
         while not done:
-            request = carry if carry is not None else self.request_q.get()
+            request = carry if carry is not None else self._next_request()
             carry = None
             if request is _SENTINEL:
                 break
@@ -438,7 +489,21 @@ class ComputeEngine(threading.Thread):
             if pending_reload is not None:
                 self._apply_reload(pending_reload)
             queue_start = time.time()
-            bucket = pick_bucket(self.buckets, sum(r.batch_size for r in group))
+            total_rows = sum(r.batch_size for r in group)
+            bucket = pick_bucket(self.buckets, total_rows)
+            if bucket < total_rows:
+                # A static ladder topping out below the request size can
+                # only execute the cap — make the undercompute VISIBLE
+                # (counted in /v1/healthz) instead of silently reporting
+                # full-size latencies. bucket_policy=auto force-covers the
+                # max_mini_batch_size cap and never hits this.
+                self.clamped_requests += len(group)
+                if self.clamped_requests == len(group):  # warn once
+                    print(f"[deeprecsys_tpu] WARNING: engine "
+                          f"{self.engine_id} clamped a {total_rows}-row "
+                          f"request to its largest compiled bucket "
+                          f"{bucket}; extend batch_buckets or use "
+                          f"bucket_policy=auto", flush=True)
             self.bucket_counts[bucket] = self.bucket_counts.get(bucket, 0) + 1
             if len(group) > 1:
                 self.coalesced_requests += len(group)
@@ -467,8 +532,20 @@ class ComputeEngine(threading.Thread):
             # Transfer the scores to host: a response is only complete when
             # the client could read it (the reference FetchBlobs the output
             # too, inferenceEngine.py:52-58). Also the only honest fence on
-            # relayed backends where block_until_ready can ack early.
-            scores = np.asarray(out)
+            # relayed backends where block_until_ready can ack early — and
+            # therefore exactly where a device/runtime error surfaces. An
+            # unhandled raise would kill this thread silently: the engine
+            # would keep dispatching with no responses ever emitted while
+            # still reporting alive.
+            try:
+                scores = np.asarray(out)
+            except Exception as e:
+                if self.error is None:
+                    self.error = e
+                print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id} "
+                      f"readback failed ({e!r}); dropping {len(group)} "
+                      f"response(s)", flush=True)
+                continue
             end = time.time()
             for request in group:
                 # out_batch_size = executed rows attributable to THIS

@@ -284,6 +284,9 @@ def _health(server: ServingServer) -> dict:
             counts[b] = counts.get(b, 0) + c
     if counts:
         out["bucket_executions"] = {str(k): v for k, v in sorted(counts.items())}
+    clamped = sum(getattr(e, "clamped_requests", 0) for e in server.engines)
+    if clamped:
+        out["clamped_requests"] = clamped  # undercomputed at the ladder cap
     return out
 
 
@@ -303,6 +306,21 @@ def _make_handler(registry: dict[str, ServingServer], default: str):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _read_json_body(self):
+            """Parse the request body as a JSON object; sends the 400 and
+            returns None on any malformed input (shared by every POST
+            route so the error handling cannot drift between them)."""
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("body must be a JSON object")
+                return payload
+            except (ValueError, TypeError, json.JSONDecodeError,
+                    AttributeError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return None
 
         def _model_route(self, suffix: str):
             """Resolve ``/v1/models/<name>/<suffix>`` to its server.
@@ -341,14 +359,14 @@ def _make_handler(registry: dict[str, ServingServer], default: str):
                     server = self._model_route("reload")
                     if server is None:
                         return
+                payload = self._read_json_body()
+                if payload is None:
+                    return
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
-                    payload = json.loads(self.rfile.read(n) or b"{}")
                     path = payload["path"]
                     if not isinstance(path, str) or not path:
                         raise ValueError("path must be a non-empty string")
-                except (KeyError, ValueError, TypeError,
-                        json.JSONDecodeError, AttributeError) as e:
+                except (KeyError, ValueError, TypeError) as e:
                     self._json(400, {"error": f"bad request: {e}"})
                     return
                 try:
@@ -367,15 +385,22 @@ def _make_handler(registry: dict[str, ServingServer], default: str):
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
+            payload = self._read_json_body()
+            if payload is None:
+                return
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(n) or b"{}")
-                if not isinstance(payload, dict):
-                    raise ValueError("body must be a JSON object")
                 batch_size = int(payload["batch_size"])
                 if batch_size < 1:
                     raise ValueError("batch_size must be >= 1")
-            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+                limit = server.cfg.max_mini_batch_size
+                if batch_size > limit:
+                    # Reject rather than silently clamp: a client would
+                    # otherwise record latencies for a fraction of the
+                    # work it believes it submitted.
+                    raise ValueError(
+                        f"batch_size {batch_size} exceeds this server's "
+                        f"max_mini_batch_size {limit}")
+            except (KeyError, ValueError, TypeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             try:

@@ -16,23 +16,49 @@ import jax
 import numpy as np
 
 
+def _files(path: Path) -> tuple[Path, Path]:
+    """Artifact paths for a checkpoint name. Suffixes are APPENDED —
+    ``with_suffix`` would collapse dotted names (ckpt.v1 and ckpt.v2 both
+    to ckpt.npz), silently loading the wrong weights."""
+    name = str(path)
+    npz = Path(name if name.endswith(".npz") else name + ".npz")
+    return npz, Path(name + ".tree.json")
+
+
 def save_params(path: str | Path, params) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     leaves, treedef = jax.tree_util.tree_flatten(params)
     host_leaves = [np.asarray(l) for l in leaves]
-    np.savez(path.with_suffix(".npz"), *host_leaves)
-    path.with_suffix(".tree.json").write_text(json.dumps({"treedef": str(treedef),
-                                                          "num_leaves": len(leaves)}))
+    npz, sidecar = _files(path)
+    np.savez(npz, *host_leaves)
+    sidecar.write_text(json.dumps({"treedef": str(treedef),
+                                   "num_leaves": len(leaves)}))
 
 
 def load_params(path: str | Path, like) -> object:
     """Restore into the structure of ``like`` (e.g. a freshly-initialized
-    params pytree); shapes and dtypes are validated leaf-by-leaf."""
+    params pytree); shapes and dtypes are validated leaf-by-leaf, and the
+    treedef sidecar (when present) must match ``like``'s structure — a
+    checkpoint from a DIFFERENT model whose leaf count/shapes coincide
+    would otherwise load weights into the wrong slots."""
     path = Path(path)
-    with np.load(path.with_suffix(".npz")) as data:
+    npz, sidecar = _files(path)
+    if not npz.exists() and path.suffix:
+        # Back-compat: checkpoints written by the old with_suffix scheme
+        # (pre-dotted-name fix) live at the collapsed path.
+        legacy = path.with_suffix(".npz")
+        if legacy.exists():
+            npz, sidecar = legacy, path.with_suffix(".tree.json")
+    with np.load(npz) as data:
         loaded = [data[k] for k in data.files]
     like_leaves, treedef = jax.tree_util.tree_flatten(like)
+    if sidecar.exists():
+        meta = json.loads(sidecar.read_text())
+        if meta.get("treedef") not in (None, str(treedef)):
+            raise ValueError(
+                f"checkpoint tree structure does not match the target "
+                f"model:\n  saved:  {meta['treedef']}\n  target: {treedef}")
     if len(loaded) != len(like_leaves):
         raise ValueError(f"checkpoint has {len(loaded)} leaves, expected {len(like_leaves)}")
     out = []

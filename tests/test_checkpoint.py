@@ -51,3 +51,38 @@ def test_quantized_params_roundtrip(tmp_path):
                         jax.tree_util.tree_leaves(back)):
             assert a.dtype == b.dtype
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dotted_checkpoint_names_do_not_collide(tmp_path):
+    """with_suffix collapsed ckpt.v1 and ckpt.v2 onto one ckpt.npz — the
+    second save silently overwrote the first and loads returned the wrong
+    weights. Suffixes are appended now."""
+    import jax
+
+    from deeprecsys_tpu.utils.checkpoint import load_params, save_params
+
+    a = {"w": np.full((3,), 1.0, np.float32)}
+    b = {"w": np.full((3,), 2.0, np.float32)}
+    save_params(tmp_path / "ckpt.v1", a)
+    save_params(tmp_path / "ckpt.v2", b)
+    got_a = load_params(tmp_path / "ckpt.v1", like=a)
+    got_b = load_params(tmp_path / "ckpt.v2", like=b)
+    np.testing.assert_array_equal(got_a["w"], a["w"])
+    np.testing.assert_array_equal(got_b["w"], b["w"])
+
+
+def test_treedef_sidecar_rejects_wrong_structure(tmp_path):
+    """Equal leaf counts + shapes but a DIFFERENT tree structure must be
+    rejected by the sidecar check — unflattening into the wrong slots is
+    silent weight corruption."""
+    import pytest
+
+    from deeprecsys_tpu.utils.checkpoint import load_params, save_params
+
+    saved = {"mlp": {"w": np.zeros((2, 2), np.float32)},
+             "final": {"w": np.ones((2, 2), np.float32)}}
+    save_params(tmp_path / "ckpt", saved)
+    other_structure = {"alpha": {"w": np.zeros((2, 2), np.float32)},
+                       "beta": {"w": np.zeros((2, 2), np.float32)}}
+    with pytest.raises(ValueError, match="tree structure"):
+        load_params(tmp_path / "ckpt", like=other_structure)

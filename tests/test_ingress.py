@@ -252,3 +252,14 @@ def test_reload_unsupported_on_sim_engines(ingress):
         raise AssertionError("expected 501")
     except urllib.error.HTTPError as e:
         assert e.code == 501
+
+
+def test_oversized_batch_rejected_not_clamped(ingress):
+    """POST /v1/infer above max_mini_batch_size must 400 — a silent clamp
+    serves a fraction of the submitted work while returning 200."""
+    try:
+        _post(f"{ingress}/v1/infer", {"batch_size": 10_000_000})
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert b"max_mini_batch_size" in e.read()

@@ -1049,3 +1049,109 @@ def test_latency_model_edge_cases():
     assert m.predict_ms(1) == pytest.approx(1.0)
     with pytest.raises(ValueError, match="mismatched|latencies"):
         LatencyModel([1, 4], [1.0, 2.0, 3.0])
+
+
+def _start_cpu_engine(model_cfg, cfg, params=None):
+    import jax
+
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q,
+                        device=jax.devices("cpu")[0], params=params)
+    eng.start()
+    got = ready_q.get(timeout=300)
+    assert not isinstance(got, Exception), got
+    return eng, req_q, resp_q
+
+
+def test_completion_thread_survives_readback_failure():
+    """A device/readback error in the completion thread must not wedge the
+    engine silently: the error is recorded, the poisoned item dropped, and
+    subsequent requests still complete."""
+    import time
+
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8)
+    eng, req_q, resp_q = _start_cpu_engine(model_cfg, cfg)
+
+    class Poison:
+        def __array__(self, *a, **k):
+            raise RuntimeError("injected readback failure")
+
+    fake = ServiceRequest(batch_id=99, epoch=0, arrival_time=time.time(),
+                          batch_size=3, total_sub_batches=1)
+    eng._pending.put(([fake], Poison(), time.time(), time.time()))
+    req_q.put(ServiceRequest(batch_id=0, epoch=0, arrival_time=time.time(),
+                             batch_size=5, total_sub_batches=1))
+    r = resp_q.get(timeout=120)
+    assert r.batch_id == 0 and r.batch_size == 5  # engine still serving
+    assert isinstance(eng.error, RuntimeError)
+    req_q.put(None)
+
+
+def test_supplied_params_pinned_to_engine_device():
+    """Externally supplied HOST params (a loaded checkpoint) must be
+    device_put at setup — host-numpy leaves re-transfer the full table on
+    every jitted call otherwise."""
+    import jax
+    import numpy as np_
+
+    from deeprecsys_tpu.models import get_model
+
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    host_params = jax.tree_util.tree_map(
+        np_.asarray, get_model(model_cfg).init(jax.random.PRNGKey(7)))
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8)
+    eng, req_q, _ = _start_cpu_engine(model_cfg, cfg, params=host_params)
+    leaves = jax.tree_util.tree_leaves(eng.params)
+    assert all(isinstance(l, jax.Array) for l in leaves)
+    req_q.put(None)
+
+
+def test_clamped_requests_counted():
+    """A request above the largest compiled bucket executes clamped —
+    that undercompute must be VISIBLE (clamped_requests counter), and
+    out_batch_size reports the rows actually executed."""
+    import time
+
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=32)  # ladder tops out below max
+    eng, req_q, resp_q = _start_cpu_engine(model_cfg, cfg)
+    req_q.put(ServiceRequest(batch_id=0, epoch=0, arrival_time=time.time(),
+                             batch_size=20, total_sub_batches=1))
+    r = resp_q.get(timeout=120)
+    assert r.out_batch_size == 8  # executed rows, not the requested 20
+    assert eng.clamped_requests == 1
+    req_q.put(None)
+
+
+def test_idle_engine_applies_reload(tmp_path):
+    """A reload scheduled against an IDLE engine applies within the idle
+    wake period — not only when the next request happens to arrive."""
+    import jax
+
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.utils.checkpoint import save_params
+
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8)
+    eng, req_q, _ = _start_cpu_engine(model_cfg, cfg)
+    new = get_model(model_cfg).init(jax.random.PRNGKey(5))
+    save_params(tmp_path / "ckpt", new)
+    handle = eng.request_reload(str(tmp_path / "ckpt"))
+    assert handle.event.wait(timeout=30) and handle.error is None
+    req_q.put(None)
+    eng.join(timeout=30)
+    # And a reload scheduled after shutdown-begin resolves with an error
+    # instead of hanging its waiters.
+    h2 = eng.request_reload(str(tmp_path / "ckpt"))
+    assert h2.event.wait(timeout=5) is True or h2.error is not None
