@@ -82,7 +82,7 @@ class CriteoReader:
         emitted = 0
         with open(self.path) as f:
             for line in f:
-                parts = line.rstrip("\n").split("\t")
+                parts = line.rstrip("\r\n").split("\t")  # CRLF-safe: a stray \r corrupts col 26's ids
                 if len(parts) < 1 + NUM_INT + NUM_CAT:
                     parts = parts + [""] * (1 + NUM_INT + NUM_CAT - len(parts))
                 labels[n, 0] = float(parts[0] or 0)

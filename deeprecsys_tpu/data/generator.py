@@ -171,9 +171,10 @@ class RecDataGenerator:
         would reset the stack and re-bias the head).
 
         When the native runtime is built, the stream runs through the C++
-        generator (runtime/cpp drs_trace_generate_lru, ~20x the Python
-        loop); each impl is deterministic under the generator seed, but
-        their random streams differ from each other.
+        generator (runtime/cpp drs_trace_generate_lru, measured 11.5x the
+        Python loop — benchmarks/README.md "Native runtime"); each impl is
+        deterministic under the generator seed, but their random streams
+        differ from each other.
         """
         if not hasattr(self, "_trace_cache"):
             self._trace_cache = {}
@@ -187,6 +188,7 @@ class RecDataGenerator:
             path = (self.trace_file.replace("@", str(t))
                     if "@" in self.trace_file else self.trace_file)
             la, sd, cdf = trace_mod.read_dist_from_file(path)
+            trace_mod.validate_cdf(cdf, path)
             if la is None:
                 # 2-line file (the reference's shipped profile/sd_cumm,
                 # trace_generator.py:33-45): no line accesses in-file; the

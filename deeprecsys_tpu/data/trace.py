@@ -19,7 +19,7 @@ import bisect
 import numpy as np
 
 
-def trace_profile(trace, enable_padding: bool = False):
+def trace_profile(trace):
     """Profile a 1-D index trace into (unique_lines, stack_distances).
 
     For each access, the stack distance is its depth in the LRU stack
@@ -58,6 +58,20 @@ def write_dist_file(path, line_accesses, list_sd, cumm_sd):
         f.write(", ".join(str(int(x)) for x in line_accesses) + "\n")
         f.write(", ".join(str(int(x)) for x in list_sd) + "\n")
         f.write(", ".join(repr(float(x)) for x in cumm_sd) + "\n")
+
+
+def validate_cdf(cumm_sd, source: str = "<dist>"):
+    """Reject a distribution file whose third/second line is not a CDF.
+
+    The 2-line PDF companion (``sd_prob``) is byte-format-identical to the
+    CDF file (``sd_cumm``); feeding it to the generator would bisect over
+    a non-monotone array and silently produce heavily biased traces."""
+    c = np.asarray(cumm_sd, dtype=np.float64)
+    if c.size == 0 or np.any(np.diff(c) < -1e-12) or not (0.98 <= c[-1] <= 1.0 + 1e-9):
+        raise ValueError(
+            f"{source}: distribution is not a CDF (non-decreasing, ending "
+            f"at ~1.0) — did you pass the PDF (sd_prob) file instead of "
+            f"the CDF (sd_cumm)?")
 
 
 def read_dist_from_file(path):
@@ -224,6 +238,12 @@ def main(argv=None):
                    help="for 2-line dist files (no line accesses): table row "
                         "count to draw the random line-access order from "
                         "(trace_generator.py:70,119)")
+    g.add_argument("--impl", choices=("auto", "native", "numpy"),
+                   default="auto",
+                   help="auto: the native C++ generator when built (the "
+                        "same LRU model; its own deterministic splitmix64 "
+                        "stream), else the numpy loop. numpy: force the "
+                        "reference-faithful rng stream")
 
     args = ap.parse_args(argv)
     if args.cmd == "profile":
@@ -250,23 +270,35 @@ def main(argv=None):
     else:
         rng = np.random.default_rng(args.seed)
         line_accesses, list_sd, cumm_sd = read_dist_from_file(args.dist_file)
+        validate_cdf(cumm_sd, args.dist_file)
         if line_accesses is None:  # 2-line file: synthesize the access order
             line_accesses = random_line_accesses(args.table_size, rng)
-        trace = trace_generate_lru(line_accesses, list_sd, cumm_sd, args.length,
-                                   rng=rng)
+        if args.impl != "numpy":
+            from deeprecsys_tpu.runtime.native import native_available
+
+            if native_available():
+                gen = NativeLruTrace(line_accesses, list_sd, cumm_sd,
+                                     seed=args.seed)
+                trace = gen.generate(args.length).tolist()
+            elif args.impl == "native":
+                raise SystemExit("--impl native requested but the native "
+                                 "runtime is not built")
+            else:
+                trace = trace_generate_lru(line_accesses, list_sd, cumm_sd,
+                                           args.length, rng=rng)
+        else:
+            trace = trace_generate_lru(line_accesses, list_sd, cumm_sd,
+                                       args.length, rng=rng)
         with open(args.out, "w") as f:
             f.write("\n".join(str(x) for x in trace) + "\n")
         print(f"generated {len(trace)} references over "
               f"{len(set(trace))} unique lines -> {args.out}")
 
 
-if __name__ == "__main__":
-    main()
-
-
 class NativeLruTrace:
     """Stateful native LRU trace stream (C++ ``drs_trace_generate_lru``):
-    ~100x the Python loop, deterministic via its own splitmix64 state.
+    measured 11.5x the Python loop (benchmarks/README.md "Native
+    runtime"), deterministic via its own splitmix64 state.
     Semantically identical LRU-stack model; the random stream differs from
     the numpy path (each impl is reproducible under its seed)."""
 
@@ -300,3 +332,7 @@ class NativeLruTrace:
             int(self.enable_padding), self.i,
         )
         return out
+
+
+if __name__ == "__main__":
+    main()

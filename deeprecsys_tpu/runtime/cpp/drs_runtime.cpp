@@ -351,9 +351,10 @@ extern "C" int64_t drs_split_hot_cold(
 // data/trace.py trace_generate_lru + generate_stack_distance): draw a
 // stack distance from the measured CDF; sd==0 introduces the next unseen
 // line (head of the rotation), sd>0 re-references the line at LRU depth
-// sd and moves it to the top. The Python loop costs ~14 us/reference
-// (list.pop + bisect per ref); this is the data-loader hot loop when
-// generating locality-modeled synthetic streams.
+// sd and moves it to the top. Measured 11.5x the Python loop (0.61 ->
+// 7.0 Mref/s, benchmarks/README.md "Native runtime"); this is the
+// data-loader hot loop when generating locality-modeled synthetic
+// streams.
 //
 // `lines` is the logical LRU list stored as a ring with head offset *h_io
 // (pop(0)+append == advance head, value stays in place — the dominant

@@ -55,8 +55,14 @@ def get_lib():
         path = _build()
         lib = ctypes.CDLL(str(path))
     except Exception as e:  # g++ missing, sandbox, etc.
-        _build_error = str(e)
-        raise RuntimeError(f"native runtime unavailable: {e}") from e
+        msg = str(e)
+        if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+            # str(CalledProcessError) omits stderr — without the compiler
+            # diagnostics, every caller silently degrades to the slow path
+            # with no way to see WHY the build failed.
+            msg += "\n" + e.stderr.decode(errors="replace")[-2000:]
+        _build_error = msg
+        raise RuntimeError(f"native runtime unavailable: {msg}") from e
     lib.drs_ring_bytes.restype = ctypes.c_uint64
     lib.drs_ring_bytes.argtypes = [ctypes.c_uint64]
     lib.drs_ring_init.restype = ctypes.c_int

@@ -77,8 +77,14 @@ class ShmRingQueue:
         nbytes = int(self._lib.drs_ring_bytes(cap))
         self._shm = None
         if shm_name is None:
-            self._buf = ctypes.create_string_buffer(nbytes)
-            self._mem = ctypes.cast(self._buf, ctypes.c_void_p)
+            # RingHeader's head/tail are alignas(64) (cache-line separated);
+            # malloc-backed buffers only guarantee ~16 bytes, so over-
+            # allocate and round the base up (the shm path is page-aligned
+            # already). Placement-new into under-aligned storage is UB and
+            # silently loses the false-sharing separation the alignas buys.
+            self._buf = ctypes.create_string_buffer(nbytes + 64)
+            base = ctypes.addressof(self._buf)
+            self._mem = ctypes.c_void_p((base + 63) & ~63)
             self._lib.drs_ring_init(self._mem, cap)
         else:
             from multiprocessing import shared_memory

@@ -36,7 +36,11 @@ def model_batch_sizes(cfg: ServingConfig, rng: np.random.Generator) -> np.ndarra
     elif cfg.batch_size_distribution == "file":
         with open(cfg.batch_dist_file) as f:
             percentiles = [float(line.strip()) for line in f if line.strip()]
-        sizes = np.asarray([percentiles[int(rng.uniform(0, len(percentiles)))] for _ in range(n)])
+        # integers(), not int(uniform()): uniform(0, high) can return
+        # exactly high under FP rounding and index out of range (latent in
+        # the reference too, loadGenerator.py:40).
+        sizes = np.asarray([percentiles[rng.integers(0, len(percentiles))]
+                            for _ in range(n)])
     else:
         raise ValueError(f"unknown batch_size_distribution {cfg.batch_size_distribution!r}")
     return np.clip(sizes, 1, cfg.max_mini_batch_size).astype(np.int64)
@@ -45,6 +49,12 @@ def model_batch_sizes(cfg: ServingConfig, rng: np.random.Generator) -> np.ndarra
 def partition_query(batch_size: int, sub_task_batch_size: int) -> list[int]:
     """Split a query into sub-batches of at most ``sub_task_batch_size``
     (loadGenerator.py:46-54)."""
+    if sub_task_batch_size <= 0:
+        # A non-positive sub-batch (misconfigured batch_configs included)
+        # would append 0-size chunks forever — fail loudly instead of
+        # spinning the load-generator thread with unbounded memory growth.
+        raise ValueError(
+            f"sub_task_batch_size must be positive, got {sub_task_batch_size}")
     out = []
     while batch_size > 0:
         chunk = min(sub_task_batch_size, batch_size)
