@@ -7,11 +7,16 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-MODEL="${1:-rm1}"
-BACKEND="${2:-tpu}"   # tpu | cpu | cpu-mp | sim
-ENGINES="${3:-4}"
-# Consume the positionals; anything left passes through to the CLI.
-shift $(( $# > 3 ? 3 : $# ))
+# Positionals (model, backend, engines) may be followed by pass-through
+# flags. Consume only arguments that are NOT flags: a blind `shift 3`
+# would eat "--num_batches" as ENGINES when fewer positionals are given.
+MODEL=rm1; BACKEND=tpu; ENGINES=4
+for var in MODEL BACKEND ENGINES; do
+  if [ $# -gt 0 ] && [ "${1#-}" = "$1" ]; then
+    eval "$var=\$1"
+    shift
+  fi
+done
 
 python -m deeprecsys_tpu.main \
   --model "$MODEL" \

@@ -7,6 +7,8 @@
 #
 # Then:  curl -X POST localhost:8321/v1/infer -d '{"batch_size": 165}'
 #        curl localhost:8321/v1/stats
+set -euo pipefail
+cd "$(dirname "$0")/.."
 
 MODEL="${MODEL:-rm1}"
 PORT="${PORT:-8321}"

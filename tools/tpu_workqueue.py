@@ -40,20 +40,22 @@ def job_warm(model):
 
 def _chain_readback(fn, *args, iters, trials=2):
     """fn(n, *args) must be a jitted chain with RUNTIME trip count n
-    returning a scalar. Two-point slope cancels floor + in-program init."""
+    returning a scalar. Two-point slope cancels floor + in-program init.
+    Raises on a non-positive slope (jitter exceeded the signal) — the job
+    is recorded FAILED for --retry-errors instead of writing a
+    noise-derived huge throughput into the ledger."""
+    from deeprecsys_tpu.utils.timing import two_point_slope_ms
+
     n_lo, n_hi = max(iters // 8, 1), iters
     t0 = time.perf_counter()
     float(fn(n_hi, *args))
     compile_s = time.perf_counter() - t0
-    best_lo = best_hi = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        float(fn(n_lo, *args))
-        best_lo = min(best_lo, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(fn(n_hi, *args))
-        best_hi = min(best_hi, time.perf_counter() - t0)
-    return max(best_hi - best_lo, 1e-9) / (n_hi - n_lo) * 1000.0, compile_s
+    ms = two_point_slope_ms(lambda n: float(fn(n, *args)), n_lo, n_hi, trials)
+    if ms <= 0:
+        raise RuntimeError(
+            f"two-point slope non-positive ({ms:.3g} ms) — relay jitter "
+            f"exceeded the signal; re-run when the backend is quiet")
+    return ms, compile_s
 
 
 def job_gather(variant):
@@ -86,7 +88,9 @@ def job_gather(variant):
         def prog(n, idx):
             table = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.bfloat16)
             def body(i, c):
-                ii = (idx + i) % R
+                # Clamp, not wrap: (idx+i)%R breaks the sortedness the
+                # indices_are_sorted hint promises XLA after iteration 0.
+                ii = jnp.minimum(idx + i, R - 1)
                 return c + jnp.sum(jnp.take(table, ii, axis=0,
                                             indices_are_sorted=True).astype(jnp.float32))
             return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
@@ -713,17 +717,7 @@ def job_model_hotcold(model, variant, pack=1, hot_rows=None, hot_arg=False,
                 jnp.asarray(idx))
 
     fn = jax.jit(program, device=device, static_argnums=())
-    ITERS = 32
-    t0 = _time.perf_counter()
-    float(fn(ITERS, *args))
-    compile_s = _time.perf_counter() - t0
-    best_lo = best_hi = float("inf")
-    for _ in range(3):
-        t0 = _time.perf_counter(); float(fn(ITERS // 8, *args))
-        best_lo = min(best_lo, _time.perf_counter() - t0)
-        t0 = _time.perf_counter(); float(fn(ITERS, *args))
-        best_hi = min(best_hi, _time.perf_counter() - t0)
-    ms = max(best_hi - best_lo, 1e-9) / (ITERS - ITERS // 8) * 1000.0
+    ms, compile_s = _chain_readback(fn, *args, iters=32)
     out = {"variant": variant, "ms": ms, "samples_per_s": B / (ms / 1000.0),
            "compile_s": compile_s}
     if variant == "hotcold":
@@ -832,10 +826,14 @@ def job_serving_hotcold(model):
 
     cfg_m = zoo.get_config(model, table_scale=8, param_dtype="bfloat16",
                            compute_dtype="bfloat16", embedding_impl="hotcold")
-    dist = Path(tempfile.gettempdir()) / f"drs_zipf_dist_{model}.txt"
+    n_lines, alpha, n_samples = min(cfg_m.scaled_rows), 1.05, 200_000
+    # Cache key carries the distribution parameters: a bare model-name key
+    # silently served a stale trace after any parameter change.
+    dist = Path(tempfile.gettempdir()) / (
+        f"drs_zipf_dist_{model}_{n_lines}_{alpha}_{n_samples}.txt")
     if not dist.exists():
         la, sd, cdf = synthesize_zipf_distribution(
-            min(cfg_m.scaled_rows), alpha=1.05, num_samples=200_000, seed=5)
+            n_lines, alpha=alpha, num_samples=n_samples, seed=5)
         write_dist_file(dist, la, sd, cdf)
     cfg = ServingConfig(
         num_batches=48, nepochs=1, inference_engines=1, engine_backend="tpu",
@@ -1125,6 +1123,20 @@ def main():
     args = [a for a in sys.argv[1:] if a != "--retry-errors"]
     retry_errors = "--retry-errors" in sys.argv[1:]
     max_jobs = int(args[0]) if args else 99
+    # Single-instance lock: two concurrent queues would (a) run TPU jobs
+    # in parallel (compile contention, forbidden by CLAUDE.md) and (b)
+    # clobber each other's resume state — each instance holds the whole
+    # `done` dict in memory and _save_state writes its full stale
+    # snapshot, erasing the other's completed jobs.
+    import fcntl
+
+    STATE.parent.mkdir(exist_ok=True)
+    lock = open(STATE.with_suffix(".lock"), "w")
+    try:
+        fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        raise SystemExit("another tpu_workqueue instance holds the lock; "
+                         "wait for it (never run two TPU jobs concurrently)")
     done = json.loads(STATE.read_text()) if STATE.exists() else {}
     ran = 0
     for name, fn in JOBS:
