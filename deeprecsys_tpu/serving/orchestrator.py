@@ -109,7 +109,12 @@ def run_serving(
 
     agg = ResponseAggregator(cfg.req_granularity)
     finished = 0
-    shutdown_injected = False
+    # Shutdown sentinels still owed to engines after a loadgen death:
+    # None = loadgen healthy so far; (cpu_count, accel_count) otherwise.
+    # Tracked as REMAINING counts so a timed-out put (queue full while
+    # engines are slow-but-alive) retries on the next watchdog timeout —
+    # a one-shot flag would permanently skip the rest and re-hang.
+    shutdown_owed: "tuple[int, int] | None" = None
     # Watchdog: the reference hangs forever if an engine dies mid-run
     # (SURVEY §5 "a crashed engine would hang the run"); we abort after a
     # quiet period once the load generator has exited with no live engine.
@@ -124,30 +129,38 @@ def run_serving(
                 p.is_alive() for p in procs
             )
             if (not loadgen.is_alive() and loadgen.error is not None
-                    and not shutdown_injected):
+                    and shutdown_owed != (0, 0)):
                 # The load generator DIED (it only sends done-sentinels on
                 # clean completion), so live engines would block on
                 # request_q.get() forever. Inject the sentinels it never
                 # sent; engines drain, the loop completes, and the
                 # loadgen error is raised after the joins below.
-                shutdown_injected = True
-                print("[deeprecsys_tpu] WARNING: load generator died "
-                      f"({loadgen.error!r}); shutting engines down",
-                      flush=True)
-                # Best-effort injection: if the request queue is FULL and
-                # the engines are dead too, a blocking put would deadlock
-                # the watchdog's own recovery — skip what doesn't fit (no
-                # one would consume it) and let the next timeout hit the
-                # all-dead branch below.
-                try:
-                    for _ in range(cfg.inference_engines):
-                        request_q.put(None, timeout=0.5)
-                    if cfg.model_accel:
-                        accel_request_q.put(None, timeout=0.5)
-                except Exception:
-                    print("[deeprecsys_tpu] WARNING: request queue full "
-                          "while injecting shutdown sentinels; proceeding",
+                if shutdown_owed is None:
+                    print("[deeprecsys_tpu] WARNING: load generator died "
+                          f"({loadgen.error!r}); shutting engines down",
                           flush=True)
+                    shutdown_owed = (cfg.inference_engines,
+                                     1 if cfg.model_accel else 0)
+                # Timeout-bounded injection: if the queue is full (engines
+                # dead, or slow-but-alive and still draining the backlog) a
+                # blocking put would deadlock the watchdog's own recovery.
+                # Deliver what fits NOW; the remainder retries on the next
+                # timeout — live engines eventually drain the backlog and
+                # make room.
+                cpu_owed, accel_owed = shutdown_owed
+                try:
+                    while cpu_owed > 0:
+                        request_q.put(None, timeout=0.5)
+                        cpu_owed -= 1
+                    while accel_owed > 0:
+                        accel_request_q.put(None, timeout=0.5)
+                        accel_owed -= 1
+                except Exception:
+                    print(f"[deeprecsys_tpu] WARNING: request queue full "
+                          f"while injecting shutdown sentinels "
+                          f"({cpu_owed}+{accel_owed} still owed); will "
+                          f"retry", flush=True)
+                shutdown_owed = (cpu_owed, accel_owed)
                 continue
             if loadgen.is_alive() and not live_engines:
                 # Every engine is dead while the load generator still

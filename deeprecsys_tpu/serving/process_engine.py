@@ -37,11 +37,13 @@ def _engine_child(engine_id: int, model_cfg: ModelConfig, serving_cfg: ServingCo
     # a response sentinel keeps the aggregator's engine count honest.
     ready_q = response_q = None
     try:
-        request_q = ShmRingQueue(capacity, shm_name=req_name, create=False)
-        response_q = ShmRingQueue(capacity, shm_name=resp_name, create=False)
+        # Ready ring FIRST: it is the failure-reporting channel, so the
+        # other two rings' attach failures can be reported through it.
         ready_q = _ReadySender(
             ShmRingQueue(64, shm_name=ready_name, create=False),
             engine_id=engine_id)
+        request_q = ShmRingQueue(capacity, shm_name=req_name, create=False)
+        response_q = ShmRingQueue(capacity, shm_name=resp_name, create=False)
         engine = ComputeEngine(
             engine_id, model_cfg, serving_cfg, request_q, response_q, ready_q,
             device=jax.devices("cpu")[0], seed=serving_cfg.seed + engine_id,

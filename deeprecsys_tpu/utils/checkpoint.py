@@ -44,12 +44,17 @@ def load_params(path: str | Path, like) -> object:
     would otherwise load weights into the wrong slots."""
     path = Path(path)
     npz, sidecar = _files(path)
-    if not npz.exists() and path.suffix:
-        # Back-compat: checkpoints written by the old with_suffix scheme
-        # (pre-dotted-name fix) live at the collapsed path.
-        legacy = path.with_suffix(".npz")
-        if legacy.exists():
-            npz, sidecar = legacy, path.with_suffix(".tree.json")
+    if not npz.exists():
+        # NO silent fallback to the old with_suffix scheme: that path is
+        # ambiguous by construction (ckpt.v1 and ckpt.v2 both collapsed to
+        # ckpt.npz), so "fall back" can mean "load a different
+        # checkpoint's weights and report success".
+        hint = ""
+        if path.suffix and path.with_suffix(".npz").exists():
+            hint = (f" (a pre-fix save collapsed a dotted name onto "
+                    f"{path.with_suffix('.npz')}; identify and re-save it "
+                    f"under the current scheme)")
+        raise FileNotFoundError(f"no checkpoint at {npz}{hint}")
     with np.load(npz) as data:
         loaded = [data[k] for k in data.files]
     like_leaves, treedef = jax.tree_util.tree_flatten(like)

@@ -138,9 +138,18 @@ def time_step_chain(
     fn = jax.jit(chain, device=device)
     n_lo, n_hi = max(iters // 8, 1), iters
     float(fn(n_hi, init_carry, *args))  # compile + warm
-    ms = two_point_slope_ms(
-        lambda n: float(fn(n, init_carry, *args)), n_lo, n_hi, trials)
-    return max(ms, 1e-6)
+    call = lambda n: float(fn(n, init_carry, *args))
+    ms = two_point_slope_ms(call, n_lo, n_hi, trials)
+    if ms <= 0:  # jitter exceeded the signal: one re-measure, then fail
+        ms = two_point_slope_ms(call, n_lo, n_hi, trials)
+    if ms <= 0:
+        # Never clamp: a noise-dominated slope clamped positive flows
+        # into recorded characterization artifacts as ~1e9 samples/s.
+        raise RuntimeError(
+            f"two-point slope non-positive ({ms:.3g} ms/iter at "
+            f"iters={iters}) — measurement jitter exceeds the signal; "
+            f"raise iters or re-run when the backend is quiet")
+    return ms
 
 
 # Backwards-compatible name (older call sites / docs).
