@@ -1,0 +1,148 @@
+"""Seeded fuzz parity over the host-side splitters and lookup variants.
+
+The unit tests pin known shapes; these sweep randomized (B, T, L, rows,
+hot-set, mesh) configurations against brute-force models, covering the
+corner interactions (empty hot sets, all-hot streams, tiny tables, odd
+partition cells) that enumerated cases miss. Deterministic (seeded)."""
+
+import numpy as np
+import pytest
+
+from deeprecsys_tpu.ops.embedding import (
+    select_hot_ids,
+    split_hot_cold,
+    split_hot_cold_hybrid,
+    split_hot_cold_sharded,
+)
+
+
+def _rand_case(rng):
+    T = int(rng.integers(1, 6))
+    L = int(rng.integers(1, 9))
+    B = 2 * int(rng.integers(1, 9))
+    rows = rng.integers(4, 60, size=T)
+    offsets = np.concatenate([[0], np.cumsum(rows)])[:-1]
+    idx = np.stack([rng.integers(0, rows[t], size=(B, L)) for t in range(T)],
+                   axis=1).astype(np.int32)
+    k = int(rng.integers(0, int(rows.sum()) + 1))
+    hot = select_hot_ids(idx[: max(B // 2, 1)], offsets, k)
+    return B, T, L, idx, offsets, hot
+
+
+def test_split_hot_cold_fuzz_vs_bruteforce():
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        B, T, L, idx, offsets, hot = _rand_case(rng)
+        s = split_hot_cold(idx, offsets, hot, impl="numpy")
+        flat = (idx.astype(np.int64) + offsets[None, :, None]).reshape(-1)
+        in_hot = np.isin(flat, hot)
+        np.testing.assert_array_equal(s["hot_mask"].reshape(-1), in_hot)
+        # hot_sel maps each hit back to ITS fused id
+        sel = s["hot_sel"].reshape(-1)
+        if in_hot.any():
+            np.testing.assert_array_equal(hot[sel[in_hot]], flat[in_hot])
+        # the compacted cold stream is exactly the misses, in order, with
+        # their pooling-group ids
+        n = s["n_cold"]
+        groups = np.arange(B * T * L) // L
+        np.testing.assert_array_equal(s["cold_ids"][:n], flat[~in_hot])
+        np.testing.assert_array_equal(s["cold_seg"][:n], groups[~in_hot])
+        assert (s["cold_seg"][n:] == B * T).all()  # pad slots dropped
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_partitioned_splitters_fuzz(native):
+    if native:
+        from deeprecsys_tpu.runtime.native import native_available
+
+        if not native_available():
+            pytest.skip("native runtime not built")
+    impl = "native" if native else "numpy"
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        B, T, L, idx, offsets, hot = _rand_case(rng)
+        total = int(offsets[-1]) + int(
+            (idx[:, -1, :].max() if T else 0)) + 1  # upper bound on rows
+        base = split_hot_cold(idx, offsets, hot, impl=impl)
+        n = base["n_cold"]
+        cold = set(zip(base["cold_ids"][:n].tolist(),
+                       base["cold_seg"][:n].tolist()))
+
+        for M in (1, 2, 4):
+            rps = -(-max(total, 1) // M)
+            sh = split_hot_cold_sharded(idx, offsets, hot, n_shards=M,
+                                        rows_per_shard=rps, impl=impl)
+            got = set()
+            for m in range(M):
+                real = sh["cold_seg"][m] < B * T
+                for lid, seg in zip(sh["cold_local"][m][real].tolist(),
+                                    sh["cold_seg"][m][real].tolist()):
+                    got.add((lid + m * rps, seg))
+            assert got == cold, (trial, M)
+
+        for D in (1, 2):
+            if B % D:
+                continue
+            M = 2
+            rps = -(-max(total, 1) // M)
+            hy = split_hot_cold_hybrid(idx, offsets, hot, n_data=D, n_model=M,
+                                       rows_per_shard=rps, impl=impl)
+            b_loc = B // D
+            got = set()
+            for d in range(D):
+                for m in range(M):
+                    real = hy["cold_seg"][d, m] < b_loc * T
+                    for lid, seg in zip(hy["cold_local"][d, m][real].tolist(),
+                                        hy["cold_seg"][d, m][real].tolist()):
+                        got.add((lid + m * rps, seg + d * b_loc * T))
+            assert got == cold, (trial, D, M)
+
+
+def test_lookup_variant_fuzz_vs_embedding_bag():
+    """Random shapes through packed / int8 / rowwise lookups vs the plain
+    float gather (int8 variants compared on the shared int8 grid)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprecsys_tpu.ops import embedding_bag, embedding_bag_packed, pack_table
+    from deeprecsys_tpu.ops.embedding import (
+        embedding_bag_int8_rowwise,
+        quantize_pertable_int8,
+        quantize_rowwise_int8,
+    )
+
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        T = int(rng.integers(1, 5))
+        L = int(rng.integers(1, 7))
+        B = int(rng.integers(1, 9))
+        d = int(rng.choice([4, 8, 16]))
+        rows = rng.integers(3, 40, size=T)
+        offsets = np.concatenate([[0], np.cumsum(rows)])[:-1].astype(np.int32)
+        total = int(rows.sum())
+        table = jnp.asarray(rng.normal(size=(total, d)).astype(np.float32))
+        idx = jnp.asarray(np.stack(
+            [rng.integers(0, rows[t], size=(B, L)) for t in range(T)],
+            axis=1).astype(np.int32))
+        off = jnp.asarray(offsets)
+        want = np.asarray(embedding_bag(table, off, idx))
+
+        for pack in (2, 3):
+            got = np.asarray(embedding_bag_packed(
+                pack_table(table, pack), off, idx, pack=pack))
+            np.testing.assert_array_equal(got, want)
+
+        q = quantize_pertable_int8(table, rows)
+        deq = np.asarray(q["q"], np.float32) * np.repeat(
+            np.asarray(q["scale"]), rows)[:, None]
+        np.testing.assert_allclose(
+            deq, np.asarray(table), atol=np.repeat(
+                np.asarray(q["scale"]), rows)[:, None].max() * 0.51)
+
+        packed_rows = quantize_rowwise_int8(table)
+        got_rw = np.asarray(embedding_bag_int8_rowwise(packed_rows, off, idx))
+        # per-row scales: error bounded by sum of L half-steps
+        row_scale = np.abs(np.asarray(table)).max(axis=1) / 127.0
+        flat = (np.asarray(idx) + offsets[None, :, None]).reshape(-1)
+        bound = row_scale[flat].reshape(B, T, L).sum(axis=2) * 0.51 + 1e-6
+        assert (np.abs(got_rw - want) <= bound[..., None]).all()
