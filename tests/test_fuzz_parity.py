@@ -146,3 +146,93 @@ def test_lookup_variant_fuzz_vs_embedding_bag():
         flat = (np.asarray(idx) + offsets[None, :, None]).reshape(-1)
         bound = row_scale[flat].reshape(B, T, L).sum(axis=2) * 0.51 + 1e-6
         assert (np.abs(got_rw - want) <= bound[..., None]).all()
+
+
+def _fuzz_cfgs(rng):
+    """Randomized valid ModelConfigs per family (each family's structural
+    invariants respected; dims drawn fresh per trial)."""
+    from deeprecsys_tpu.config import ModelConfig
+
+    d = int(rng.choice([4, 8, 16]))
+    h = int(rng.choice([4, 8]))
+    nt = int(rng.integers(2, 6))
+    rows = tuple(int(r) for r in rng.integers(20, 200, size=nt))
+    L = int(rng.integers(1, 5))
+    mk = lambda n: tuple(int(x) for x in rng.integers(3, 17, size=n))
+    yield ModelConfig(model_type="dlrm", model_name="fz-dlrm",
+                      mlp_bot=mk(2) + (d,), mlp_top=mk(2) + (1,),
+                      embedding_rows=rows, sparse_feature_size=d,
+                      num_indices_per_lookup=L,
+                      interaction_op=str(rng.choice(["dot", "cat"])),
+                      interaction_itself=bool(rng.integers(0, 2)))
+    yield ModelConfig(model_type="wnd", model_name="fz-wnd",
+                      mlp_bot=(int(rng.integers(4, 20)),), mlp_top=mk(2) + (1,),
+                      embedding_rows=rows, sparse_feature_size=d,
+                      num_indices_per_lookup=L, interaction_op="cat")
+    shared_out = int(rng.integers(4, 12))
+    yield ModelConfig(model_type="mtwnd", model_name="fz-mtwnd",
+                      mlp_bot=(int(rng.integers(4, 20)),),
+                      mlp_top=mk(1) + (shared_out,),
+                      # task-head input dim must equal the shared output
+                      # (reference check multi_task_wnd.py:362)
+                      mlp_tasks=(shared_out, int(rng.integers(2, 8)), 1),
+                      num_multi_tasks=int(rng.integers(1, 4)),
+                      embedding_rows=rows, sparse_feature_size=d,
+                      num_indices_per_lookup=L, interaction_op="cat")
+    yield ModelConfig(model_type="ncf", model_name="fz-ncf",
+                      mlp_bot=(1,), mlp_top=mk(3) + (1,),
+                      embedding_rows=tuple(int(r) for r in rng.integers(20, 100, size=4)),
+                      sparse_feature_size=d, num_indices_per_lookup=1,
+                      interaction_op="cat")
+    nb = int(rng.integers(2, 7))
+    yield ModelConfig(model_type="din", model_name="fz-din",
+                      mlp_bot=mk(1), mlp_top=mk(1) + (2,),
+                      embedding_rows=(int(rng.integers(30, 90)),)
+                      + tuple(int(r) for r in rng.integers(20, 60, size=nb))
+                      + (int(rng.integers(50, 150)),) * 2,
+                      sparse_feature_size=d, num_indices_per_lookup=L,
+                      interaction_op="cat", user_behavior_tables=nb)
+    yield ModelConfig(model_type="dien", model_name="fz-dien",
+                      mlp_bot=(1,), mlp_top=mk(1) + (2,),
+                      embedding_rows=(int(rng.integers(30, 90)),)
+                      + tuple(int(r) for r in rng.integers(20, 60, size=nb))
+                      + (int(rng.integers(50, 150)),) * 2,
+                      sparse_feature_size=d, num_indices_per_lookup=1,
+                      interaction_op="cat", hidden_size=h)
+
+
+def test_oracle_parity_fuzz_random_architectures():
+    """Oracle parity beyond the 8 pinned configs: randomized dims/table
+    counts/pooling through every family vs the independent NumPy
+    reference-graph oracle (the pinned test checks the shipped
+    architectures; this checks the GRAPH for arbitrary ones)."""
+    import jax
+
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from tests.oracle.np_reference import (
+        csr_from_batch,
+        oracle_forward,
+        oracle_weights_from_params,
+    )
+
+    rng = np.random.default_rng(21)
+    for trial in range(3):
+        for cfg in _fuzz_cfgs(rng):
+            model = get_model(cfg)
+            params = model.init(jax.random.PRNGKey(trial))
+            if cfg.model_type == "dien":
+                # Stable-regime recurrent weights: the reference randn init
+                # makes the tanh recurrence chaotic (see test_parity.py).
+                for r in ("rnn0", "rnn1"):
+                    params[r] = {k: v * 0.05 for k, v in params[r].items()}
+            host = RecDataGenerator(cfg, seed=trial + 1).generate_batch(4)
+            ours = np.asarray(model.apply(params, host), dtype=np.float64)
+            w = oracle_weights_from_params(jax.device_get(params), cfg)
+            S_indices, S_lengths = csr_from_batch(host.indices)
+            X = (None if host.dense is None
+                 else np.asarray(host.dense, dtype=np.float64))
+            ref = oracle_forward(cfg, w, X, S_indices, S_lengths)
+            np.testing.assert_allclose(
+                ours, ref, rtol=2e-4, atol=2e-5,
+                err_msg=f"{cfg.model_name} trial {trial}")
