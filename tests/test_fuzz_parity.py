@@ -236,3 +236,46 @@ def test_oracle_parity_fuzz_random_architectures():
             np.testing.assert_allclose(
                 ours, ref, rtol=2e-4, atol=2e-5,
                 err_msg=f"{cfg.model_name} trial {trial}")
+
+
+def test_mesh_parity_fuzz_random_architectures():
+    """Randomized architectures through hybrid-sharded apply on random
+    mesh shapes vs single-device: the enumerated mesh tests pin the zoo
+    configs; this sweeps the GSPMD path over arbitrary dims/table counts
+    (rows padded to divide the model axis via pad_rows_for_mesh where
+    needed — here generated divisible directly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprecsys_tpu.config import ModelConfig
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.parallel import make_mesh, shard_params, sharded_apply
+
+    rng = np.random.default_rng(13)
+    meshes = [(1, 8), (2, 4), (4, 2), (8, 1)]
+    for trial in range(4):
+        D, M = meshes[trial % len(meshes)]
+        d = int(rng.choice([4, 8]))
+        nt = int(rng.integers(2, 5))
+        # rows divisible over the model axis in total
+        rows = [int(r) * 8 for r in rng.integers(3, 12, size=nt)]
+        cfg = ModelConfig(
+            model_type="dlrm", model_name=f"fz-mesh-{trial}",
+            mlp_bot=(5, d), mlp_top=(7, 1),
+            embedding_rows=tuple(rows), sparse_feature_size=d,
+            num_indices_per_lookup=int(rng.integers(1, 5)),
+            interaction_op=str(rng.choice(["dot", "cat"])))
+        model = get_model(cfg)
+        params = model.init(jax.random.PRNGKey(trial))
+        host = RecDataGenerator(cfg, seed=trial).generate_batch(2 * D)
+        single = np.asarray(model.apply(params, host))
+
+        mesh = make_mesh(data=D, model=M)
+        sp = shard_params(params, mesh)
+        fn = sharded_apply(model.apply, params, mesh, has_dense=True)
+        out = np.asarray(fn(sp, Batch(dense=jnp.asarray(host.dense),
+                                      indices=jnp.asarray(host.indices))))
+        np.testing.assert_allclose(out, single, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"trial {trial} mesh {(D, M)}")
