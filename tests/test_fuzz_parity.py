@@ -279,3 +279,42 @@ def test_mesh_parity_fuzz_random_architectures():
                                       indices=jnp.asarray(host.indices))))
         np.testing.assert_allclose(out, single, rtol=2e-4, atol=2e-5,
                                    err_msg=f"trial {trial} mesh {(D, M)}")
+
+
+def test_sparse_dense_trainer_equality_all_families():
+    """The sparse touched-rows step must equal dense autodiff (plain SGD,
+    no accumulator) for EVERY family — the split at apply_from_pooled is
+    family-specific (attention, RNN, task heads), and only ncf was
+    covered. One step, identical tables after."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.train import Trainer, make_sparse_table_step
+
+    for name in ("rm1", "wnd", "mtwnd", "din", "dien"):
+        cfg = zoo.get_config(name, table_scale=5000)
+        lr = 0.05
+        dense_tr = Trainer(cfg, optimizer="sgd", learning_rate=lr,
+                           loss="mse", seed=0)
+        sparse_tr = Trainer(cfg, optimizer="sgd", learning_rate=lr,
+                            loss="mse", seed=0, sparse_tables=True)
+        sparse_tr._step = jax.jit(make_sparse_table_step(
+            sparse_tr.model, cfg, sparse_tr.tx, lr, sparse_tr.loss_fn,
+            rowwise_adagrad=False))
+        gen = RecDataGenerator(cfg, seed=5)
+        host = gen.generate_batch(8)
+        targets = jnp.asarray(gen.generate_targets(8))
+        batch = Batch(
+            dense=None if host.dense is None else jnp.asarray(host.dense),
+            indices=jnp.asarray(host.indices))
+        p1, _, l1 = dense_tr._step(dense_tr.params, dense_tr.opt_state,
+                                   batch, targets)
+        p2, _, l2 = sparse_tr._step(sparse_tr.params, sparse_tr.opt_state,
+                                    batch, targets)
+        assert abs(float(l1) - float(l2)) < 1e-6, name
+        np.testing.assert_allclose(np.asarray(p1["tables"]),
+                                   np.asarray(p2["tables"]),
+                                   rtol=1e-4, atol=1e-6, err_msg=name)
