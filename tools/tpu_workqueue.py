@@ -905,6 +905,96 @@ def job_train(model, batch=512, table_scale=1, iters=16, dedup=False):
     return r
 
 
+def job_soak(model="ncf", minutes=30, rate_qps=4.0):
+    """Continuous-serving stability soak on the real chip: HTTP ingress +
+    one TPU ComputeEngine under steady Poisson load for `minutes`,
+    sampling completion counts, tail latency, and process RSS every 30 s.
+    Verdict: no monotonic memory growth (leaks in the pending-table /
+    stats window / engine pipeline would show here, not in second-long
+    tests) and no throughput decay. Absolute latencies are relay-bound
+    as always (benchmarks/README.md)."""
+    import threading
+
+    import numpy as np
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.serving.ingress import HttpIngress, ServingServer
+
+    def rss_mb():
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * 4096 / 1e6  # resident pages
+
+    model_cfg = zoo.get_config(model, table_scale=8, param_dtype="bfloat16",
+                               compute_dtype="bfloat16")
+    cfg = ServingConfig(engine_backend="tpu", inference_engines=1,
+                        batch_buckets=(64, 128), max_mini_batch_size=128,
+                        sub_task_batch_size=64)
+    server = ServingServer(model_cfg, cfg)
+    server.start(timeout=600)
+    ing = HttpIngress(server)
+    ing.start()
+    base = "http://%s:%s" % ing.address
+    stop = threading.Event()
+    errors = []
+
+    def client():
+        import json as _json
+        import urllib.request
+
+        rng = np.random.default_rng(0)
+        while not stop.is_set():
+            size = int(np.clip(rng.normal(64, 8), 1, 128))
+            try:
+                req = urllib.request.Request(
+                    base + "/v1/infer",
+                    data=_json.dumps({"batch_size": size}).encode(),
+                    headers={"Content-Type": "application/json"})
+                urllib.request.urlopen(req, timeout=120).read()
+            except Exception as e:
+                errors.append(repr(e))
+                if len(errors) > 50:
+                    return
+            stop.wait(rng.exponential(1.0 / rate_qps))
+
+    threads = [threading.Thread(target=client, daemon=True) for _ in range(2)]
+    for t in threads:
+        t.start()
+    samples = []
+    t_end = time.time() + minutes * 60
+    try:
+        while time.time() < t_end:
+            time.sleep(30)
+            import json as _json
+            import urllib.request
+
+            st = _json.loads(urllib.request.urlopen(
+                base + "/v1/stats", timeout=60).read())
+            samples.append({"t_s": round(minutes * 60 - (t_end - time.time())),
+                            "completed": st.get("completed"),
+                            "p50_ms": st.get("p50_ms"),
+                            "p95_ms": st.get("p95_ms"),
+                            "rss_mb": round(rss_mb(), 1)})
+            log(f"soak {model}: {samples[-1]}")
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+        ing.stop()
+        server.stop()
+    rss = [s["rss_mb"] for s in samples]
+    done = [s["completed"] for s in samples]
+    half = max(len(rss) // 2, 1)
+    r = {"model": model, "minutes": minutes, "samples": samples,
+         "errors": errors[:10], "n_errors": len(errors),
+         "rss_first_half_mb": round(float(np.mean(rss[:half])), 1),
+         "rss_second_half_mb": round(float(np.mean(rss[half:])), 1),
+         "completed_total": done[-1] if done else 0}
+    log(f"soak {model}: {r['completed_total']} queries, {len(errors)} errors, "
+        f"RSS {rss[0] if rss else 0:.0f} -> {rss[-1] if rss else 0:.0f} MB")
+    return r
+
+
 JOBS = [
     ("warm:rm1", lambda: job_warm("rm1")),
     ("warm:rm2", lambda: job_warm("rm2")),
@@ -1105,6 +1195,8 @@ JOBS = [
     ("train_dedup:rm3", lambda: job_train("rm3", dedup=True)),
     ("train_dedup:din", lambda: job_train("din", table_scale=2, dedup=True)),
     ("train_dedup:dien", lambda: job_train("dien", dedup=True)),
+    # Round 2h: continuous-serving stability soak on the chip.
+    ("soak:ncf", lambda: job_soak("ncf", minutes=30)),
 ]
 
 
