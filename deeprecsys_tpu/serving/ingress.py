@@ -287,6 +287,20 @@ def _health(server: ServingServer) -> dict:
     clamped = sum(getattr(e, "clamped_requests", 0) for e in server.engines)
     if clamped:
         out["clamped_requests"] = clamped  # undercomputed at the ladder cap
+    # Which lookup implementation each compute engine actually chose
+    # (embedding_impl="auto" decides per engine from its sampled stream) —
+    # an operator diagnosing latency needs to see the decision, not just
+    # the config.
+    impls = []
+    for e in server.engines:
+        if hasattr(e, "_hotcold"):
+            impls.append({
+                "engine": e.engine_id,
+                "impl": "hotcold" if e._hotcold is not None else "direct",
+                "hot_coverage": (round(e.hot_coverage, 4)
+                                 if e.hot_coverage is not None else None)})
+    if impls:
+        out["embedding_impl"] = impls
     return out
 
 

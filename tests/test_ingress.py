@@ -263,3 +263,25 @@ def test_oversized_batch_rejected_not_clamped(ingress):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert b"max_mini_batch_size" in e.read()
+
+
+def test_healthz_reports_embedding_impl_decision(tmp_path):
+    """embedding_impl='auto' decides per engine at warm-up; the operator
+    must be able to SEE the decision (and the sampled coverage) over
+    HTTP, not just the config that requested 'auto'."""
+    model_cfg = zoo.get_config("ncf", table_scale=10).replace(
+        embedding_impl="auto")  # uniform full-ish scale -> picks direct
+    cfg = ServingConfig(engine_backend="cpu", inference_engines=1,
+                        batch_buckets=(8,), max_mini_batch_size=8)
+    server = ServingServer(model_cfg, cfg)
+    server.start(timeout=300)
+    ing = HttpIngress(server)
+    ing.start()
+    try:
+        _, h = _get("http://%s:%s/v1/healthz" % ing.address)
+        (impl,) = h["embedding_impl"]
+        assert impl["impl"] == "direct"
+        assert 0.0 <= impl["hot_coverage"] < 0.75
+    finally:
+        ing.stop()
+        server.stop()

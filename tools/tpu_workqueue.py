@@ -1197,6 +1197,7 @@ JOBS = [
     ("train_dedup:dien", lambda: job_train("dien", dedup=True)),
     # Round 2h: continuous-serving stability soak on the chip.
     ("soak:ncf", lambda: job_soak("ncf", minutes=30)),
+    ("soak2:ncf", lambda: job_soak("ncf", minutes=120)),
 ]
 
 
