@@ -123,7 +123,10 @@ class ComputeEngine(threading.Thread):
             # asserts B % n_data == 0). Round non-divisible buckets UP to
             # the next multiple — dropping them would silently serve large
             # requests at a smaller bucket via pick_bucket's cap clamp
-            # (undercompute).
+            # (undercompute). The cap bucket may overshoot
+            # max_mini_batch_size by < n_data rows: pad-only work (no
+            # request exceeds max), preferable to undercomputing max-size
+            # requests at a rounded-DOWN cap.
             self.buckets = tuple(sorted({-(-b // n_data) * n_data
                                          for b in self.buckets}))
         self._jitted: dict[int, callable] = {}
@@ -210,8 +213,16 @@ class ComputeEngine(threading.Thread):
             from deeprecsys_tpu.utils.memory import suggest_hot_rows
 
             hot_rows = suggest_hot_rows(self.model_cfg)
+        # Scale the warm-up sample with the hot budget: the default
+        # 8x256 queries can see at most B*T*L distinct ids, and a
+        # VMEM-sized budget (100k+ rows for int8 narrow-d tables) would
+        # otherwise be mostly unfilled — limited by the sample, not the
+        # budget, with no diagnostic.
+        T, L = self.model_cfg.num_tables, self.model_cfg.num_indices_per_lookup
+        n_batches = int(np.clip(-(-4 * hot_rows // (256 * T * L)), 8, 256))
         hot_ids, coverage = hot_ids_and_coverage_from_generator(
             self.model_cfg, seed=self.seed + 31, hot_rows=hot_rows,
+            n_batches=n_batches,
             data_generation=self.serving_cfg.data_generation,
             trace_file=self.serving_cfg.synthetic_trace_file,
             raw_data_file=self.serving_cfg.raw_data_file)
@@ -324,12 +335,7 @@ class ComputeEngine(threading.Thread):
         except Exception as e:  # surface engine failures instead of hanging
             self.error = e
             self.ready_q.put(e)
-            with self._reload_lock:
-                self._stopped = True
-                pending, self._reload = self._reload, None
-            if pending is not None:
-                pending.error = RuntimeError("engine failed during setup")
-                pending.event.set()
+            self._stop_and_release_reload("engine failed during setup")
             self.response_q.put(_SENTINEL)
             return
         self.ready_q.put(self.engine_id)
@@ -353,17 +359,8 @@ class ComputeEngine(threading.Thread):
             self._sink_requests()
         self._pending.put(_SENTINEL)
         completer.join()
-        # A reload scheduled against a crashed/shut-down engine must not
-        # leave its waiters hanging: mark stopped and take the pending
-        # handle under ONE lock section, so request_reload can never park
-        # a handle in the gap.
-        with self._reload_lock:
-            self._stopped = True
-            pending, self._reload = self._reload, None
-        if pending is not None:
-            pending.error = RuntimeError(
-                "engine shut down before applying the reload")
-            pending.event.set()
+        self._stop_and_release_reload(
+            "engine shut down before applying the reload")
         self.response_q.put(_SENTINEL)
 
     def _sink_requests(self):
@@ -396,6 +393,17 @@ class ComputeEngine(threading.Thread):
                 f"superseded by a newer reload request ({handle.path})")
             prev.event.set()
         return handle
+
+    def _stop_and_release_reload(self, msg: str):
+        """Mark the engine stopped and fail any pending reload, under ONE
+        lock section so request_reload can never park a handle in the
+        gap (waiters would hang forever)."""
+        with self._reload_lock:
+            self._stopped = True
+            pending, self._reload = self._reload, None
+        if pending is not None:
+            pending.error = RuntimeError(msg)
+            pending.event.set()
 
     def _take_pending_reload(self) -> "ReloadHandle | None":
         # Atomic take: once the engine owns a handle, a concurrent
@@ -679,6 +687,15 @@ def build_engine_pool(
         if accel_latency_model is not None:
             engines.append(SimEngine(aid, model_cfg, cfg, accel_request_q,
                                      response_q, ready_q, accel_latency_model))
+        elif cfg.engine_backend == "sim":
+            # A hardware-free run must stay hardware-free: falling through
+            # to the real offload engine would pay minutes of real warm-up
+            # compiles and serve accel traffic on the device with no
+            # warning — match the main-engine sim guard above.
+            raise ValueError(
+                "sim backend with model_accel requires an "
+                "accel_latency_model (the offload engine would otherwise "
+                "run on real hardware)")
         else:
             engines.append(
                 ComputeEngine(aid, model_cfg, cfg, accel_request_q, response_q,

@@ -269,8 +269,11 @@ def test_healthz_reports_embedding_impl_decision(tmp_path):
     """embedding_impl='auto' decides per engine at warm-up; the operator
     must be able to SEE the decision (and the sampled coverage) over
     HTTP, not just the config that requested 'auto'."""
-    model_cfg = zoo.get_config("ncf", table_scale=10).replace(
-        embedding_impl="auto")  # uniform full-ish scale -> picks direct
+    # FULL-scale ncf (336k rows): the VMEM hot budget (~65k rows) covers
+    # ~20% of a uniform stream -> auto must pick direct. (At small table
+    # scales the whole table fits the budget and hotcold is correct —
+    # the budget-scaled warm-up sample now resolves that case properly.)
+    model_cfg = zoo.get_config("ncf").replace(embedding_impl="auto")
     cfg = ServingConfig(engine_backend="cpu", inference_engines=1,
                         batch_buckets=(8,), max_mini_batch_size=8)
     server = ServingServer(model_cfg, cfg)
