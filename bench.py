@@ -98,9 +98,13 @@ def measure_model(name: str, device, batch_size: int, table_scale: int,
 
         return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
+    from deeprecsys_tpu.utils.devices import jit_pinned
     from deeprecsys_tpu.utils.timing import two_point_slope_ms
 
-    fn = jax.jit(program, device=device)
+    # jit_pinned, not jit(device=) (deprecated): dense/indices are
+    # device_put-committed below, and the default-device wrap covers the
+    # uncommitted scalars (n, the TPU-path init seed).
+    fn = jit_pinned(program, device)
     if in_program_init:
         params_arg = 0
     else:
@@ -109,7 +113,7 @@ def measure_model(name: str, device, batch_size: int, table_scale: int,
         # key or intermediate array costs a remote dispatch (minutes under
         # load) for the CPU-side baseline.
         with jax.default_device(device):
-            params_arg = jax.jit(model.init, device=device)(jax.random.PRNGKey(0))
+            params_arg = jax.jit(model.init)(jax.random.PRNGKey(0))
         jax.block_until_ready(params_arg)
     # host.dense/indices are numpy: device_put places them directly.
     dense = None if host.dense is None else jax.device_put(host.dense, device)

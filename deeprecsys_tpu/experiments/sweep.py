@@ -44,7 +44,7 @@ def sweep_model(name: str, device, batch_sizes, table_scale: int, param_dtype: s
         # jit the init: eager init dispatches every op individually, which
         # on the relayed TPU backend costs a slow round trip per op
         # (bench.py does the same for the same reason).
-        params = jax.jit(model.init, device=device)(jax.random.PRNGKey(0))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0))  # ctx pins device
         gen = RecDataGenerator(cfg, seed=0)
         lat_ms = []
         for b in batch_sizes:

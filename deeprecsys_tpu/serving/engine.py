@@ -176,7 +176,9 @@ class ComputeEngine(threading.Thread):
                 self.params = jax.device_put(
                     model.init(jax.random.PRNGKey(self.seed)), self.device
                 )
-            apply_fn = jax.jit(model.apply, device=self.device)
+            # No jit(device=): params + batch are committed to self.device
+            # (device_put above / _device_batch), which pins placement.
+            apply_fn = jax.jit(model.apply)
         else:
             # Externally supplied params (checkpoint / export): pin them to
             # THIS engine's device like every other path — host-numpy
@@ -184,7 +186,7 @@ class ComputeEngine(threading.Thread):
             # jitted call, and params committed to another device fail the
             # warm-up with an incompatible-devices error.
             self.params = jax.device_put(self.params, self.device)
-            apply_fn = jax.jit(model.apply, device=self.device)
+            apply_fn = jax.jit(model.apply)
         # Model-layout skeleton for checkpoint reloads (shapes/dtypes only).
         self._raw_template = self._layout_template(self.params)
         self._warm_buckets(
@@ -253,7 +255,8 @@ class ComputeEngine(threading.Thread):
                 self.params = jax.device_put(self.params, self.device)
             self._raw_template = self._layout_template(self.params)
             self.params = jax.device_put(hc.convert_params(self.params), self.device)
-            apply_fn = jax.jit(hc.apply, device=self.device)
+            # Committed params/batch/split pin placement (no jit(device=)).
+            apply_fn = jax.jit(hc.apply)
 
         def warm(sliced: Batch):
             b, T, L = sliced.indices.shape

@@ -34,11 +34,17 @@ _floor_cache: dict = {}
 
 def roundtrip_floor_ms(device=None, trials: int = 5) -> float:
     """Dispatch + scalar-readback overhead of a trivial jitted program."""
+    from deeprecsys_tpu.utils.devices import jit_pinned
+
     key = str(device)
     if key in _floor_cache:
         return _floor_cache[key]
-    tiny = jax.jit(lambda x: jnp.sum(x), device=device)
-    v = jnp.ones((8,), jnp.float32)
+    tiny = jit_pinned(lambda x: jnp.sum(x), device)
+    # Host numpy input: uncommitted, so jit_pinned's default-device wrap
+    # routes it (and avoids an eager default-backend dispatch here).
+    import numpy as np
+
+    v = np.ones((8,), np.float32)
     float(tiny(v))
     t0 = time.perf_counter()
     for _ in range(trials):
@@ -61,12 +67,14 @@ def payload_floor_fit(device=None, sizes_mb=(0.0, 1.0, 4.0), trials: int = 4) ->
     """
     import numpy as np
 
+    from deeprecsys_tpu.utils.devices import jit_pinned
+
     if device is None:
         device = jax.devices()[0]
     pts_mb, pts_ms = [], []
     for mb in sizes_mb:
         n = max(8, int(mb * 1e6 / 4))
-        prog = jax.jit(lambda x: jnp.sum(x), device=device)
+        prog = jit_pinned(lambda x: jnp.sum(x), device)
         hosts = []
         for t in range(trials + 1):
             a = np.zeros((n,), np.int32)
@@ -135,7 +143,9 @@ def time_step_chain(
     if iters < 2:
         raise ValueError("iters must be >= 2: the two-point slope needs "
                          "distinct chain lengths")
-    fn = jax.jit(chain, device=device)
+    from deeprecsys_tpu.utils.devices import jit_pinned
+
+    fn = jit_pinned(chain, device)
     n_lo, n_hi = max(iters // 8, 1), iters
     float(fn(n_hi, init_carry, *args))  # compile + warm
     call = lambda n: float(fn(n, init_carry, *args))

@@ -636,9 +636,11 @@ def job_model_hotcold(model, variant, pack=1, hot_rows=None, hot_arg=False,
             # serving engine always passes converted params as args, so
             # in-program hot tables misattribute that remat cost to the
             # per-iteration time).
-            hot_prog = jax.jit(
+            from deeprecsys_tpu.utils.devices import jit_pinned
+
+            hot_prog = jit_pinned(
                 lambda: hc.convert_params(model_fns.init(jax.random.PRNGKey(0)))["hot_table"],
-                device=device)
+                device)
             hot_tbl = hot_prog()
 
             def program(n, dense, indices, hot_t, hs, hm, ci, cseg):
@@ -716,7 +718,9 @@ def job_model_hotcold(model, variant, pack=1, hot_rows=None, hot_arg=False,
         args = (None if dense_host is None else jnp.asarray(dense_host),
                 jnp.asarray(idx))
 
-    fn = jax.jit(program, device=device, static_argnums=())
+    from deeprecsys_tpu.utils.devices import jit_pinned
+
+    fn = jit_pinned(program, device)
     ms, compile_s = _chain_readback(fn, *args, iters=32)
     out = {"variant": variant, "ms": ms, "samples_per_s": B / (ms / 1000.0),
            "compile_s": compile_s}
