@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated zoo models for multi-model serving "
                         "(POST /v1/models/<name>/infer); default: just --model")
     p.add_argument("--port", type=int, default=8321)
+    p.add_argument("--reload_root", type=str, default=None,
+                   help="directory checkpoint paths for POST /v1/reload "
+                        "must live under; required to enable reloads on a "
+                        "non-loopback --host")
     p.add_argument("--inference_engines", type=int, default=1)
     p.add_argument("--engine_backend", type=str, default="tpu",
                    choices=("tpu", "cpu", "cpu-mp", "sim"))
@@ -334,13 +338,15 @@ def main(argv=None):
             for s_ in registry.values():
                 s_.start()
             ingress = HttpIngress(registry, host=args.host, port=args.port,
-                                  default=next(iter(registry)))
+                                  default=next(iter(registry)),
+                                  reload_root=args.reload_root)
         else:
             lm = _calibrated_latency_model(model_cfg) if need_lm else None
             server = ServingServer(model_cfg, serving_cfg, latency_model=lm,
                                    accel_latency_model=lm)
             server.start()
-            ingress = HttpIngress(server, host=args.host, port=args.port)
+            ingress = HttpIngress(server, host=args.host, port=args.port,
+                                  reload_root=args.reload_root)
         ingress.start()
         host, port = ingress.address
         print(f"[deeprecsys_tpu] serving on http://{host}:{port} "

@@ -21,7 +21,10 @@ from deeprecsys_tpu.serving.packets import ServiceRequest, ServiceResponse
 # Padded to EXACTLY the 64-byte slot: the C++ side memcpy's 64 bytes from
 # the buffer (drs_runtime.cpp drs_ring_push), so a shorter bytes object
 # would be over-read past its allocation.
-_FMT = "<BB7i4d2x"  # kind, exp, [consumer,epoch,batch,bsz,sub,total,out], 4 times, pad
+# Field reuse across kinds: the second double slot carries the request's
+# DEADLINE (queue_start_time is response-only); the trailing byte carries
+# the response's error_code (requests have none).
+_FMT = "<BB7i4dBx"  # kind, exp, [consumer,epoch,batch,bsz,sub,total,out], 4 times, err, pad
 assert struct.calcsize(_FMT) == 64
 
 _K_REQUEST, _K_RESPONSE, _K_SENTINEL = 0, 1, 2
@@ -29,37 +32,37 @@ _K_REQUEST, _K_RESPONSE, _K_SENTINEL = 0, 1, 2
 
 def pack_packet(obj) -> bytes:
     if obj is None:
-        return struct.pack(_FMT, _K_SENTINEL, 0, 0, 0, 0, 0, 0, 0, 0, 0.0, 0.0, 0.0, 0.0)
+        return struct.pack(_FMT, _K_SENTINEL, 0, 0, 0, 0, 0, 0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0)
     if isinstance(obj, ServiceRequest):
         return struct.pack(
             _FMT, _K_REQUEST, int(obj.exp_packet), 0, obj.epoch, obj.batch_id,
             obj.batch_size, obj.sub_id, obj.total_sub_batches, 0,
-            obj.arrival_time, 0.0, 0.0, 0.0,
+            obj.arrival_time, obj.deadline, 0.0, 0.0, 0,
         )
     if isinstance(obj, ServiceResponse):
         return struct.pack(
             _FMT, _K_RESPONSE, int(obj.exp_packet), obj.consumer_id, obj.epoch,
             obj.batch_id, obj.batch_size, obj.sub_id, obj.total_sub_batches,
             obj.out_batch_size, obj.arrival_time, obj.queue_start_time,
-            obj.queue_end_time, obj.inference_end_time,
+            obj.queue_end_time, obj.inference_end_time, obj.error_code,
         )
     raise TypeError(f"cannot pack {type(obj)}")
 
 
 def unpack_packet(buf: bytes):
     (kind, exp, consumer, epoch, batch_id, bsz, sub, total, out,
-     arr, qs, qe, inf) = struct.unpack_from(_FMT, buf)
+     arr, qs, qe, inf, err) = struct.unpack_from(_FMT, buf)
     if kind == _K_SENTINEL:
         return None
     if kind == _K_REQUEST:
         return ServiceRequest(batch_id=batch_id, epoch=epoch, batch_size=bsz,
                               arrival_time=arr, sub_id=sub, total_sub_batches=total,
-                              exp_packet=bool(exp))
+                              exp_packet=bool(exp), deadline=qs)
     return ServiceResponse(consumer_id=consumer, epoch=epoch, batch_id=batch_id,
                            batch_size=bsz, arrival_time=arr, queue_start_time=qs,
                            queue_end_time=qe, inference_end_time=inf,
                            out_batch_size=out, sub_id=sub, total_sub_batches=total,
-                           exp_packet=bool(exp))
+                           exp_packet=bool(exp), error_code=err)
 
 
 from deeprecsys_tpu.runtime import Empty  # noqa: E402 — canonical home

@@ -45,7 +45,13 @@ from deeprecsys_tpu.data import RecDataGenerator
 from deeprecsys_tpu.models import get_model
 from deeprecsys_tpu.models.base import Batch
 from deeprecsys_tpu.serving.latency_model import LatencyModel
-from deeprecsys_tpu.serving.packets import ServiceRequest, ServiceResponse
+from deeprecsys_tpu.serving.packets import (
+    ERR_DEADLINE,
+    ERR_OVER_LADDER,
+    ERR_READBACK,
+    ServiceRequest,
+    ServiceResponse,
+)
 
 _SENTINEL = None
 
@@ -93,6 +99,7 @@ class ComputeEngine(threading.Thread):
         seed: int = 0,
         mesh=None,
         buckets=None,
+        strict_buckets: bool = True,
     ):
         super().__init__(name=f"engine-{engine_id}", daemon=True)
         self.engine_id = engine_id
@@ -145,6 +152,15 @@ class ComputeEngine(threading.Thread):
         self.bucket_counts: dict[int, int] = {}
         self.coalesced_requests = 0
         self.clamped_requests = 0
+        # Over-ladder handling: strict (default for direct library
+        # construction) answers with an ERR_OVER_LADDER response instead of
+        # silently undercomputing at the cap bucket. Serving pools pass
+        # False (their auto ladder covers the max and the ingress 400s
+        # oversize batches; the clamp is counted in /v1/healthz).
+        self.strict_buckets = strict_buckets
+        self.rejected_requests = 0   # strict over-ladder rejections
+        self.expired_requests = 0    # deadline-expired, dropped pre-dispatch
+        self._clamp_warned = False
 
     # -- setup ---------------------------------------------------------
 
@@ -372,6 +388,27 @@ class ComputeEngine(threading.Thread):
             if request is _SENTINEL or request is None:
                 return
 
+    def _emit_error(self, request: ServiceRequest, code: int, t: float):
+        """Answer one request with an error response (waiters unblock with
+        a 5xx instead of timing out). Timestamps are honest: queue_start =
+        when the engine looked at it; no device time was spent."""
+        now = time.time()
+        self.response_q.put(ServiceResponse(
+            consumer_id=self.engine_id,
+            epoch=request.epoch,
+            batch_id=request.batch_id,
+            batch_size=request.batch_size,
+            arrival_time=request.arrival_time,
+            queue_start_time=t,
+            queue_end_time=now,
+            inference_end_time=now,
+            out_batch_size=0,
+            sub_id=request.sub_id,
+            total_sub_batches=request.total_sub_batches,
+            exp_packet=request.exp_packet,
+            error_code=code,
+        ))
+
     # -- zero-downtime checkpoint reload --------------------------------
 
     def request_reload(self, path: str) -> ReloadHandle:
@@ -500,16 +537,39 @@ class ComputeEngine(threading.Thread):
             if pending_reload is not None:
                 self._apply_reload(pending_reload)
             queue_start = time.time()
+            # Deadline admission: drop expired requests BEFORE dispatch —
+            # no device time burnt — and answer each with an ERR_DEADLINE
+            # response so waiters (HTTP handlers, aggregators) unblock
+            # immediately instead of receiving a stale result.
+            live = []
+            for r in group:
+                if r.deadline and queue_start > r.deadline:
+                    self.expired_requests += 1
+                    self._emit_error(r, ERR_DEADLINE, queue_start)
+                else:
+                    live.append(r)
+            group = live
+            if not group:
+                continue
             total_rows = sum(r.batch_size for r in group)
             bucket = pick_bucket(self.buckets, total_rows)
             if bucket < total_rows:
+                if self.strict_buckets:
+                    # Direct-construction default: refuse to undercompute —
+                    # answer with an explicit error instead of returning
+                    # fewer rows than requested with only a stdout warning.
+                    self.rejected_requests += len(group)
+                    for r in group:
+                        self._emit_error(r, ERR_OVER_LADDER, queue_start)
+                    continue
                 # A static ladder topping out below the request size can
                 # only execute the cap — make the undercompute VISIBLE
                 # (counted in /v1/healthz) instead of silently reporting
                 # full-size latencies. bucket_policy=auto force-covers the
                 # max_mini_batch_size cap and never hits this.
                 self.clamped_requests += len(group)
-                if self.clamped_requests == len(group):  # warn once
+                if not self._clamp_warned:  # warn once
+                    self._clamp_warned = True
                     print(f"[deeprecsys_tpu] WARNING: engine "
                           f"{self.engine_id} clamped a {total_rows}-row "
                           f"request to its largest compiled bucket "
@@ -554,8 +614,13 @@ class ComputeEngine(threading.Thread):
                 if self.error is None:
                     self.error = e
                 print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id} "
-                      f"readback failed ({e!r}); dropping {len(group)} "
-                      f"response(s)", flush=True)
+                      f"readback failed ({e!r}); answering {len(group)} "
+                      f"request(s) with ERR_READBACK", flush=True)
+                # Answer, don't drop: HTTP clients parked on the pending-
+                # response event would otherwise hang until their own
+                # client timeout (up to max_coalesce stranded per incident).
+                for request in group:
+                    self._emit_error(request, ERR_READBACK, queue_start)
                 continue
             end = time.time()
             for request in group:
@@ -610,6 +675,7 @@ class SimEngine(threading.Thread):
         self.response_q = response_q
         self.ready_q = ready_q
         self.latency_model = latency_model
+        self.expired_requests = 0
 
     def run(self):
         self.ready_q.put(self.engine_id)
@@ -618,6 +684,20 @@ class SimEngine(threading.Thread):
             if request is _SENTINEL:
                 break
             queue_start = time.time()
+            if request.deadline and queue_start > request.deadline:
+                # Mirror ComputeEngine's pre-dispatch deadline drop so
+                # hardware-free serving tests exercise the same contract.
+                self.expired_requests += 1
+                self.response_q.put(ServiceResponse(
+                    consumer_id=self.engine_id, epoch=request.epoch,
+                    batch_id=request.batch_id, batch_size=request.batch_size,
+                    arrival_time=request.arrival_time,
+                    queue_start_time=queue_start, queue_end_time=queue_start,
+                    inference_end_time=queue_start, out_batch_size=0,
+                    sub_id=request.sub_id,
+                    total_sub_batches=request.total_sub_batches,
+                    exp_packet=request.exp_packet, error_code=ERR_DEADLINE))
+                continue
             eval_ms = self.latency_model.predict_ms(request.batch_size)
             time.sleep(eval_ms / 1000.0)
             now = time.time()
@@ -683,7 +763,8 @@ def build_engine_pool(
             engines.append(
                 ComputeEngine(eid, model_cfg, cfg, request_q, response_q, ready_q,
                               device=device_for_backend(), params=params,
-                              seed=cfg.seed + eid, mesh=mesh, buckets=buckets))
+                              seed=cfg.seed + eid, mesh=mesh, buckets=buckets,
+                              strict_buckets=False))
     total = cfg.inference_engines
     if cfg.model_accel:
         aid = id_base + total
@@ -703,6 +784,7 @@ def build_engine_pool(
             engines.append(
                 ComputeEngine(aid, model_cfg, cfg, accel_request_q, response_q,
                               ready_q, device=jax.devices()[0], params=params,
-                              seed=cfg.seed + aid, buckets=buckets))
+                              seed=cfg.seed + aid, buckets=buckets,
+                              strict_buckets=False))
         total += 1
     return engines, total

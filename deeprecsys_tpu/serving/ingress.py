@@ -43,7 +43,18 @@ import numpy as np
 from deeprecsys_tpu.config import ModelConfig, ServingConfig
 from deeprecsys_tpu.serving.latency_model import LatencyModel
 from deeprecsys_tpu.serving.load_generator import partition_query
-from deeprecsys_tpu.serving.packets import ServiceRequest
+from deeprecsys_tpu.serving.packets import ERR_DEADLINE, ServiceRequest
+
+
+class InferenceError(RuntimeError):
+    """An engine answered with an error response (readback failure,
+    over-ladder rejection, expired deadline). ``code`` is the packets.py
+    ERR_* constant — the HTTP layer maps ERR_DEADLINE to 504 and the rest
+    to 500."""
+
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
 
 
 class _Pending:
@@ -151,17 +162,24 @@ class ServingServer:
 
     # -- request path ---------------------------------------------------
 
-    def submit(self, batch_size: int, exp: bool = False, timeout: float = 60.0) -> dict:
+    def submit(self, batch_size: int, exp: bool = False, timeout: float = 60.0,
+               deadline_ms: float | None = None) -> dict:
         """Submit one query; block until all its sub-batches complete.
 
         Returns the reference's per-query latency decomposition
         (DeepRecSys.py:101-123 joins sub-batches the same way: min arrival,
         max inference end).
+
+        ``deadline_ms`` (relative to arrival) propagates onto every
+        sub-request: engines drop expired requests BEFORE dispatch (no
+        device time burnt) and this call raises InferenceError(ERR_DEADLINE)
+        — surfaced as HTTP 504.
         """
         cfg = self.cfg
         batch_size = max(1, min(int(batch_size), cfg.max_mini_batch_size))
         batch_id = next(self._batch_ids)
         arrival = time.time()
+        deadline = arrival + deadline_ms / 1000.0 if deadline_ms else 0.0
 
         to_accel = cfg.model_accel and batch_size >= cfg.accel_request_size_thres
         chunks = [batch_size] if to_accel else partition_query(batch_size, cfg.sub_task_batch_size)
@@ -173,7 +191,8 @@ class ServingServer:
         for sub_id, chunk in enumerate(chunks):
             target_q.put(ServiceRequest(
                 batch_id=batch_id, epoch=0, arrival_time=arrival, batch_size=chunk,
-                sub_id=sub_id, total_sub_batches=len(chunks), exp_packet=exp))
+                sub_id=sub_id, total_sub_batches=len(chunks), exp_packet=exp,
+                deadline=deadline))
         if not pend.event.wait(timeout):
             with self._lock:
                 # Re-check under the lock: the router may have delivered
@@ -185,6 +204,17 @@ class ServingServer:
                         f"query {batch_id} timed out after {timeout}s")
 
         rs = pend.responses
+        errs = [r for r in rs if r.error_code]
+        if errs:
+            # Any failed sub-batch fails the query: partial scores are not
+            # a result. ERR_DEADLINE dominates the report (the client's
+            # budget expired; other codes are server faults).
+            first = next((r for r in errs if r.error_code == ERR_DEADLINE),
+                         errs[0])
+            raise InferenceError(
+                first.error_code,
+                f"query {batch_id}: {len(errs)}/{len(rs)} sub-batch(es) "
+                f"failed: {first.error_message()}")
         end = max(r.inference_end_time for r in rs)
         queue_start = min(r.queue_start_time for r in rs)
         latency_ms = (end - arrival) * 1000.0
@@ -238,12 +268,18 @@ class ServingServer:
             raise NotImplementedError(
                 "reload needs in-process compute engines (backend "
                 f"{self.cfg.engine_backend!r} has none)")
-        self._reload_handles = [e.request_reload(path) for e in targets]
-        return self._reload_handles
+        handles = [e.request_reload(path) for e in targets]
+        # Publish under the lock: ThreadingHTTPServer runs handlers in
+        # parallel, and an unlocked assignment raced concurrent reloads
+        # into a stale/mixed reload_status snapshot.
+        with self._lock:
+            self._reload_handles = handles
+        return handles
 
     def reload_status(self) -> dict:
         """{scheduled, applied, failed, errors} for the last reload()."""
-        handles = getattr(self, "_reload_handles", [])
+        with self._lock:
+            handles = list(getattr(self, "_reload_handles", []))
         applied = [h for h in handles if h.event.is_set() and h.error is None]
         failed = [h for h in handles if h.event.is_set() and h.error is not None]
         return {"scheduled": len(handles), "applied": len(applied),
@@ -287,6 +323,12 @@ def _health(server: ServingServer) -> dict:
     clamped = sum(getattr(e, "clamped_requests", 0) for e in server.engines)
     if clamped:
         out["clamped_requests"] = clamped  # undercomputed at the ladder cap
+    expired = sum(getattr(e, "expired_requests", 0) for e in server.engines)
+    if expired:
+        out["expired_requests"] = expired  # deadline drops (pre-dispatch)
+    rejected = sum(getattr(e, "rejected_requests", 0) for e in server.engines)
+    if rejected:
+        out["rejected_requests"] = rejected  # strict over-ladder rejections
     # Which lookup implementation each compute engine actually chose
     # (embedding_impl="auto" decides per engine from its sampled stream) —
     # an operator diagnosing latency needs to see the decision, not just
@@ -304,11 +346,15 @@ def _health(server: ServingServer) -> dict:
     return out
 
 
-def _make_handler(registry: dict[str, ServingServer], default: str):
+def _make_handler(registry: dict[str, ServingServer], default: str,
+                  reload_guard=None):
     """Routes: the single-model endpoints act on the ``default`` model;
     ``/v1/models`` lists the registry and ``/v1/models/<name>/infer``
     targets one — several model families can share the chip (engines are
-    threads; XLA time-slices their programs)."""
+    threads; XLA time-slices their programs).
+
+    ``reload_guard(path) -> str | None`` vets checkpoint paths for the
+    reload routes; a non-None message is returned to the client as 403."""
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -383,6 +429,11 @@ def _make_handler(registry: dict[str, ServingServer], default: str):
                 except (KeyError, ValueError, TypeError) as e:
                     self._json(400, {"error": f"bad request: {e}"})
                     return
+                if reload_guard is not None:
+                    denied = reload_guard(path)
+                    if denied:
+                        self._json(403, {"error": denied})
+                        return
                 try:
                     handles = server.reload(path)
                     self._json(200, {"scheduled": len(handles)})
@@ -414,14 +465,25 @@ def _make_handler(registry: dict[str, ServingServer], default: str):
                     raise ValueError(
                         f"batch_size {batch_size} exceeds this server's "
                         f"max_mini_batch_size {limit}")
+                deadline_ms = payload.get("deadline_ms")
+                if deadline_ms is not None:
+                    deadline_ms = float(deadline_ms)
+                    if deadline_ms <= 0:
+                        raise ValueError("deadline_ms must be > 0")
             except (KeyError, ValueError, TypeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             try:
-                result = server.submit(batch_size, exp=bool(payload.get("exp", False)))
+                result = server.submit(batch_size, exp=bool(payload.get("exp", False)),
+                                       deadline_ms=deadline_ms)
                 self._json(200, result)
             except TimeoutError as e:
                 self._json(504, {"error": str(e)})
+            except InferenceError as e:
+                # Expired deadline = the client's budget ran out (504);
+                # anything else is a server-side engine fault (500).
+                self._json(504 if e.code == ERR_DEADLINE else 500,
+                           {"error": str(e)})
 
         def log_message(self, *a):  # quiet; metrics live in /v1/stats
             pass
@@ -438,7 +500,7 @@ class HttpIngress:
     multi-model serving (POST /v1/models/<name>/infer)."""
 
     def __init__(self, server, host: str = "127.0.0.1", port: int = 0,
-                 default: str | None = None):
+                 default: str | None = None, reload_root: str | None = None):
         if isinstance(server, ServingServer):
             registry = {server.model_cfg.model_name: server}
         else:
@@ -449,6 +511,28 @@ class HttpIngress:
         self.default = default if default is not None else next(iter(registry))
         if self.default not in registry:
             raise ValueError(f"default {self.default!r} not in registry")
+        # POST /v1/reload deserializes a caller-supplied filesystem path.
+        # Safe on the default loopback bind; on any other bind it would
+        # expose arbitrary-path deserialization/DoS, so reloads there
+        # require an explicit reload_root and paths must resolve inside it.
+        import os
+
+        loopback = host in ("127.0.0.1", "::1", "localhost")
+        root = os.path.realpath(reload_root) if reload_root else None
+
+        def reload_guard(path: str) -> str | None:
+            if root is not None:
+                real = os.path.realpath(path)
+                if not (real == root or real.startswith(root + os.sep)):
+                    return (f"checkpoint path must live under the "
+                            f"configured reload_root")
+                return None
+            if not loopback:
+                return ("reload is disabled on non-loopback binds; "
+                        "configure reload_root to enable it")
+            return None
+
+        self._reload_guard = reload_guard
         # stdlib default listen backlog is 5; concurrent clients beyond that
         # get ECONNREFUSED while handler threads contend for CPU. Raise it so
         # admission control happens in the engine queues, not the kernel.
@@ -456,7 +540,7 @@ class HttpIngress:
             request_queue_size = 128
 
         self.httpd = _Server(
-            (host, port), _make_handler(registry, self.default))
+            (host, port), _make_handler(registry, self.default, reload_guard))
         self.httpd.daemon_threads = True
         self._thread = threading.Thread(target=self.httpd.serve_forever,
                                         daemon=True, name="ingress-http")

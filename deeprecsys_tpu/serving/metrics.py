@@ -33,11 +33,19 @@ class ResponseAggregator:
         self.latencies: list[float] = []          # all completed queries (s)
         self.final_latencies: list[float] = []    # non-exp_packet only (s)
         self.responses: list[ServiceResponse] = []
+        # error_code -> count over ingested responses (engines answer
+        # failures — readback, over-ladder, expired deadline — instead of
+        # dropping, so the join still completes; the counts keep the run
+        # report honest about how many "completions" carried no scores).
+        self.error_counts: dict[int, int] = {}
 
     def add(self, response: ServiceResponse) -> float | None:
         """Ingest one response; returns the windowed p95 (ms) whenever a
         ``req_granularity`` boundary is crossed, else None."""
         self.responses.append(response)
+        if response.error_code:
+            self.error_counts[response.error_code] = (
+                self.error_counts.get(response.error_code, 0) + 1)
         key = (response.epoch, response.batch_id, response.exp_packet)
         j = self._open.get(key)
         if j is None:

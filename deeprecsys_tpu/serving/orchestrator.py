@@ -41,6 +41,9 @@ class ServingResult:
     # ServiceResponse timestamps (packets.py:51-54).
     queue_wait_p95_ms: float = float("nan")
     inference_p95_ms: float = float("nan")
+    # Responses that carried an engine error code instead of scores
+    # (packets.py ERR_*): 0 on a healthy run.
+    error_responses: int = 0
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -246,4 +249,5 @@ def run_serving(
         wall_s=wall,
         queue_wait_p95_ms=float(_np.percentile(qwait, 95)) if qwait else float("nan"),
         inference_p95_ms=float(_np.percentile(infer, 95)) if infer else float("nan"),
+        error_responses=sum(agg.error_counts.values()),
     )

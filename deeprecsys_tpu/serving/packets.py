@@ -17,6 +17,23 @@ from __future__ import annotations
 import dataclasses
 
 
+# Response error codes (TPU-native addition; the reference has no
+# per-request error channel — a failed engine just hangs the run,
+# SURVEY.md §5). Codes, not strings: they must fit the 64-byte POD ring
+# slot (runtime/shm_queue.py) one byte wide.
+ERR_OK = 0
+ERR_READBACK = 1        # device readback failed after dispatch
+ERR_OVER_LADDER = 2     # request exceeds the engine's compiled bucket ladder
+ERR_DEADLINE = 3        # deadline expired before dispatch (never executed)
+
+ERROR_MESSAGES = {
+    ERR_OK: None,
+    ERR_READBACK: "device readback failed",
+    ERR_OVER_LADDER: "request exceeds the engine's compiled bucket ladder",
+    ERR_DEADLINE: "deadline expired before dispatch",
+}
+
+
 @dataclasses.dataclass(slots=True)
 class ServiceRequest:
     batch_id: int = 0
@@ -26,6 +43,10 @@ class ServiceRequest:
     sub_id: int = 0
     total_sub_batches: int = 1
     exp_packet: bool = False
+    # Absolute deadline (epoch seconds); 0.0 = none. Engines drop expired
+    # requests BEFORE dispatch (no device time burnt) and answer with an
+    # ERR_DEADLINE response so waiters unblock immediately.
+    deadline: float = 0.0
 
 
 @dataclasses.dataclass(slots=True)
@@ -42,6 +63,11 @@ class ServiceResponse:
     sub_id: int = 0
     total_sub_batches: int = 1
     exp_packet: bool = False
+    error_code: int = ERR_OK
 
     def latency(self) -> float:
         return self.inference_end_time - self.arrival_time
+
+    def error_message(self) -> "str | None":
+        return ERROR_MESSAGES.get(self.error_code,
+                                  f"engine error {self.error_code}")

@@ -47,6 +47,7 @@ def _engine_child(engine_id: int, model_cfg: ModelConfig, serving_cfg: ServingCo
         engine = ComputeEngine(
             engine_id, model_cfg, serving_cfg, request_q, response_q, ready_q,
             device=jax.devices("cpu")[0], seed=serving_cfg.seed + engine_id,
+            strict_buckets=False,  # serving path: clamp + count, never reject
         )
     except Exception as e:
         print(f"[deeprecsys_tpu] engine child {engine_id} failed before "

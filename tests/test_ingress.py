@@ -288,3 +288,125 @@ def test_healthz_reports_embedding_impl_decision(tmp_path):
     finally:
         ing.stop()
         server.stop()
+
+
+def test_deadline_expired_504_never_dispatched():
+    """Per-request deadline propagation (VERDICT r2 #7): a request whose
+    deadline expires while queued is dropped BEFORE dispatch (no engine
+    time burnt), the client gets 504, and /v1/healthz counts the drop."""
+    import time
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    cfg = ServingConfig(engine_backend="sim", inference_engines=1,
+                        sub_task_batch_size=64, max_mini_batch_size=64)
+    # One slow engine: the first query occupies it long enough for the
+    # second's deadline to expire in the queue.
+    lm = LatencyModel([1, 64], [400.0, 400.0])
+    server = ServingServer(model_cfg, cfg, latency_model=lm)
+    server.start()
+    ing = HttpIngress(server)
+    ing.start()
+    base = "http://%s:%s" % ing.address
+    try:
+        t = threading.Thread(
+            target=lambda: _post(f"{base}/v1/infer", {"batch_size": 8}))
+        t.start()
+        time.sleep(0.1)  # let the blocker reach the engine
+        t0 = time.time()
+        try:
+            _post(f"{base}/v1/infer", {"batch_size": 8, "deadline_ms": 50})
+            raise AssertionError("expected 504")
+        except urllib.error.HTTPError as e:
+            assert e.code == 504
+            assert b"deadline" in e.read()
+        # Answered at dequeue time, not after a second 400 ms execution.
+        assert time.time() - t0 < 2.0
+        t.join()
+        _, h = _get(f"{base}/v1/healthz")
+        assert h["expired_requests"] == 1
+        # A generous deadline still serves normally.
+        status, out = _post(f"{base}/v1/infer",
+                            {"batch_size": 8, "deadline_ms": 60_000})
+        assert status == 200 and out["latency_ms"] > 0
+    finally:
+        ing.stop()
+
+
+def test_deadline_bad_values_rejected():
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    cfg = ServingConfig(engine_backend="sim", inference_engines=1,
+                        sub_task_batch_size=64, max_mini_batch_size=64)
+    server = ServingServer(model_cfg, cfg,
+                           latency_model=LatencyModel([1, 64], [1.0, 1.0]))
+    server.start()
+    ing = HttpIngress(server)
+    ing.start()
+    base = "http://%s:%s" % ing.address
+    try:
+        for bad in (0, -5, "soon"):
+            try:
+                _post(f"{base}/v1/infer", {"batch_size": 4, "deadline_ms": bad})
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        ing.stop()
+
+
+def _sim_server():
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    cfg = ServingConfig(engine_backend="sim", inference_engines=1,
+                        sub_task_batch_size=64, max_mini_batch_size=64)
+    server = ServingServer(model_cfg, cfg,
+                           latency_model=LatencyModel([1, 64], [1.0, 1.0]))
+    server.start()
+    return server
+
+
+def test_reload_refused_on_non_loopback_bind():
+    """POST /v1/reload deserializes a caller-supplied path; on a
+    non-loopback bind that is remote arbitrary-path deserialization, so it
+    must 403 unless a reload_root is configured."""
+    server = _sim_server()
+    ing = HttpIngress(server, host="0.0.0.0")
+    ing.start()
+    host, port = ing.address
+    base = f"http://127.0.0.1:{port}"
+    try:
+        try:
+            _post(f"{base}/v1/reload", {"path": "/etc/passwd"})
+            raise AssertionError("expected 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+            assert b"reload_root" in e.read()
+        # Inference itself stays open on the non-loopback bind.
+        status, _ = _post(f"{base}/v1/infer", {"batch_size": 4})
+        assert status == 200
+    finally:
+        ing.stop()
+
+
+def test_reload_root_restricts_paths(tmp_path):
+    """With reload_root configured, checkpoint paths must resolve inside
+    it — including after symlink/.. tricks (realpath)."""
+    server = _sim_server()
+    ing = HttpIngress(server, reload_root=str(tmp_path))
+    ing.start()
+    base = "http://%s:%s" % ing.address
+    try:
+        for evil in ("/etc/passwd", str(tmp_path) + "/../outside",
+                     str(tmp_path) + "suffix/x"):
+            try:
+                _post(f"{base}/v1/reload", {"path": evil})
+                raise AssertionError(f"expected 403 for {evil}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 403
+        # An in-root path passes the guard; the sim backend then 501s
+        # (no reloadable engines), proving the guard allowed it through.
+        try:
+            _post(f"{base}/v1/reload", {"path": str(tmp_path / "ckpt")})
+            raise AssertionError("expected 501")
+        except urllib.error.HTTPError as e:
+            assert e.code == 501
+    finally:
+        ing.stop()

@@ -27,6 +27,15 @@ def test_pack_roundtrip():
                            total_sub_batches=2, exp_packet=False)
     assert unpack_packet(pack_packet(resp)) == resp
     assert unpack_packet(pack_packet(None)) is None
+    # New POD fields ride the previously unused slots of the 64-byte
+    # layout: request deadline (second double) and response error_code
+    # (trailing byte).
+    req_dl = ServiceRequest(batch_id=1, batch_size=8, arrival_time=9.25,
+                            deadline=10.5)
+    assert unpack_packet(pack_packet(req_dl)) == req_dl
+    resp_err = ServiceResponse(consumer_id=2, batch_id=3, batch_size=8,
+                               error_code=3)
+    assert unpack_packet(pack_packet(resp_err)) == resp_err
 
 
 def test_fifo_and_empty():

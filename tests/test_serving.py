@@ -1051,14 +1051,15 @@ def test_latency_model_edge_cases():
         LatencyModel([1, 4], [1.0, 2.0, 3.0])
 
 
-def _start_cpu_engine(model_cfg, cfg, params=None):
+def _start_cpu_engine(model_cfg, cfg, params=None, **engine_kwargs):
     import jax
 
     from deeprecsys_tpu.serving.engine import ComputeEngine
 
     req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
     eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q,
-                        device=jax.devices("cpu")[0], params=params)
+                        device=jax.devices("cpu")[0], params=params,
+                        **engine_kwargs)
     eng.start()
     got = ready_q.get(timeout=300)
     assert not isinstance(got, Exception), got
@@ -1067,11 +1068,12 @@ def _start_cpu_engine(model_cfg, cfg, params=None):
 
 def test_completion_thread_survives_readback_failure():
     """A device/readback error in the completion thread must not wedge the
-    engine silently: the error is recorded, the poisoned item dropped, and
-    subsequent requests still complete."""
+    engine silently: the error is recorded, the poisoned group is ANSWERED
+    with ERR_READBACK (waiters unblock with a 5xx instead of timing out),
+    and subsequent requests still complete."""
     import time
 
-    from deeprecsys_tpu.serving.packets import ServiceRequest
+    from deeprecsys_tpu.serving.packets import ERR_READBACK, ServiceRequest
 
     model_cfg = zoo.get_config("ncf", table_scale=SCALE)
     cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
@@ -1087,8 +1089,12 @@ def test_completion_thread_survives_readback_failure():
     eng._pending.put(([fake], Poison(), time.time(), time.time()))
     req_q.put(ServiceRequest(batch_id=0, epoch=0, arrival_time=time.time(),
                              batch_size=5, total_sub_batches=1))
+    err = resp_q.get(timeout=120)
+    assert err.batch_id == 99 and err.error_code == ERR_READBACK
+    assert err.out_batch_size == 0 and err.error_message()
     r = resp_q.get(timeout=120)
     assert r.batch_id == 0 and r.batch_size == 5  # engine still serving
+    assert r.error_code == 0
     assert isinstance(eng.error, RuntimeError)
     req_q.put(None)
 
@@ -1114,9 +1120,10 @@ def test_supplied_params_pinned_to_engine_device():
 
 
 def test_clamped_requests_counted():
-    """A request above the largest compiled bucket executes clamped —
-    that undercompute must be VISIBLE (clamped_requests counter), and
-    out_batch_size reports the rows actually executed."""
+    """In non-strict mode (the serving pools' setting) a request above the
+    largest compiled bucket executes clamped — that undercompute must be
+    VISIBLE (clamped_requests counter), and out_batch_size reports the rows
+    actually executed."""
     import time
 
     from deeprecsys_tpu.serving.packets import ServiceRequest
@@ -1124,12 +1131,70 @@ def test_clamped_requests_counted():
     model_cfg = zoo.get_config("ncf", table_scale=SCALE)
     cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
                         max_mini_batch_size=32)  # ladder tops out below max
-    eng, req_q, resp_q = _start_cpu_engine(model_cfg, cfg)
+    eng, req_q, resp_q = _start_cpu_engine(model_cfg, cfg,
+                                           strict_buckets=False)
     req_q.put(ServiceRequest(batch_id=0, epoch=0, arrival_time=time.time(),
                              batch_size=20, total_sub_batches=1))
     r = resp_q.get(timeout=120)
     assert r.out_batch_size == 8  # executed rows, not the requested 20
     assert eng.clamped_requests == 1
+    req_q.put(None)
+
+
+def test_strict_buckets_rejects_over_ladder():
+    """Direct ComputeEngine construction defaults to strict_buckets: an
+    over-ladder request is ANSWERED with ERR_OVER_LADDER (never silently
+    undercomputed at the cap bucket) and the engine keeps serving."""
+    import time
+
+    from deeprecsys_tpu.serving.packets import ERR_OVER_LADDER, ServiceRequest
+
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=32)
+    eng, req_q, resp_q = _start_cpu_engine(model_cfg, cfg)
+    assert eng.strict_buckets  # the direct-construction default
+    req_q.put(ServiceRequest(batch_id=0, epoch=0, arrival_time=time.time(),
+                             batch_size=20, total_sub_batches=1))
+    r = resp_q.get(timeout=120)
+    assert r.error_code == ERR_OVER_LADDER and r.out_batch_size == 0
+    assert eng.rejected_requests == 1 and eng.clamped_requests == 0
+    # No execution happened for the rejected request...
+    assert sum(eng.bucket_counts.values()) == 0
+    # ...and an in-ladder request still serves normally.
+    req_q.put(ServiceRequest(batch_id=1, epoch=0, arrival_time=time.time(),
+                             batch_size=5, total_sub_batches=1))
+    ok = resp_q.get(timeout=120)
+    assert ok.batch_id == 1 and ok.error_code == 0 and ok.out_batch_size == 8
+    req_q.put(None)
+
+
+def test_deadline_expired_dropped_before_dispatch():
+    """An expired deadline is answered with ERR_DEADLINE BEFORE dispatch:
+    no bucket execution is recorded for it, the expired counter moves, and
+    live requests are unaffected."""
+    import time
+
+    from deeprecsys_tpu.serving.packets import ERR_DEADLINE, ServiceRequest
+
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8)
+    eng, req_q, resp_q = _start_cpu_engine(model_cfg, cfg)
+    now = time.time()
+    req_q.put(ServiceRequest(batch_id=0, epoch=0, arrival_time=now - 1.0,
+                             batch_size=5, total_sub_batches=1,
+                             deadline=now - 0.5))  # already expired
+    r = resp_q.get(timeout=120)
+    assert r.error_code == ERR_DEADLINE and r.out_batch_size == 0
+    assert eng.expired_requests == 1
+    assert sum(eng.bucket_counts.values()) == 0  # never reached the device
+    req_q.put(ServiceRequest(batch_id=1, epoch=0, arrival_time=time.time(),
+                             batch_size=5, total_sub_batches=1,
+                             deadline=time.time() + 60.0))  # live deadline
+    ok = resp_q.get(timeout=120)
+    assert ok.batch_id == 1 and ok.error_code == 0
+    assert sum(eng.bucket_counts.values()) == 1
     req_q.put(None)
 
 

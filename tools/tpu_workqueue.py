@@ -1202,6 +1202,19 @@ JOBS = [
     # Round 2h: continuous-serving stability soak on the chip.
     ("soak:ncf", lambda: job_soak("ncf", minutes=30)),
     ("soak2:ncf", lambda: job_soak("ncf", minutes=120)),
+    # Round 3: re-warm the judged bench programs after the jit(device=)
+    # migration (VERDICT r2 #3) — jit options changed, so the relay's
+    # server-side compile cache key may differ; record fresh numbers to
+    # confirm placement-neutrality (expect within run-to-run spread of
+    # BENCH_r02).
+    ("full_r3:rm1", lambda: job_full("rm1")),
+    ("full_r3:rm2", lambda: job_full("rm2")),
+    ("full_r3:rm3", lambda: job_full("rm3")),
+    ("full_r3:wnd", lambda: job_full("wnd")),
+    ("full_r3:mtwnd", lambda: job_full("mtwnd")),
+    ("full_r3:ncf", lambda: job_full("ncf")),
+    ("full_r3:din", lambda: job_full("din")),
+    ("full_r3:dien", lambda: job_full("dien")),
 ]
 
 
