@@ -95,6 +95,59 @@ def test_latency_model_overhead_roundtrips_json():
     assert "overhead" not in m.to_json()
 
 
+def test_latency_model_overlap():
+    """with_overlap (VERDICT r2 #5): per-dispatch cost is
+    max(compute, transfer) + floor — the pipeline overlaps transfer of
+    request k+1 with compute of request k, so the additive model
+    double-counts the smaller side."""
+    m = LatencyModel([1, 4, 16, 64], [1.0, 2.0, 4.0, 8.0])
+    o = m.with_overlap(a_ms=5.0, ms_per_sample=0.25)
+    # Small batch: compute (2.0) dominates transfer (1.0).
+    assert o.predict_ms(4) == pytest.approx(2.0 + 5.0)
+    # Large batch: transfer (16.0) dominates compute (8.0).
+    assert o.predict_ms(64) == pytest.approx(16.0 + 5.0)
+    assert m.predict_ms(64) == pytest.approx(8.0)  # base untouched
+    # JSON round-trip keeps the overlap semantics (not the additive ones).
+    o2 = LatencyModel.from_json(o.to_json())
+    assert o2.predict_ms(64) == pytest.approx(21.0)
+    assert o2.predict_ms(4) == pytest.approx(7.0)
+
+
+def test_latency_model_from_reference_raw(tmp_path):
+    """Reference raw_data ingestion (VERDICT r2 #8): the `***` 6-tuple
+    results_<model>.txt format (predict_execution.py:10-29) loads into a
+    LatencyModel; ladder = base**i, point = exec ms/iter (column 5)."""
+    lines = []
+    for i, exec_iter in enumerate([1.5, 3.0, 6.0]):  # batches 1, 4, 16
+        n = 10 * (i + 1)
+        lines += [
+            f"Total data loading time: *** {0.2 * n} ms",
+            f"Total data loading time: *** {0.2} ms/iter",
+            f"Total computation time: *** {(exec_iter - 0.2) * n} ms",
+            f"Total computation time: *** {exec_iter - 0.2} ms/iter",
+            f"Total execution time: *** {exec_iter * n} ms",
+            f"Total execution time: *** {exec_iter} ms/iter",
+            "some unrelated log line",
+        ]
+    p = tmp_path / "results_rm1.txt"
+    p.write_text("\n".join(lines))
+    m = LatencyModel.from_reference_raw(p)
+    assert m.batches.tolist() == [1.0, 4.0, 16.0]
+    assert m.predict_ms(4) == pytest.approx(3.0)
+    assert m.predict_ms(8) == pytest.approx(4.5)  # log4 midpoint
+    # The CLI converter writes a loadable characterization JSON.
+    from deeprecsys_tpu.serving.latency_model import main as lm_main
+
+    out = tmp_path / "gpu_rm1.json"
+    lm_main(["--from-raw", str(p), "--out", str(out)])
+    assert LatencyModel.load(out).predict_ms(4) == pytest.approx(3.0)
+    # A truncated file (not a multiple of 6 *** lines) must fail loudly.
+    bad = tmp_path / "bad.txt"
+    bad.write_text("Total execution time: *** 1.0 ms\n")
+    with pytest.raises(ValueError):
+        LatencyModel.from_reference_raw(bad)
+
+
 def test_payload_floor_fit_cpu():
     import jax
 
@@ -1220,3 +1273,64 @@ def test_idle_engine_applies_reload(tmp_path):
     # instead of hanging its waiters.
     h2 = eng.request_reload(str(tmp_path / "ckpt"))
     assert h2.event.wait(timeout=5) is True or h2.error is not None
+
+
+def test_hotcold_auto_excluded_config_rule():
+    """The measured din regression rule (VERDICT r2 #2): auto must not
+    compose hotcold with packed tables on many-table models."""
+    from deeprecsys_tpu.config import ModelConfig
+
+    many = ModelConfig(model_type="dlrm", embedding_rows=(8,) * 70,
+                       sparse_feature_size=32, mlp_bot=(4, 32),
+                       mlp_top=(8, 1), num_indices_per_lookup=2,
+                       param_dtype="bfloat16", compute_dtype="bfloat16",
+                       table_pack=0)
+    assert many.resolved_table_pack > 1
+    assert many.hotcold_auto_excluded
+    # Unpacked: the pair never forms, so no exclusion.
+    assert not many.replace(table_pack=1).hotcold_auto_excluded
+    # Few tables (rm1-class): packing composes POSITIVELY with hotcold.
+    few = many.replace(embedding_rows=(8,) * 8)
+    assert not few.hotcold_auto_excluded
+    # The real din config at auto pack is the motivating case.
+    din = zoo.get_config("din", table_pack=0, param_dtype="bfloat16")
+    assert din.hotcold_auto_excluded
+    assert not zoo.get_config("din", table_pack=1).hotcold_auto_excluded
+
+
+def test_engine_auto_never_picks_measured_negative_pair():
+    """embedding_impl='auto' on a din-class (many-table, packed) config
+    must serve the direct gather even when the sampled coverage is 1.0 —
+    and the identical config with table_pack=1 must pick hotcold,
+    proving the guard (not low coverage) made the call."""
+    import jax
+
+    from deeprecsys_tpu.config import ModelConfig
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+
+    base = ModelConfig(model_type="dlrm", embedding_rows=(6,) * 70,
+                       sparse_feature_size=32, mlp_bot=(4, 32),
+                       mlp_top=(8, 1), num_indices_per_lookup=2,
+                       param_dtype="bfloat16", compute_dtype="bfloat16",
+                       embedding_impl="auto", hot_set_rows=512)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(4,),
+                        max_mini_batch_size=4)
+
+    def start(model_cfg):
+        req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+        eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q,
+                            device=jax.devices("cpu")[0])
+        eng.start()
+        got = ready_q.get(timeout=300)
+        assert not isinstance(got, Exception), got
+        req_q.put(None)
+        eng.join(timeout=60)
+        return eng
+
+    packed = start(base.replace(table_pack=0))
+    assert packed._hotcold is None          # guard forced direct
+    assert packed.hot_coverage is None      # never even sampled
+
+    unpacked = start(base.replace(table_pack=1))
+    assert unpacked._hotcold is not None    # 420-row table: full coverage
+    assert unpacked.hot_coverage == 1.0
