@@ -153,6 +153,33 @@ def measure_model(name: str, device, batch_size: int, table_scale: int,
     }
 
 
+def run_zipf_suite(device, batch_size, table_scale, iters, models) -> dict:
+    """Skew-aware mode (--stream zipf): measure each model on a
+    production-representative zipf(1.2) id stream under the engines'
+    embedding_impl="auto" decision AND under the plain direct gather, and
+    report auto's advantage. This is the stream the reference's trace
+    machinery models (dlrm_data_caffe2.py:152-227); the uniform default
+    bench structurally cannot exercise the hot/cold subsystem."""
+    from deeprecsys_tpu.experiments.skew_bench import measure_skewed
+
+    results = {}
+    for name in models:
+        xla = measure_skewed(name, device, impl="xla", batch=batch_size,
+                             table_scale=table_scale, iters=iters)
+        auto = measure_skewed(name, device, impl="auto", batch=batch_size,
+                              table_scale=table_scale, iters=iters)
+        speed = auto["samples_per_s"] / xla["samples_per_s"]
+        results[name] = {"xla": xla, "auto": auto, "auto_vs_xla": speed}
+        cov = auto["hot_coverage"]
+        print(f"# {name}: auto[{auto['impl']}] {auto['samples_per_s']:.0f} "
+              f"samples/s ({auto['latency_ms']:.3f} ms) vs xla "
+              f"{xla['samples_per_s']:.0f} ({xla['latency_ms']:.3f} ms) "
+              f"-> {speed:.2f}x"
+              + (f", hot coverage {cov:.1%}" if cov is not None else ""),
+              flush=True)
+    return results
+
+
 def run_suite(device, batch_size, table_scale, param_dtype, iters, models=MODELS) -> dict:
     results = {}
     for name in models:
@@ -176,6 +203,10 @@ def main():
                     help="measure+cache the CPU baseline, then exit (no TPU)")
     ap.add_argument("--models", nargs="+", default=list(MODELS),
                     help="subset of models (cache-warming partial runs)")
+    ap.add_argument("--stream", choices=("uniform", "zipf"), default="uniform",
+                    help="zipf: skew-aware mode — embedding_impl=auto vs "
+                         "xla on a zipf(1.2) stream (gather-bound models; "
+                         "separate artifact, default metric untouched)")
     args = ap.parse_args()
 
     import jax
@@ -191,6 +222,29 @@ def main():
 
         device = pick_accel_device()
     print(f"# benchmark device: {device}", flush=True)
+
+    if args.stream == "zipf":
+        from deeprecsys_tpu.experiments.skew_bench import ZIPF_MODELS
+
+        models = tuple(args.models) if args.models != list(MODELS) else ZIPF_MODELS
+        results = run_zipf_suite(device, args.batch, args.table_scale,
+                                 args.iters, models)
+        auto_tput = [results[m]["auto"]["samples_per_s"] for m in models]
+        speedups = [results[m]["auto_vs_xla"] for m in models]
+        (ROOT / "benchmarks" / "zipf_bench.json").write_text(json.dumps(
+            {"device": str(device), "stream": "zipf(1.2)",
+             "models": list(models), "results": results}, indent=2))
+        print(json.dumps({
+            "metric": (f"geomean inference throughput, {len(models)} models, "
+                       f"batch {args.batch}, table_scale {args.table_scale}, "
+                       f"zipf(1.2) stream, embedding_impl=auto (TPU bf16)"),
+            "value": round(float(np.exp(np.mean(np.log(auto_tput)))), 1),
+            "unit": "samples/s",
+            # Same-stream advantage of the engines' auto decision over the
+            # plain direct gather — the hot/cold subsystem's judged number.
+            "vs_baseline": round(float(np.exp(np.mean(np.log(speedups)))), 2),
+        }))
+        return
 
     baseline = (json.loads(BASELINE_PATH.read_text())
                 if BASELINE_PATH.exists() else None)

@@ -169,6 +169,24 @@ class ModelConfig:
         return max(1, 128 // row_bytes)
 
     @property
+    def hotcold_auto_excluded(self) -> bool:
+        """True when ``embedding_impl="auto"`` must NOT choose hotcold:
+        hot/cold composed with PACKED cold tables is measured-negative on
+        din-class models (hundreds of stacked behavior tables). At full
+        scale on the zipf stream, packed hotcold regressed din to 6.78 ms
+        vs 4.55 ms unpacked hotcold AND 5.49 ms packed direct at the same
+        94.6% hit (model_hotcold_pack:din / model_hotcold:din /
+        full_r2p:din); the regression reproduced exactly across
+        hot-as-arg, no-cold, and hot-table-layout bisections
+        (benchmarks/README.md "Hot/cold x packing"). Few-table models
+        (rm1/rm3) measured POSITIVE on the same pair, so the guard keys on
+        table count: with >= 64 tables and packed rows, auto serves packed
+        direct — the faster measured option under packing. Explicit
+        ``embedding_impl="hotcold"`` is honored (with a warning); pair it
+        with ``table_pack=1`` for the measured-best din configuration."""
+        return self.num_tables >= 64 and self.resolved_table_pack > 1
+
+    @property
     def dense_dim(self) -> int:
         """Width of the dense-feature input.
 

@@ -174,6 +174,19 @@ class ComputeEngine(threading.Thread):
     def _setup(self):
         model = get_model(self.model_cfg)
         impl = self.model_cfg.embedding_impl
+        if impl == "auto" and self.model_cfg.hotcold_auto_excluded:
+            # Measured-negative pair (packed tables x hotcold on din-class
+            # models, config.hotcold_auto_excluded): auto never composes
+            # it — fall through to the packed direct gather, the faster
+            # measured option. hot_coverage stays None (never sampled).
+            impl = "xla"
+        elif impl == "hotcold" and self.model_cfg.hotcold_auto_excluded:
+            print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id}: "
+                  f"embedding_impl='hotcold' with packed tables on a "
+                  f"{self.model_cfg.num_tables}-table model is a "
+                  f"measured-negative combination (packed hotcold 6.78 ms "
+                  f"vs unpacked 4.55 ms on din); set table_pack=1 for "
+                  f"hotcold serving of din-class models", flush=True)
         if impl in ("hotcold", "auto") and self._setup_hotcold(
                 model, require=(impl == "hotcold")):
             return

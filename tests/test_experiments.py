@@ -67,3 +67,27 @@ def test_plots_render(tmp_path):
     plots.plot_qps_sla(bench, tmp_path / "qps.png")
     for f in ("ob.png", "sp.png", "qps.png"):
         assert (tmp_path / f).stat().st_size > 10_000
+
+
+def test_skew_bench_auto_matches_engine_rule():
+    """experiments/skew_bench replays the serving engines' auto decision:
+    full coverage -> hotcold; guard-excluded config -> xla, unsampled."""
+    import jax
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.experiments.skew_bench import (
+        measure_skewed, resolve_auto_impl, zipf_stream)
+
+    cpu = jax.devices("cpu")[0]
+    r = measure_skewed("rm1", cpu, impl="auto", batch=16,
+                       table_scale=50000, iters=8)
+    assert r["impl"] == "hotcold" and r["hot_coverage"] == 1.0
+    assert r["latency_ms"] > 0 and r["samples_per_s"] > 0
+    x = measure_skewed("rm1", cpu, impl="xla", batch=16,
+                       table_scale=50000, iters=8)
+    assert x["impl"] == "xla" and x["hot_coverage"] is None
+    # din-class guard: auto resolves to xla WITHOUT sampling a hot set.
+    cfg = zoo.get_config("din", table_scale=50000,
+                         param_dtype="bfloat16", table_pack=0)
+    impl, hot, cov = resolve_auto_impl(cfg, zipf_stream(cfg, 8))
+    assert impl == "xla" and hot is None and cov is None

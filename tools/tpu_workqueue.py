@@ -570,6 +570,102 @@ def job_sim_validation2(model):
     return out
 
 
+def job_zipf_bench(model):
+    """Skew-aware judged-artifact point (VERDICT r2 #1): full-model
+    forward at production scale on the zipf(1.2) stream under the
+    engines' embedding_impl="auto" decision vs the direct gather —
+    the recorded evidence for the hot/cold subsystem on the
+    production-representative stream the uniform bench can't see.
+    Merges into benchmarks/zipf_bench.json (the same artifact
+    `python bench.py --stream zipf` writes) and warms the server-side
+    compile cache for the driver's run."""
+    import json as _json
+
+    from deeprecsys_tpu.experiments.skew_bench import measure_skewed
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+
+    device = pick_accel_device()
+    xla = measure_skewed(model, device, impl="xla", iters=32)
+    auto = measure_skewed(model, device, impl="auto", iters=32)
+    speed = auto["samples_per_s"] / xla["samples_per_s"]
+    out = {"xla": xla, "auto": auto, "auto_vs_xla": speed}
+    path = Path(__file__).parent.parent / "benchmarks" / "zipf_bench.json"
+    rec = _json.loads(path.read_text()) if path.exists() else {
+        "device": str(device), "stream": "zipf(1.2)", "results": {}}
+    rec.setdefault("results", {})[model] = out
+    rec["models"] = sorted(rec["results"])
+    path.write_text(_json.dumps(rec, indent=2))
+    cov = auto["hot_coverage"]
+    log(f"zipf_bench {model}: auto[{auto['impl']}] {auto['latency_ms']:.2f} ms "
+        f"vs xla {xla['latency_ms']:.2f} ms -> {speed:.2f}x"
+        + (f" (hot coverage {cov:.1%})" if cov is not None else ""))
+    return out
+
+
+def job_sim_validation3(model):
+    """Calibrated-sim error band with the OVERLAP-aware transport model
+    (VERDICT r2 #5): per-dispatch cost = max(compute, transfer) + scalar
+    floor — the engine pipeline overlaps the transfer of request k+1
+    with compute of request k, so sim_validation2's ADDITIVE payload
+    model double-counted the smaller side (rm1 +62%, din +86%). Same
+    operating point and same-session floor fit as sim_validation2."""
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.serving import run_serving
+    from deeprecsys_tpu.serving.latency_model import LatencyModel
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+    from deeprecsys_tpu.utils.timing import payload_floor_fit
+
+    def mk_cfg(backend):
+        return ServingConfig(
+            num_batches=64, nepochs=1, inference_engines=1,
+            engine_backend=backend, avg_arrival_rate_ms=60.0,
+            batch_size_distribution="normal", avg_mini_batch_size=165.0,
+            var_mini_batch_size=16.0, max_mini_batch_size=1024,
+            sub_task_batch_size=64, batch_buckets=(64, 128, 256, 512, 1024),
+            req_granularity=16, target_latency_ms=25.0, seed=3,
+        )
+
+    m_cfg = zoo.get_config(model, table_scale=8, param_dtype="bfloat16",
+                           compute_dtype="bfloat16")
+    fit = payload_floor_fit(pick_accel_device())
+    b1 = RecDataGenerator(m_cfg, seed=0).generate_batch(1)
+    per_sample_bytes = int(b1.indices.nbytes
+                           + (0 if b1.dense is None else b1.dense.nbytes)
+                           + m_cfg.out_dim * 4)
+    ms_per_sample = fit["b_ms_per_mb"] * per_sample_bytes / 1e6
+
+    real = run_serving(m_cfg, mk_cfg("tpu"), settle_s=0.05)
+    log(f"sim_validate3 {model} REAL: QPS={real.measured_qps:.1f} "
+        f"p50={real.p50_ms:.1f} p95={real.p95_ms:.1f} over {real.num_responses}")
+
+    char = Path(__file__).parent.parent / "benchmarks" / "characterization" / f"tpu_{model}.json"
+    lm = LatencyModel.load(char).with_overlap(fit["a_ms"], ms_per_sample)
+    sim = run_serving(m_cfg, mk_cfg("sim"), latency_model=lm, settle_s=0.05)
+    log(f"sim_validate3 {model} SIM(max(c, {ms_per_sample:.4f}ms/sample*b)"
+        f"+{fit['a_ms']:.1f}): QPS={sim.measured_qps:.1f} "
+        f"p50={sim.p50_ms:.1f} p95={sim.p95_ms:.1f}")
+
+    out = {
+        "model": model, "floor_fit": fit, "transport": "overlap",
+        "per_sample_bytes": per_sample_bytes,
+        "real": {"qps": real.measured_qps, "p50_ms": real.p50_ms,
+                 "p95_ms": real.p95_ms, "n": real.num_responses},
+        "sim": {"qps": sim.measured_qps, "p50_ms": sim.p50_ms,
+                "p95_ms": sim.p95_ms, "n": sim.num_responses},
+        "p95_rel_err": (sim.p95_ms - real.p95_ms) / max(real.p95_ms, 1e-9),
+        "p50_rel_err": (sim.p50_ms - real.p50_ms) / max(real.p50_ms, 1e-9),
+        "qps_rel_err": (sim.measured_qps - real.measured_qps)
+                       / max(real.measured_qps, 1e-9),
+    }
+    vpath = Path(__file__).parent.parent / "benchmarks" / "sim_validation3.json"
+    all_v = json.loads(vpath.read_text()) if vpath.exists() else {}
+    all_v[model] = out
+    vpath.write_text(json.dumps(all_v, indent=2))
+    return out
+
+
 def job_model_hotcold(model, variant, pack=1, hot_rows=None, hot_arg=False,
                       no_cold=False, hot_build=None):
     """FULL-MODEL forward at production table scale on a Zipf id stream:
@@ -1215,6 +1311,22 @@ JOBS = [
     ("full_r3:ncf", lambda: job_full("ncf")),
     ("full_r3:din", lambda: job_full("din")),
     ("full_r3:dien", lambda: job_full("dien")),
+    # Round 3: skew-aware judged artifact (VERDICT r2 #1) — the hot/cold
+    # subsystem measured end-to-end on the production-representative
+    # zipf stream, auto vs direct, full table scale.
+    ("zipf_bench:rm1", lambda: job_zipf_bench("rm1")),
+    ("zipf_bench:rm2", lambda: job_zipf_bench("rm2")),
+    ("zipf_bench:rm3", lambda: job_zipf_bench("rm3")),
+    ("zipf_bench:din", lambda: job_zipf_bench("din")),
+    # Round 3: overlap-aware sim transport validation (VERDICT r2 #5).
+    ("sim_validate3:rm1", lambda: job_sim_validation3("rm1")),
+    ("sim_validate3:rm2", lambda: job_sim_validation3("rm2")),
+    ("sim_validate3:rm3", lambda: job_sim_validation3("rm3")),
+    ("sim_validate3:wnd", lambda: job_sim_validation3("wnd")),
+    ("sim_validate3:mtwnd", lambda: job_sim_validation3("mtwnd")),
+    ("sim_validate3:ncf", lambda: job_sim_validation3("ncf")),
+    ("sim_validate3:din", lambda: job_sim_validation3("din")),
+    ("sim_validate3:dien", lambda: job_sim_validation3("dien")),
 ]
 
 
