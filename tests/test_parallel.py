@@ -531,3 +531,35 @@ def test_sharded_hotcold_executes_at_mesh_sizes(M):
     got = sharded_embedding_bag_hotcold(hot_table, table, dev_split, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_bench_tool_records_artifact(tmp_path, monkeypatch):
+    """tools/mesh_bench.py (VERDICT r2 #6): the turnkey --mesh DxM run
+    executes the full hybrid-sharded judged-style measurement on the
+    virtual mesh and records per-chip splitter descriptor counters that
+    obey the divide-by-(D*M) law."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+    import mesh_bench
+
+    out = tmp_path / "mesh_scaling.json"
+    monkeypatch.setattr(mesh_bench, "OUT", out)
+    mesh_bench.main(["--mesh", "2x4", "--models", "rm1", "--batch", "16",
+                     "--iters", "4", "--table-scale", "20000"])
+    rec = json.loads(out.read_text())["2x4:cpu"]
+    assert rec["virtual"] is True and rec["devices"] == 8
+    r = rec["results"]["rm1"]
+    assert r["latency_ms"] > 0 and r["samples_per_s"] > 0
+    c = rec["descriptor_counters"]["rm1"]
+    # Every recorded factorization keeps the busiest chip near the ideal
+    # n_cold/(D*M) share — the recorded form of the scaling law.
+    for key, v in c.items():
+        d, m = (int(x) for x in key.split("x"))
+        assert v["max_chip_descriptors"] <= max(v["ideal_per_chip"] * 1.5, 8)
+        flat = [x for row in v["per_chip_descriptors"] for x in
+                (row if isinstance(row, list) else [row])]
+        assert sum(flat) == v["n_cold_total"]
+        assert len(flat) == d * m
