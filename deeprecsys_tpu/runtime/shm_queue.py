@@ -17,7 +17,7 @@ import time
 from deeprecsys_tpu.runtime import native
 from deeprecsys_tpu.serving.packets import ServiceRequest, ServiceResponse
 
-# kind: 0=request, 1=response, 2=sentinel(None)
+# kind: 0=request, 1=response, 2=sentinel(None), 3=reload-path fragment
 # Padded to EXACTLY the 64-byte slot: the C++ side memcpy's 64 bytes from
 # the buffer (drs_runtime.cpp drs_ring_push), so a shorter bytes object
 # would be over-read past its allocation.
@@ -27,12 +27,46 @@ from deeprecsys_tpu.serving.packets import ServiceRequest, ServiceResponse
 _FMT = "<BB7i4dBx"  # kind, exp, [consumer,epoch,batch,bsz,sub,total,out], 4 times, err, pad
 assert struct.calcsize(_FMT) == 64
 
-_K_REQUEST, _K_RESPONSE, _K_SENTINEL = 0, 1, 2
+_K_REQUEST, _K_RESPONSE, _K_SENTINEL, _K_RELOAD = 0, 1, 2, 3
+
+# Reload fragments carry a checkpoint PATH across the POD ring in 59-byte
+# utf-8 chunks (the zero-downtime reload side channel for cpu-mp process
+# engines; paths up to 255*59 bytes). Single producer per control ring,
+# so fragments arrive in order.
+_FMT_RELOAD = "<BBBB59sx"  # kind, seq, total, frag_len, payload, pad
+assert struct.calcsize(_FMT_RELOAD) == 64
+_RELOAD_CHUNK = 59
+
+
+import dataclasses as _dc
+
+
+@_dc.dataclass(slots=True)
+class ReloadFragment:
+    """One 59-byte chunk of a checkpoint path (transport detail of the
+    cpu-mp reload channel; engines reassemble in sequence order)."""
+
+    seq: int
+    total: int
+    payload: bytes
+
+
+def reload_fragments(path: str) -> "list[ReloadFragment]":
+    raw = path.encode()
+    chunks = [raw[i:i + _RELOAD_CHUNK]
+              for i in range(0, len(raw), _RELOAD_CHUNK)] or [b""]
+    if len(chunks) > 255:
+        raise ValueError(f"checkpoint path too long ({len(raw)} bytes)")
+    return [ReloadFragment(seq=i, total=len(chunks), payload=c)
+            for i, c in enumerate(chunks)]
 
 
 def pack_packet(obj) -> bytes:
     if obj is None:
         return struct.pack(_FMT, _K_SENTINEL, 0, 0, 0, 0, 0, 0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0)
+    if isinstance(obj, ReloadFragment):
+        return struct.pack(_FMT_RELOAD, _K_RELOAD, obj.seq, obj.total,
+                           len(obj.payload), obj.payload)
     if isinstance(obj, ServiceRequest):
         return struct.pack(
             _FMT, _K_REQUEST, int(obj.exp_packet), 0, obj.epoch, obj.batch_id,
@@ -50,6 +84,9 @@ def pack_packet(obj) -> bytes:
 
 
 def unpack_packet(buf: bytes):
+    if buf[0] == _K_RELOAD:
+        _, seq, total, n, payload = struct.unpack_from(_FMT_RELOAD, buf)
+        return ReloadFragment(seq=seq, total=total, payload=payload[:n])
     (kind, exp, consumer, epoch, batch_id, bsz, sub, total, out,
      arr, qs, qe, inf, err) = struct.unpack_from(_FMT, buf)
     if kind == _K_SENTINEL:

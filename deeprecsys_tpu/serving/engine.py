@@ -49,6 +49,8 @@ from deeprecsys_tpu.serving.packets import (
     ERR_DEADLINE,
     ERR_OVER_LADDER,
     ERR_READBACK,
+    ERR_RELOAD,
+    RELOAD_ACK_BATCH_ID,
     ServiceRequest,
     ServiceResponse,
 )
@@ -63,9 +65,10 @@ class ReloadHandle:
     which happens atomically BEFORE the next request that engine serves,
     so a request submitted after scheduling is guaranteed the new params.
     On failure ``error`` holds the exception and the engine keeps serving
-    the previous params. Thread-queue engines only (the cpu-mp process
-    engines speak the 64-byte POD ring protocol and would need a
-    file-path side channel)."""
+    the previous params. Thread engines take handles directly via
+    ``request_reload``; cpu-mp process engines receive the path over a
+    per-engine control ring (ReloadFragment chunks) and ACK on the
+    response ring — ``ServingServer.reload`` speaks both."""
 
     __slots__ = ("path", "event", "error")
 
@@ -100,6 +103,7 @@ class ComputeEngine(threading.Thread):
         mesh=None,
         buckets=None,
         strict_buckets: bool = True,
+        control_q=None,
     ):
         super().__init__(name=f"engine-{engine_id}", daemon=True)
         self.engine_id = engine_id
@@ -161,6 +165,13 @@ class ComputeEngine(threading.Thread):
         self.rejected_requests = 0   # strict over-ladder rejections
         self.expired_requests = 0    # deadline-expired, dropped pre-dispatch
         self._clamp_warned = False
+        # cpu-mp reload side channel: a per-engine ring the parent feeds
+        # ReloadFragment path chunks into (the 64-byte POD request ring
+        # cannot carry paths, and the shared MPMC ring cannot target one
+        # engine). Applied reloads are ACKed on the response ring with
+        # batch_id = RELOAD_ACK_BATCH_ID.
+        self.control_q = control_q
+        self._reload_frags: list = []
 
     # -- setup ---------------------------------------------------------
 
@@ -490,19 +501,64 @@ class ComputeEngine(threading.Thread):
         finally:
             handle.event.set()
 
+    def _poll_control(self):
+        """Drain the cpu-mp reload side channel: reassemble ReloadFragment
+        path chunks (in order — single producer per control ring) and
+        apply + ACK each completed path."""
+        if self.control_q is None:
+            return
+        while True:
+            try:
+                frag = self.control_q.get_nowait()
+            except (queue.Empty, ShmEmpty):
+                return
+            if frag is None:
+                continue
+            self._reload_frags.append(frag)
+            if frag.seq + 1 < frag.total:
+                continue
+            # Last fragment: reassemble (tolerate a torn sequence by
+            # keeping only the trailing run that starts at seq 0).
+            frags = self._reload_frags
+            self._reload_frags = []
+            if len(frags) != frag.total or frags[0].seq != 0:
+                print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id} "
+                      f"dropped a torn reload-path sequence "
+                      f"({len(frags)}/{frag.total} fragments)", flush=True)
+                continue
+            path = b"".join(f.payload for f in frags).decode()
+            handle = ReloadHandle(path)
+            self._apply_reload(handle)
+            now = time.time()
+            self.response_q.put(ServiceResponse(
+                consumer_id=self.engine_id, epoch=0,
+                batch_id=RELOAD_ACK_BATCH_ID, batch_size=0,
+                arrival_time=now, queue_start_time=now, queue_end_time=now,
+                inference_end_time=now,
+                out_batch_size=0 if handle.error is not None else 1,
+                sub_id=0, total_sub_batches=1, exp_packet=True,
+                error_code=ERR_RELOAD if handle.error is not None else 0))
+            if handle.error is not None:
+                print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id} "
+                      f"reload of {path!r} failed ({handle.error!r}); "
+                      f"previous params keep serving", flush=True)
+
     def _next_request(self):
-        """Blocking get — with a periodic wake on stdlib queues to apply
-        pending checkpoint reloads while IDLE (an idle engine would
-        otherwise hold a scheduled swap, and anyone waiting on its handle,
-        until traffic arrives). Ring queues return None for both timeout
-        and the shutdown sentinel, so cpu-mp engines keep the plain
-        blocking get (reload is unsupported on the POD ring protocol)."""
-        if not isinstance(self.request_q, queue.Queue):
+        """Blocking get — with a periodic wake to apply pending checkpoint
+        reloads while IDLE (an idle engine would otherwise hold a
+        scheduled swap, and anyone waiting on its handle, until traffic
+        arrives). Thread engines take reloads from the in-process handle
+        slot; cpu-mp engines poll their reload side-channel ring."""
+        stdlib = isinstance(self.request_q, queue.Queue)
+        if not stdlib and self.control_q is None:
+            # Ring queue, no side channel: plain blocking get (a timeout
+            # wake would have nothing to poll).
             return self.request_q.get()
         while True:
             try:
                 return self.request_q.get(timeout=0.5)
-            except queue.Empty:
+            except (queue.Empty, ShmEmpty):
+                self._poll_control()
                 pending = self._take_pending_reload()
                 if pending is not None:
                     self._apply_reload(pending)
@@ -549,6 +605,7 @@ class ComputeEngine(threading.Thread):
             pending_reload = self._take_pending_reload()
             if pending_reload is not None:
                 self._apply_reload(pending_reload)
+            self._poll_control()  # cpu-mp reloads honor the same contract
             queue_start = time.time()
             # Deadline admission: drop expired requests BEFORE dispatch —
             # no device time burnt — and answer each with an ERR_DEADLINE

@@ -113,8 +113,10 @@ class ServingServer:
             from deeprecsys_tpu.serving.process_engine import spawn_process_engines
 
             (self.request_q, self.response_q, self.ready_q,
-             self.procs, self._cleanup) = spawn_process_engines(model_cfg, cfg)
+             self.procs, self._cleanup,
+             self._control_rings) = spawn_process_engines(model_cfg, cfg)
             self.n_engines = cfg.inference_engines
+            self._mp_reload: dict[int, object] = {}  # engine_id -> handle
             self._router = threading.Thread(target=self._route_loop, daemon=True,
                                             name="ingress-router")
             return
@@ -235,12 +237,24 @@ class ServingServer:
 
     def _route_loop(self):
         from deeprecsys_tpu.runtime import Empty as ShmEmpty
+        from deeprecsys_tpu.serving.packets import RELOAD_ACK_BATCH_ID
         while not self._stop.is_set():
             try:
                 r = self.response_q.get(timeout=0.2)
             except (queue.Empty, ShmEmpty):
                 continue
             if r is None:  # an engine exited
+                continue
+            if r.batch_id == RELOAD_ACK_BATCH_ID:
+                # cpu-mp reload ACK: resolve the acking engine's handle.
+                with self._lock:
+                    h = getattr(self, "_mp_reload", {}).pop(r.consumer_id, None)
+                if h is not None:
+                    if r.error_code:
+                        h.error = RuntimeError(
+                            f"engine process {r.consumer_id} reload failed "
+                            f"(its stderr has the exception)")
+                    h.event.set()
                 continue
             key = (r.epoch, r.batch_id, r.exp_packet)
             with self._lock:
@@ -261,8 +275,11 @@ class ServingServer:
         request it serves — see ``ComputeEngine.request_reload``).
         Returns the per-engine ReloadHandles; callers may wait on their
         events or poll ``reload_status``. Sim engines have no params and
-        are skipped; cpu-mp process engines are unsupported (POD ring
-        protocol carries no file paths)."""
+        are skipped. cpu-mp process engines reload over their per-engine
+        control rings (path shipped as 64-byte POD fragments, applied
+        in-child, ACKed on the response ring)."""
+        if self.cfg.engine_backend == "cpu-mp":
+            return self._reload_mp(path)
         targets = [e for e in self.engines if hasattr(e, "request_reload")]
         if not targets:
             raise NotImplementedError(
@@ -275,6 +292,34 @@ class ServingServer:
         with self._lock:
             self._reload_handles = handles
         return handles
+
+    def _reload_mp(self, path: str) -> list:
+        """cpu-mp reload: ship the path to every engine process over its
+        control ring. A newer reload supersedes a pending one (same
+        contract as ComputeEngine.request_reload)."""
+        from deeprecsys_tpu.runtime.shm_queue import reload_fragments
+        from deeprecsys_tpu.serving.engine import ReloadHandle
+
+        frags = reload_fragments(path)
+        handles = []
+        superseded = []
+        with self._lock:
+            for eid, ring in enumerate(self._control_rings):
+                h = ReloadHandle(path)
+                prev = self._mp_reload.get(eid)
+                if prev is not None and not prev.event.is_set():
+                    superseded.append((prev, path))
+                self._mp_reload[eid] = h
+                handles.append((ring, h))
+            self._reload_handles = [h for _, h in handles]
+        for prev, newer in superseded:
+            prev.error = RuntimeError(
+                f"superseded by a newer reload request ({newer})")
+            prev.event.set()
+        for ring, _ in handles:
+            for f in frags:
+                ring.put(f, timeout=5.0)
+        return [h for _, h in handles]
 
     def reload_status(self) -> dict:
         """{scheduled, applied, failed, errors} for the last reload()."""

@@ -80,7 +80,8 @@ def run_serving(
     if cfg.engine_backend == "cpu-mp":
         from deeprecsys_tpu.serving.process_engine import spawn_process_engines
 
-        request_q, response_q, ready_q, procs, cleanup = spawn_process_engines(model_cfg, cfg)
+        (request_q, response_q, ready_q, procs, cleanup,
+         _controls) = spawn_process_engines(model_cfg, cfg)
     else:
         request_q = queue.Queue(maxsize=1024)
         response_q = queue.Queue()

@@ -25,13 +25,20 @@ ERR_OK = 0
 ERR_READBACK = 1        # device readback failed after dispatch
 ERR_OVER_LADDER = 2     # request exceeds the engine's compiled bucket ladder
 ERR_DEADLINE = 3        # deadline expired before dispatch (never executed)
+ERR_RELOAD = 4          # checkpoint reload failed (old params keep serving)
 
 ERROR_MESSAGES = {
     ERR_OK: None,
     ERR_READBACK: "device readback failed",
     ERR_OVER_LADDER: "request exceeds the engine's compiled bucket ladder",
     ERR_DEADLINE: "deadline expired before dispatch",
+    ERR_RELOAD: "checkpoint reload failed; previous params keep serving",
 }
+
+# batch_id marker of a cpu-mp reload ACK response (never a real batch id:
+# batch ids count up from 0). consumer_id = the acking engine;
+# out_batch_size 1 = applied, 0 = failed (error_code ERR_RELOAD).
+RELOAD_ACK_BATCH_ID = -1
 
 
 @dataclasses.dataclass(slots=True)

@@ -20,7 +20,8 @@ from deeprecsys_tpu.config import ModelConfig, ServingConfig
 
 
 def _engine_child(engine_id: int, model_cfg: ModelConfig, serving_cfg: ServingConfig,
-                  req_name: str, resp_name: str, ready_name: str, capacity: int):
+                  req_name: str, resp_name: str, ready_name: str, capacity: int,
+                  ctl_name: str | None = None):
     import jax
 
     try:
@@ -44,10 +45,15 @@ def _engine_child(engine_id: int, model_cfg: ModelConfig, serving_cfg: ServingCo
             engine_id=engine_id)
         request_q = ShmRingQueue(capacity, shm_name=req_name, create=False)
         response_q = ShmRingQueue(capacity, shm_name=resp_name, create=False)
+        # Per-engine reload side channel (the shared request ring is MPMC
+        # and cannot target one engine; the POD slot cannot carry paths).
+        control_q = (ShmRingQueue(64, shm_name=ctl_name, create=False)
+                     if ctl_name else None)
         engine = ComputeEngine(
             engine_id, model_cfg, serving_cfg, request_q, response_q, ready_q,
             device=jax.devices("cpu")[0], seed=serving_cfg.seed + engine_id,
             strict_buckets=False,  # serving path: clamp + count, never reject
+            control_q=control_q,
         )
     except Exception as e:
         print(f"[deeprecsys_tpu] engine child {engine_id} failed before "
@@ -104,7 +110,10 @@ class _ReadyReceiver:
 
 def spawn_process_engines(model_cfg: ModelConfig, cfg: ServingConfig, capacity: int = 1024):
     """Create shm rings + N engine processes. Returns
-    (request_q, response_q, ready_receiver, processes, cleanup_fn)."""
+    (request_q, response_q, ready_receiver, processes, cleanup_fn,
+    control_rings) — control_rings[i] is engine i's reload side channel
+    (feed it ``reload_fragments(path)``; the engine ACKs on the response
+    ring with batch_id = RELOAD_ACK_BATCH_ID)."""
     from deeprecsys_tpu.runtime.shm_queue import ShmRingQueue
 
     tag = f"drs{time.time_ns() % 1_000_000_000}"
@@ -113,13 +122,16 @@ def spawn_process_engines(model_cfg: ModelConfig, cfg: ServingConfig, capacity: 
     response_q = ShmRingQueue(capacity, shm_name=resp_name, create=True)
     ready_ring = ShmRingQueue(64, shm_name=ready_name, create=True)
     ready = _ReadyReceiver(ready_ring)
+    ctl_names = [f"{tag}_ctl{i}" for i in range(cfg.inference_engines)]
+    control_rings = [ShmRingQueue(64, shm_name=n, create=True) for n in ctl_names]
 
     ctx = mp.get_context("spawn")
     procs = []
     for i in range(cfg.inference_engines):
         p = ctx.Process(
             target=_engine_child,
-            args=(i, model_cfg, cfg, req_name, resp_name, ready_name, capacity),
+            args=(i, model_cfg, cfg, req_name, resp_name, ready_name,
+                  capacity, ctl_names[i]),
             daemon=True,
         )
         p.start()
@@ -130,8 +142,8 @@ def spawn_process_engines(model_cfg: ModelConfig, cfg: ServingConfig, capacity: 
             p.join(timeout=10)
             if p.is_alive():
                 p.terminate()
-        for q in (request_q, response_q, ready_ring):
+        for q in (request_q, response_q, ready_ring, *control_rings):
             q.close()
             q.unlink()
 
-    return request_q, response_q, ready, procs, cleanup
+    return request_q, response_q, ready, procs, cleanup, control_rings

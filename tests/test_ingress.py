@@ -410,3 +410,63 @@ def test_reload_root_restricts_paths(tmp_path):
             assert e.code == 501
     finally:
         ing.stop()
+
+
+def test_reload_over_process_engines(tmp_path):
+    """Zero-downtime checkpoint reload on the cpu-mp backend (closes the
+    round-2 'acceptable asymmetry'): the path ships to each engine
+    process over its control ring as 64-byte POD fragments, each child
+    applies + ACKs on the response ring, and serving continues. A bad
+    path fails the handles while the old params keep serving."""
+    import jax
+
+    pytest.importorskip("deeprecsys_tpu.runtime.shm_queue")
+    from deeprecsys_tpu.runtime.native import native_available
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.utils.checkpoint import save_params
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    # A long tmp_path exercises multi-fragment reassembly (59 B chunks).
+    ckpt = tmp_path / ("deep_subdir_" + "x" * 80) / "ckpt.v2"
+    params = get_model(model_cfg).init(jax.random.PRNGKey(42))
+    ckpt.parent.mkdir(parents=True)
+    save_params(ckpt, params)
+
+    cfg = ServingConfig(engine_backend="cpu-mp", inference_engines=2,
+                        sub_task_batch_size=8, max_mini_batch_size=16,
+                        batch_buckets=(8, 16))
+    server = ServingServer(model_cfg, cfg)
+    server.start(timeout=300)
+    ing = HttpIngress(server, reload_root=str(tmp_path))
+    ing.start()
+    base = "http://%s:%s" % ing.address
+    try:
+        status, out = _post(f"{base}/v1/reload", {"path": str(ckpt)})
+        assert status == 200 and out["scheduled"] == 2
+        # ACKs resolve the handles (idle engines poll within 0.5 s).
+        for h in server._reload_handles:
+            assert h.event.wait(timeout=60)
+            assert h.error is None
+        _, st = _get(f"{base}/v1/reload")
+        assert st == {"scheduled": 2, "applied": 2, "failed": 0,
+                      "errors": []}
+        # Serving continues on the new params.
+        status, out = _post(f"{base}/v1/infer", {"batch_size": 12})
+        assert status == 200 and out["latency_ms"] > 0
+        # A nonexistent checkpoint fails the handles; serving survives.
+        status, out = _post(f"{base}/v1/reload",
+                            {"path": str(tmp_path / "missing.ckpt")})
+        assert status == 200
+        for h in server._reload_handles:
+            assert h.event.wait(timeout=60)
+            assert h.error is not None
+        _, st = _get(f"{base}/v1/reload")
+        assert st["failed"] == 2 and st["applied"] == 0
+        status, out = _post(f"{base}/v1/infer", {"batch_size": 5})
+        assert status == 200
+    finally:
+        ing.stop()

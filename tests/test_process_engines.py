@@ -47,7 +47,8 @@ def test_one_engine_crash_completes_degraded(monkeypatch):
     real_spawn = process_engine.spawn_process_engines
 
     def spawn_and_kill_one(model_cfg, cfg, capacity=1024):
-        request_q, response_q, ready, procs, cleanup = real_spawn(model_cfg, cfg, capacity)
+        (request_q, response_q, ready, procs, cleanup,
+         controls) = real_spawn(model_cfg, cfg, capacity)
 
         def killer():
             # Kill only after BOTH engines finished warm-up (a kill before
@@ -59,7 +60,7 @@ def test_one_engine_crash_completes_degraded(monkeypatch):
             procs[0].terminate()
 
         threading.Thread(target=killer, daemon=True).start()
-        return request_q, response_q, ready, procs, cleanup
+        return request_q, response_q, ready, procs, cleanup, controls
 
     monkeypatch.setattr(
         "deeprecsys_tpu.serving.process_engine.spawn_process_engines",

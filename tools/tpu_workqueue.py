@@ -666,6 +666,118 @@ def job_sim_validation3(model):
     return out
 
 
+def job_hlo_profile(model, batch=512, table_scale=8):
+    """Per-HLO device trace for a gather-bound model (VERDICT r2 #10):
+    run one jitted forward under jax.profiler.trace, parse the device
+    lane of the exported Chrome trace, and check in the xplane + an
+    HLO-level duration summary under benchmarks/profile_hlo/. This backs
+    the stage-level 'gather is 98-100% of device time' claim
+    (op_breakdown_tpu.json) at HLO granularity — the reference's per-op
+    prof_dag parity (sweep_p.py:12-41)."""
+    import glob
+    import gzip
+    import json as _json
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+
+    device = pick_accel_device()
+    cfg = zoo.get_config(model, table_scale=table_scale,
+                         param_dtype="bfloat16", compute_dtype="bfloat16")
+    m = get_model(cfg)
+    with jax.default_device(device):
+        # Pin init outputs to the DEFAULT row-major layout: a jitted init
+        # is free to pick a column-major table layout, and apply then
+        # bakes a full-table relayout copy into every call (measured:
+        # 1.21 ms / 512 MB on rm2 before this pin). Serving engines feed
+        # eager/numpy params (default layout already), so the pinned
+        # program is the serving-representative one.
+        from jax.experimental.layout import Format, Layout
+
+        template = jax.eval_shape(m.init, jax.random.PRNGKey(0))
+        fmts = jax.tree_util.tree_map(
+            lambda s: Format(Layout(major_to_minor=tuple(range(s.ndim)))),
+            template)
+        params = jax.jit(m.init, out_shardings=fmts)(jax.random.PRNGKey(0))
+    host = RecDataGenerator(cfg, seed=0).generate_batch(batch)
+    batch_dev = Batch(
+        dense=None if host.dense is None else jax.device_put(host.dense, device),
+        indices=jax.device_put(host.indices, device))
+    fn = jax.jit(m.apply)
+    float(jnp.sum(fn(params, batch_dev).astype(jnp.float32)))  # compile+warm
+
+    out_dir = Path(__file__).parent.parent / "benchmarks" / "profile_hlo"
+    out_dir.mkdir(exist_ok=True)
+    trace_dir = out_dir / f"trace_{model}_b{batch}"
+    if trace_dir.exists():
+        shutil.rmtree(trace_dir)
+    with jax.profiler.trace(str(trace_dir)):
+        float(jnp.sum(fn(params, batch_dev).astype(jnp.float32)))
+
+    # Parse the Chrome trace: per-pid process names from metadata events,
+    # then aggregate X-event durations on non-python lanes.
+    (tj,) = glob.glob(str(trace_dir / "**" / "*.trace.json.gz"),
+                      recursive=True)
+    import re
+
+    trace = _json.loads(gzip.open(tj).read())
+    events = trace.get("traceEvents", [])
+    # HLO op/fusion events are bare lowercase names (gather.12, fusion.3,
+    # convolution_reduce_fusion) and carry hlo_category + the full HLO
+    # text in args.long_name; python frames ($file:line), runtime
+    # internals (Foo::Bar, names with spaces), and executable wrappers
+    # (jit_*, PjitFunction) are host-side.
+    hlo_name = re.compile(r"^(?!jit)[a-z][a-z0-9._\-]*$")
+    n_lookups = batch * cfg.num_tables * cfg.num_indices_per_lookup
+    durs: dict = {}
+    gather_us = 0.0
+    categories: dict = {}
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        name = e.get("name", "")
+        if not hlo_name.match(name):
+            continue
+        dur = float(e.get("dur", 0.0))
+        durs[name] = durs.get(name, 0.0) + dur
+        args = e.get("args", {})
+        cat = args.get("hlo_category", "?")
+        categories[cat] = categories.get(cat, 0.0) + dur
+        long = args.get("long_name", "")
+        # The table gather: an explicit gather HLO, or the custom fusion
+        # whose RESULT is the flattened (B*T*L, d) row fetch.
+        res = re.match(r"%\S+ = \w+\[(\d+),", long)
+        if ("gather(" in long
+                or (res and int(res.group(1)) == n_lookups
+                    and cat in ("custom fusion", "gather"))):
+            gather_us += dur
+    total = sum(durs.values())
+    top = sorted(durs.items(), key=lambda kv: -kv[1])[:20]
+    summary = {
+        "model": model, "batch": batch, "table_scale": table_scale,
+        "total_device_us": total,
+        "gather_us": gather_us,
+        "gather_fraction": gather_us / total if total else None,
+        "category_us": {k: round(v, 2) for k, v in
+                        sorted(categories.items(), key=lambda kv: -kv[1])},
+        "top_hlos_us": [{"hlo": k, "us": round(v, 2)} for k, v in top],
+        "trace_json": str(Path(tj).relative_to(out_dir.parent.parent)),
+    }
+    (out_dir / f"summary_{model}_b{batch}.json").write_text(
+        _json.dumps(summary, indent=2))
+    log(f"hlo_profile {model}: total {total:.0f} us device, gather "
+        f"{gather_us:.0f} us ({(gather_us / total if total else 0):.1%}); "
+        f"top: {top[:3]}")
+    return summary
+
+
 def job_model_hotcold(model, variant, pack=1, hot_rows=None, hot_arg=False,
                       no_cold=False, hot_build=None):
     """FULL-MODEL forward at production table scale on a Zipf id stream:
@@ -1327,6 +1439,17 @@ JOBS = [
     ("sim_validate3:ncf", lambda: job_sim_validation3("ncf")),
     ("sim_validate3:din", lambda: job_sim_validation3("din")),
     ("sim_validate3:dien", lambda: job_sim_validation3("dien")),
+    # Round 3: per-HLO device traces backing the stage-level op-breakdown
+    # claim at HLO granularity (VERDICT r2 #10).
+    ("hlo_profile:rm1", lambda: job_hlo_profile("rm1")),
+    ("hlo_profile:rm2", lambda: job_hlo_profile("rm2")),
+    # v2: init outputs pinned to default layouts (v1 measured a 1.21 ms
+    # full-table relayout copy baked into rm2's apply by the jitted
+    # init's column-major choice — an artifact of the profile harness,
+    # not the serving path) + category/long_name-based gather
+    # attribution.
+    ("hlo_profile2:rm1", lambda: job_hlo_profile("rm1")),
+    ("hlo_profile2:rm2", lambda: job_hlo_profile("rm2")),
 ]
 
 
