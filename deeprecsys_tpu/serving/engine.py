@@ -172,6 +172,7 @@ class ComputeEngine(threading.Thread):
         # batch_id = RELOAD_ACK_BATCH_ID.
         self.control_q = control_q
         self._reload_frags: list = []
+        self._param_formats = None  # negotiated layouts (single-device)
 
     # -- setup ---------------------------------------------------------
 
@@ -181,6 +182,34 @@ class ComputeEngine(threading.Thread):
         ``like=`` tree checkpoint reloads are validated against."""
         return jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+
+    def _batch_sds(self, b: int):
+        """ShapeDtypeStruct Batch at bucket size b (layout negotiation)."""
+        cfg = self.model_cfg
+        dense = (None if cfg.dense_dim == 0 else
+                 jax.ShapeDtypeStruct((b, cfg.dense_dim), np.float32))
+        idx = jax.ShapeDtypeStruct(
+            (b, cfg.num_tables, cfg.num_indices_per_lookup), np.int32)
+        return Batch(dense=dense, indices=idx)
+
+    def _commit_param_layouts(self, fn, *rest_sds):
+        """device_put params into the layouts the compiled apply prefers
+        (single-device engines). XLA's gather wants COLUMN-MAJOR narrow
+        (d=32) fused tables; default-layout params would bake a
+        whole-table relayout copy into every dispatch (measured 1.83 ms /
+        256 MB — utils/layouts.py). One negotiation compile at setup,
+        then the relayout happens once here instead of per call.
+        Checkpoint reloads re-use the negotiated formats."""
+        from deeprecsys_tpu.utils.layouts import (
+            negotiated_param_formats,
+            shape_tree,
+        )
+
+        fmts = negotiated_param_formats(fn, self.device,
+                                        shape_tree(self.params), *rest_sds)
+        if fmts is not None:
+            self.params = jax.device_put(self.params, fmts)
+            self._param_formats = fmts
 
     def _setup(self):
         model = get_model(self.model_cfg)
@@ -227,6 +256,9 @@ class ComputeEngine(threading.Thread):
             # warm-up with an incompatible-devices error.
             self.params = jax.device_put(self.params, self.device)
             apply_fn = jax.jit(model.apply)
+        if self.mesh is None:
+            self._commit_param_layouts(model.apply,
+                                       self._batch_sds(max(self.buckets)))
         # Model-layout skeleton for checkpoint reloads (shapes/dtypes only).
         self._raw_template = self._layout_template(self.params)
         self._warm_buckets(
@@ -297,6 +329,18 @@ class ComputeEngine(threading.Thread):
             self.params = jax.device_put(hc.convert_params(self.params), self.device)
             # Committed params/batch/split pin placement (no jit(device=)).
             apply_fn = jax.jit(hc.apply)
+            # Negotiate layouts for the CONVERTED params (the cold table is
+            # the big gather operand) at the largest bucket + cold pad.
+            b = max(self.buckets)
+            T, L = self.model_cfg.num_tables, self.model_cfg.num_indices_per_lookup
+            c_pad = max(cold_buckets_for(b * T * L, None))
+            split_sds = {
+                "hot_sel": jax.ShapeDtypeStruct((b, T, L), np.int32),
+                "hot_mask": jax.ShapeDtypeStruct((b, T, L), np.bool_),
+                "cold_ids": jax.ShapeDtypeStruct((c_pad,), np.int32),
+                "cold_seg": jax.ShapeDtypeStruct((c_pad,), np.int32),
+            }
+            self._commit_param_layouts(hc.apply, self._batch_sds(b), split_sds)
 
         def warm(sliced: Batch):
             b, T, L = sliced.indices.shape
@@ -495,7 +539,13 @@ class ComputeEngine(threading.Thread):
 
                     self.params = shard_params(new, self.mesh)
                 else:
-                    self.params = jax.device_put(new, self.device)
+                    # Reloaded params keep the negotiated layouts — a plain
+                    # device_put would reintroduce the per-call relayout
+                    # copy the setup negotiation removed.
+                    target = (self._param_formats
+                              if self._param_formats is not None
+                              else self.device)
+                    self.params = jax.device_put(new, target)
         except Exception as e:
             handle.error = e
         finally:

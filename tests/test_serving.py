@@ -1334,3 +1334,31 @@ def test_engine_auto_never_picks_measured_negative_pair():
     unpacked = start(base.replace(table_pack=1))
     assert unpacked._hotcold is not None    # 420-row table: full coverage
     assert unpacked.hot_coverage == 1.0
+
+
+def test_engine_negotiates_param_layouts():
+    """Engine setup commits params into the layouts the compiled apply
+    prefers (one-time relayout instead of a per-call whole-table copy —
+    utils/layouts.py; TPU evidence in benchmarks/profile_hlo)."""
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8)
+    eng, req_q, resp_q = _start_cpu_engine(model_cfg, cfg)
+    assert eng._param_formats is not None  # negotiation ran and stuck
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(eng.params)
+    fmt_leaves = jax.tree_util.tree_leaves(
+        eng._param_formats, is_leaf=lambda x: hasattr(x, "layout"))
+    assert len(leaves) == len(fmt_leaves)
+    for arr, fmt in zip(leaves, fmt_leaves):
+        assert arr.format.layout == fmt.layout
+    # And it still serves.
+    import time
+
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    req_q.put(ServiceRequest(batch_id=0, epoch=0, arrival_time=time.time(),
+                             batch_size=4, total_sub_batches=1))
+    assert resp_q.get(timeout=120).error_code == 0
+    req_q.put(None)

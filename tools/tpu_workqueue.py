@@ -666,7 +666,7 @@ def job_sim_validation3(model):
     return out
 
 
-def job_hlo_profile(model, batch=512, table_scale=8):
+def job_hlo_profile(model, batch=512, table_scale=8, negotiate=False):
     """Per-HLO device trace for a gather-bound model (VERDICT r2 #10):
     run one jitted forward under jax.profiler.trace, parse the device
     lane of the exported Chrome trace, and check in the xplane + an
@@ -700,12 +700,30 @@ def job_hlo_profile(model, batch=512, table_scale=8):
         # eager/numpy params (default layout already), so the pinned
         # program is the serving-representative one.
         from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
 
+        sh = SingleDeviceSharding(device)
         template = jax.eval_shape(m.init, jax.random.PRNGKey(0))
         fmts = jax.tree_util.tree_map(
-            lambda s: Format(Layout(major_to_minor=tuple(range(s.ndim)))),
+            lambda s: Format(Layout(major_to_minor=tuple(range(s.ndim))), sh),
             template)
         params = jax.jit(m.init, out_shardings=fmts)(jax.random.PRNGKey(0))
+    if negotiate:
+        # The serving engines' path (engine._commit_param_layouts): one
+        # AUTO-layout negotiation compile, then params re-laid-out ONCE —
+        # the per-call relayout copy must vanish from the trace.
+        from deeprecsys_tpu.utils.layouts import (
+            negotiated_param_formats, shape_tree)
+
+        host0 = RecDataGenerator(cfg, seed=0).generate_batch(batch)
+        fmts2 = negotiated_param_formats(
+            m.apply, device, shape_tree(params),
+            Batch(dense=None if host0.dense is None else jax.ShapeDtypeStruct(
+                      host0.dense.shape, host0.dense.dtype),
+                  indices=jax.ShapeDtypeStruct(host0.indices.shape,
+                                               host0.indices.dtype)))
+        if fmts2 is not None:
+            params = jax.device_put(params, fmts2)
     host = RecDataGenerator(cfg, seed=0).generate_batch(batch)
     batch_dev = Batch(
         dense=None if host.dense is None else jax.device_put(host.dense, device),
@@ -715,7 +733,8 @@ def job_hlo_profile(model, batch=512, table_scale=8):
 
     out_dir = Path(__file__).parent.parent / "benchmarks" / "profile_hlo"
     out_dir.mkdir(exist_ok=True)
-    trace_dir = out_dir / f"trace_{model}_b{batch}"
+    suffix = "_negotiated" if negotiate else ""
+    trace_dir = out_dir / f"trace_{model}_b{batch}{suffix}"
     if trace_dir.exists():
         shutil.rmtree(trace_dir)
     with jax.profiler.trace(str(trace_dir)):
@@ -762,6 +781,7 @@ def job_hlo_profile(model, batch=512, table_scale=8):
     top = sorted(durs.items(), key=lambda kv: -kv[1])[:20]
     summary = {
         "model": model, "batch": batch, "table_scale": table_scale,
+        "negotiated_layouts": negotiate,
         "total_device_us": total,
         "gather_us": gather_us,
         "gather_fraction": gather_us / total if total else None,
@@ -770,7 +790,7 @@ def job_hlo_profile(model, batch=512, table_scale=8):
         "top_hlos_us": [{"hlo": k, "us": round(v, 2)} for k, v in top],
         "trace_json": str(Path(tj).relative_to(out_dir.parent.parent)),
     }
-    (out_dir / f"summary_{model}_b{batch}.json").write_text(
+    (out_dir / f"summary_{model}_b{batch}{suffix}.json").write_text(
         _json.dumps(summary, indent=2))
     log(f"hlo_profile {model}: total {total:.0f} us device, gather "
         f"{gather_us:.0f} us ({(gather_us / total if total else 0):.1%}); "
@@ -1450,6 +1470,13 @@ JOBS = [
     # attribution.
     ("hlo_profile2:rm1", lambda: job_hlo_profile("rm1")),
     ("hlo_profile2:rm2", lambda: job_hlo_profile("rm2")),
+    # v3: the engines' negotiated-layout path — the rm1 per-call 1.83 ms
+    # relayout copy must vanish (engine._commit_param_layouts evidence).
+    ("hlo_profile3:rm1", lambda: job_hlo_profile("rm1", negotiate=True)),
+    # din's gather sits 1.22x above the wall at full scale; its HLO
+    # breakdown attributes the residual (attention? pack select? index
+    # prep at (B,254,3)?).
+    ("hlo_profile3:din", lambda: job_hlo_profile("din", negotiate=True)),
 ]
 
 
