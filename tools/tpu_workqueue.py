@@ -666,7 +666,7 @@ def job_sim_validation3(model):
     return out
 
 
-def job_hlo_profile(model, batch=512, table_scale=8, negotiate=False):
+def job_hlo_profile(model, batch=512, table_scale=8, negotiate=False, pack=1):
     """Per-HLO device trace for a gather-bound model (VERDICT r2 #10):
     run one jitted forward under jax.profiler.trace, parse the device
     lane of the exported Chrome trace, and check in the xplane + an
@@ -690,7 +690,8 @@ def job_hlo_profile(model, batch=512, table_scale=8, negotiate=False):
 
     device = pick_accel_device()
     cfg = zoo.get_config(model, table_scale=table_scale,
-                         param_dtype="bfloat16", compute_dtype="bfloat16")
+                         param_dtype="bfloat16", compute_dtype="bfloat16",
+                         table_pack=pack)
     m = get_model(cfg)
     with jax.default_device(device):
         # Pin init outputs to the DEFAULT row-major layout: a jitted init
@@ -733,7 +734,8 @@ def job_hlo_profile(model, batch=512, table_scale=8, negotiate=False):
 
     out_dir = Path(__file__).parent.parent / "benchmarks" / "profile_hlo"
     out_dir.mkdir(exist_ok=True)
-    suffix = "_negotiated" if negotiate else ""
+    suffix = ("_negotiated" if negotiate else "") + (
+        f"_s{table_scale}p{pack}" if (table_scale, pack) != (8, 1) else "")
     trace_dir = out_dir / f"trace_{model}_b{batch}{suffix}"
     if trace_dir.exists():
         shutil.rmtree(trace_dir)
@@ -1477,6 +1479,10 @@ JOBS = [
     # breakdown attributes the residual (attention? pack select? index
     # prep at (B,254,3)?).
     ("hlo_profile3:din", lambda: job_hlo_profile("din", negotiate=True)),
+    # din at the JUDGED full-scale packed point (5.5 ms): attribute the
+    # 22%-above-wall residual at the exact bench configuration.
+    ("hlo_profile4:din", lambda: job_hlo_profile(
+        "din", table_scale=1, pack=0, negotiate=True)),
 ]
 
 
