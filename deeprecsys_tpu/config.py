@@ -101,8 +101,11 @@ class ModelConfig:
     # sub-128-byte rows gather at ~half rate). Applies to float/bf16 and
     # per-table int8 (auto packs int8 only below 64-byte rows — see
     # resolved_table_pack); the rowwise layout never packs. TPU-native
-    # addition.
-    table_pack: int = 1
+    # addition. Default 0 (auto) — the measured-best layout everywhere it
+    # applies and a no-op for >=128-byte rows (all f32 zoo tables), same
+    # as the CLI's default; set 1 explicitly to keep checkpoints in the
+    # unpacked layout.
+    table_pack: int = 0
     # Divide all table sizes by this factor (testing / memory-constrained runs).
     table_scale: int = 1
 

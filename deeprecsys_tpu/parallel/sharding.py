@@ -47,7 +47,16 @@ from deeprecsys_tpu.ops.embedding import hotcold_cold_rows as _hotcold_cold_rows
 
 def param_shardings(params, mesh: Mesh):
     """NamedShardings for a model's params: fused tables row-sharded over
-    "model", everything else replicated."""
+    "model", everything else replicated.
+
+    A table whose PHYSICAL row count does not divide the model axis
+    (possible for row-packed layouts: ceil(R/pack) rows) falls back to
+    replication with a warning — GSPMD refuses uneven shards, and a
+    replicated odd table is correct, just unsharded. Production zoo
+    configs divide cleanly at every pack (rm1 16M, rm2 16M, din 23.05M
+    physical rows over <=8 shards)."""
+    n_model = mesh.shape.get("model", 1)
+
     def spec_for(path, leaf):
         keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
         if "tables" in keys:
@@ -56,6 +65,13 @@ def param_shardings(params, mesh: Mesh):
             # like the float path, while the 1-D per-table "scale" vector
             # is tiny and stays replicated.
             if getattr(leaf, "ndim", 2) == 2:
+                if leaf.shape[0] % n_model:
+                    print(f"[deeprecsys_tpu] WARNING: table with "
+                          f"{leaf.shape[0]} physical rows does not divide "
+                          f"the model axis ({n_model}); replicating it "
+                          f"(pad rows or adjust table_pack to shard)",
+                          flush=True)
+                    return NamedSharding(mesh, P())
                 return NamedSharding(mesh, P("model", None))
         return NamedSharding(mesh, P())
 

@@ -454,13 +454,24 @@ def export_serving_params(params: dict, cfg: ModelConfig,
     # checkpoints as np.ndarray, and the train->checkpoint->quantize->serve
     # path must work.
     tables = jnp.asarray(tables)
+    scfg = cfg.replace(table_quant=table_quant)
     if table_quant == "int8_rowwise":
         new_tables = {"qrows": quantize_rowwise_int8(tables)}
     elif table_quant == "int8":
         new_tables = quantize_pertable_int8(tables, cfg.scaled_rows)
+        pack = scfg.resolved_table_pack
+        if pack > 1:
+            # The serving layout the returned config resolves to: narrow
+            # int8 rows auto-pack (config.resolved_table_pack), and the
+            # exported bundle must match it — a {"q"} bundle would fail
+            # the {"q_packed"} model's checkpoint-shape validation.
+            from deeprecsys_tpu.ops.embedding import pack_table
+
+            new_tables = {"q_packed": pack_table(new_tables["q"], pack),
+                          "scale": new_tables["scale"]}
     else:
         raise ValueError(f"unknown table_quant {table_quant!r}")
-    return dict(params, tables=new_tables), cfg.replace(table_quant=table_quant)
+    return dict(params, tables=new_tables), scfg
 
 
 def _fit_batches(trainer: Trainer, batches) -> list[float]:

@@ -275,7 +275,16 @@ def oracle_weights_from_params(params: dict, cfg) -> dict:
     """Convert a JAX param pytree (float tables) into the oracle's
     per-table / (out,in) reference layouts. Purely mechanical (slice +
     transpose + dtype) — no compute semantics live here."""
-    fused = np.asarray(params["tables"], dtype=np.float64)
+    tables = params["tables"]
+    if isinstance(tables, dict) and "packed" in tables:
+        # Row-packed layout (ops/embedding.py pack_table): p consecutive
+        # logical rows per physical row. Mechanical numpy un-pack —
+        # (R/p, p*d) -> (R, d), trailing pad rows sliced off.
+        arr = np.asarray(tables["packed"], dtype=np.float64)
+        d = int(cfg.sparse_feature_size)
+        fused = arr.reshape(-1, d)[: int(cfg.total_rows)]
+    else:
+        fused = np.asarray(tables, dtype=np.float64)
     offs = np.asarray(cfg.table_offsets, dtype=np.int64)
     rows = np.asarray(cfg.scaled_rows, dtype=np.int64)
     w = {"tables": [fused[o: o + r] for o, r in zip(offs, rows)]}

@@ -204,7 +204,10 @@ def test_train_cli_synthetic_and_export(tmp_path):
     qcfg = cfg.replace(table_quant="int8")
     qparams = get_model(qcfg).init(jax.random.PRNGKey(0))
     q = load_params(str(ck) + "_q", qparams)
-    assert q["tables"]["q"].dtype == jnp.int8
+    # int8 d=32 rows auto-pack (resolved_table_pack): the exported bundle
+    # carries the packed serving layout.
+    key = "q_packed" if qcfg.resolved_table_pack > 1 else "q"
+    assert q["tables"][key].dtype == jnp.int8
 
 
 def test_train_cli_criteo(tmp_path):
