@@ -68,6 +68,14 @@ def pack_packet(obj) -> bytes:
         return struct.pack(_FMT_RELOAD, _K_RELOAD, obj.seq, obj.total,
                            len(obj.payload), obj.payload)
     if isinstance(obj, ServiceRequest):
+        if obj.payload is not None:
+            # The real-inference path (client feature payloads) cannot
+            # cross the fixed 64-byte POD slot — fail loudly instead of
+            # silently dropping the features and serving synthetic rows.
+            raise TypeError(
+                "payload-carrying requests cannot cross the POD ring; "
+                "real-inference serving needs in-process thread engines "
+                "(engine_backend tpu/cpu)")
         return struct.pack(
             _FMT, _K_REQUEST, int(obj.exp_packet), 0, obj.epoch, obj.batch_id,
             obj.batch_size, obj.sub_id, obj.total_sub_batches, 0,

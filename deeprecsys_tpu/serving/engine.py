@@ -404,6 +404,40 @@ class ComputeEngine(threading.Thread):
         return {k: jax.device_put(np.asarray(v), self.device)
                 for k, v in split.items() if k != "n_cold"}
 
+    def _assemble_host(self, group, bucket: int) -> Batch:
+        """Bucket-size host batch for a group containing client payloads.
+
+        Rows land at each request's cumulative offset (the completion loop
+        slices scores at the same offsets); requests without a payload and
+        the pad up to ``bucket`` take the pre-generated synthetic rows at
+        the matching positions — identical device work to the load-test
+        path, honest host-assembly cost on the dispatch thread (the
+        reference re-feeds host blobs per request the same way,
+        inferenceEngine.py:200-206)."""
+        base = self._host_data[bucket]
+        dense_parts = [] if base.dense is not None else None
+        idx_parts = []
+        off = 0
+        for r in group:
+            if r.payload is not None:
+                idx_parts.append(r.payload.indices)
+                if dense_parts is not None:
+                    dense_parts.append(r.payload.dense)
+            else:
+                idx_parts.append(base.indices[off:off + r.batch_size])
+                if dense_parts is not None:
+                    dense_parts.append(base.dense[off:off + r.batch_size])
+            off += r.batch_size
+        if off < bucket:  # pad to the compiled bucket shape
+            idx_parts.append(base.indices[off:bucket])
+            if dense_parts is not None:
+                dense_parts.append(base.dense[off:bucket])
+        return Batch(
+            dense=(None if dense_parts is None
+                   else np.concatenate(dense_parts, axis=0)),
+            indices=np.concatenate(idx_parts, axis=0),
+        )
+
     def _device_batch(self, host_batch: Batch) -> Batch:
         if self.mesh is not None:
             from deeprecsys_tpu.parallel.sharding import batch_shardings
@@ -682,6 +716,21 @@ class ComputeEngine(threading.Thread):
                     for r in group:
                         self._emit_error(r, ERR_OVER_LADDER, queue_start)
                     continue
+                # Payload requests can never be clamped: returned scores
+                # must correspond 1:1 to the submitted rows, and an
+                # undercomputed execution has no rows for them. Answer
+                # those with ERR_OVER_LADDER; only the synthetic
+                # (load-modeling) members keep the legacy clamp.
+                keep = []
+                for r in group:
+                    if r.payload is not None:
+                        self.rejected_requests += 1
+                        self._emit_error(r, ERR_OVER_LADDER, queue_start)
+                    else:
+                        keep.append(r)
+                group = keep
+                if not group:
+                    continue
                 # A static ladder topping out below the request size can
                 # only execute the cap — make the undercompute VISIBLE
                 # (counted in /v1/healthz) instead of silently reporting
@@ -698,7 +747,10 @@ class ComputeEngine(threading.Thread):
             self.bucket_counts[bucket] = self.bucket_counts.get(bucket, 0) + 1
             if len(group) > 1:
                 self.coalesced_requests += len(group)
-            host = self._host_data[bucket]
+            if any(r.payload is not None for r in group):
+                host = self._assemble_host(group, bucket)
+            else:
+                host = self._host_data[bucket]
             # Fresh host->device transfer each execution: honest serving
             # cost (the reference re-feeds host blobs through BlobsQueues).
             dev_batch = self._device_batch(host)
@@ -743,6 +795,7 @@ class ComputeEngine(threading.Thread):
                     self._emit_error(request, ERR_READBACK, queue_start)
                 continue
             end = time.time()
+            off = 0  # cumulative row offset — matches _assemble_host
             for request in group:
                 # out_batch_size = executed rows attributable to THIS
                 # request (reference measures the output blob,
@@ -752,6 +805,12 @@ class ComputeEngine(threading.Thread):
                 # the execution N-fold).
                 out_rows = (int(scores.shape[0]) if len(group) == 1
                             else request.batch_size)
+                # Real-inference requests get THEIR rows' scores back
+                # (f32 for the wire — bf16 is an accumulator detail).
+                own_scores = (
+                    scores[off:off + request.batch_size].astype(np.float32)
+                    if request.payload is not None else None)
+                off += request.batch_size
                 self.response_q.put(
                     ServiceResponse(
                         consumer_id=self.engine_id,
@@ -766,6 +825,7 @@ class ComputeEngine(threading.Thread):
                         sub_id=request.sub_id,
                         total_sub_batches=request.total_sub_batches,
                         exp_packet=request.exp_packet,
+                        scores=own_scores,
                     )
                 )
 

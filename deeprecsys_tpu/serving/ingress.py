@@ -177,24 +177,102 @@ class ServingServer:
         device time burnt) and this call raises InferenceError(ERR_DEADLINE)
         — surfaced as HTTP 504.
         """
+        batch_size = max(1, min(int(batch_size), self.cfg.max_mini_batch_size))
+        return self._run_query(batch_size, exp, timeout, deadline_ms, None)
+
+    def predict(self, indices, dense=None, timeout: float = 60.0,
+                deadline_ms: float | None = None) -> dict:
+        """Real inference: run the model on CLIENT-SUPPLIED features and
+        return their scores (the reference has no such path — its engines
+        only ever run pre-generated synthetic rows sliced per request,
+        inferenceEngine.py:200-206).
+
+        ``indices``: (B, T, L) per-table-local ids; ``dense``: (B,
+        dense_dim) floats (required iff the model takes dense features).
+        The query rides the SAME serving fabric as load-modeling traffic —
+        partitioned into sub-batches, coalesced, bucket-padded — and the
+        result dict adds ``scores`` (B x out_dim lists, f32). Thread
+        engines only (tpu/cpu backends): sim engines compute nothing and
+        the cpu-mp POD rings cannot carry arrays."""
+        import numpy as np
+
+        from deeprecsys_tpu.models.base import Batch
+
+        if self.cfg.engine_backend not in ("tpu", "cpu"):
+            raise NotImplementedError(
+                f"predict needs in-process compute engines; backend "
+                f"{self.cfg.engine_backend!r} cannot return scores")
+        m = self.model_cfg
+        idx = np.asarray(indices, dtype=np.int32)  # raises on ragged input
+        T, L = m.num_tables, m.num_indices_per_lookup
+        if idx.ndim != 3 or idx.shape[1:] != (T, L) or idx.shape[0] < 1:
+            raise ValueError(
+                f"indices must have shape (B, {T}, {L}) with B >= 1 for "
+                f"model {m.model_name!r}; got {idx.shape}")
+        if idx.shape[0] > self.cfg.max_mini_batch_size:
+            raise ValueError(
+                f"batch {idx.shape[0]} exceeds max_mini_batch_size "
+                f"{self.cfg.max_mini_batch_size}")
+        rows = np.asarray(m.scaled_rows, dtype=np.int64)[None, :, None]
+        if (idx < 0).any() or (idx >= rows).any():
+            raise ValueError(
+                "indices out of range: each id must satisfy "
+                "0 <= id < rows(table) (per-table-local ids)")
+        if m.dense_dim > 0:
+            if dense is None:
+                raise ValueError(
+                    f"model {m.model_name!r} takes a (B, {m.dense_dim}) "
+                    f"dense input; 'dense' is required")
+            dense = np.asarray(dense, dtype=np.float32)
+            if dense.shape != (idx.shape[0], m.dense_dim):
+                raise ValueError(
+                    f"dense must have shape ({idx.shape[0]}, {m.dense_dim});"
+                    f" got {dense.shape}")
+        elif dense is not None:
+            raise ValueError(f"model {m.model_name!r} takes no dense input")
+        else:
+            dense = None
+        result, rs = self._run_query(
+            idx.shape[0], False, timeout, deadline_ms,
+            Batch(dense=dense, indices=idx), want_responses=True)
+        rs = sorted(rs, key=lambda r: r.sub_id)
+        result["scores"] = np.concatenate([r.scores for r in rs],
+                                          axis=0).tolist()
+        return result
+
+    def _run_query(self, batch_size: int, exp: bool, timeout: float,
+                   deadline_ms: float | None, payload,
+                   want_responses: bool = False):
         cfg = self.cfg
-        batch_size = max(1, min(int(batch_size), cfg.max_mini_batch_size))
         batch_id = next(self._batch_ids)
         arrival = time.time()
         deadline = arrival + deadline_ms / 1000.0 if deadline_ms else 0.0
 
-        to_accel = cfg.model_accel and batch_size >= cfg.accel_request_size_thres
+        # Payload queries stay on the main pool: the accel slot may be a
+        # SimEngine (latency model only), which cannot produce scores.
+        to_accel = (payload is None and cfg.model_accel
+                    and batch_size >= cfg.accel_request_size_thres)
         chunks = [batch_size] if to_accel else partition_query(batch_size, cfg.sub_task_batch_size)
         key = (0, batch_id, exp)
         pend = _Pending(len(chunks))
         with self._lock:
             self._pending[key] = pend
         target_q = self.accel_request_q if to_accel else self.request_q
+        off = 0
         for sub_id, chunk in enumerate(chunks):
+            sub_payload = None
+            if payload is not None:
+                from deeprecsys_tpu.models.base import Batch
+
+                sub_payload = Batch(
+                    dense=(None if payload.dense is None
+                           else payload.dense[off:off + chunk]),
+                    indices=payload.indices[off:off + chunk])
+                off += chunk
             target_q.put(ServiceRequest(
                 batch_id=batch_id, epoch=0, arrival_time=arrival, batch_size=chunk,
                 sub_id=sub_id, total_sub_batches=len(chunks), exp_packet=exp,
-                deadline=deadline))
+                deadline=deadline, payload=sub_payload))
         if not pend.event.wait(timeout):
             with self._lock:
                 # Re-check under the lock: the router may have delivered
@@ -224,7 +302,7 @@ class ServingServer:
             with self._lock:
                 self._completed_ms.append(latency_ms)
                 self._n_completed += 1
-        return {
+        result = {
             "batch_id": batch_id,
             "batch_size": batch_size,
             "sub_batches": len(chunks),
@@ -234,6 +312,7 @@ class ServingServer:
             "inference_ms": max(end - queue_start, 0.0) * 1000.0,
             "engines": sorted({r.consumer_id for r in rs}),
         }
+        return (result, rs) if want_responses else result
 
     def _route_loop(self):
         from deeprecsys_tpu.runtime import Empty as ShmEmpty
@@ -484,6 +563,40 @@ def _make_handler(registry: dict[str, ServingServer], default: str,
                     self._json(200, {"scheduled": len(handles)})
                 except NotImplementedError as e:
                     self._json(501, {"error": str(e)})
+                return
+            if self.path == "/v1/predict" or (
+                    self.path.startswith("/v1/models/")
+                    and self.path.endswith("/predict")):
+                if self.path == "/v1/predict":
+                    server = registry[default]
+                else:
+                    server = self._model_route("predict")
+                    if server is None:
+                        return
+                payload = self._read_json_body()
+                if payload is None:
+                    return
+                try:
+                    if "indices" not in payload:
+                        raise ValueError("'indices' ((B, T, L) ids) is required")
+                    deadline_ms = payload.get("deadline_ms")
+                    if deadline_ms is not None:
+                        deadline_ms = float(deadline_ms)
+                        if deadline_ms <= 0:
+                            raise ValueError("deadline_ms must be > 0")
+                    result = server.predict(payload["indices"],
+                                            dense=payload.get("dense"),
+                                            deadline_ms=deadline_ms)
+                    self._json(200, result)
+                except (ValueError, TypeError) as e:
+                    self._json(400, {"error": f"bad request: {e}"})
+                except NotImplementedError as e:
+                    self._json(501, {"error": str(e)})
+                except TimeoutError as e:
+                    self._json(504, {"error": str(e)})
+                except InferenceError as e:
+                    self._json(504 if e.code == ERR_DEADLINE else 500,
+                               {"error": str(e)})
                 return
             if self.path == "/v1/infer":
                 server = registry[default]

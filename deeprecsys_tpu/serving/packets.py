@@ -54,6 +54,13 @@ class ServiceRequest:
     # requests BEFORE dispatch (no device time burnt) and answer with an
     # ERR_DEADLINE response so waiters unblock immediately.
     deadline: float = 0.0
+    # Client-supplied features: a models/base.Batch of HOST numpy arrays
+    # with exactly ``batch_size`` rows (real-inference path — the engine
+    # runs THESE rows and returns their scores in ``ServiceResponse.scores``).
+    # None = load-modeling request (the reference's only kind: engines run
+    # pre-generated data sliced to batch_size, inferenceEngine.py:200-206).
+    # In-process queues only — the 64-byte POD ring raises on payloads.
+    payload: object = None
 
 
 @dataclasses.dataclass(slots=True)
@@ -71,6 +78,9 @@ class ServiceResponse:
     total_sub_batches: int = 1
     exp_packet: bool = False
     error_code: int = ERR_OK
+    # (batch_size, out_dim) float32 numpy scores for THIS request's rows;
+    # set only when the request carried a payload. In-process only.
+    scores: object = None
 
     def latency(self) -> float:
         return self.inference_end_time - self.arrival_time

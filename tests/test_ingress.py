@@ -470,3 +470,144 @@ def test_reload_over_process_engines(tmp_path):
         assert status == 200
     finally:
         ing.stop()
+
+
+# -- real-input inference (POST /v1/predict) ---------------------------
+
+
+def _valid_indices(model_cfg, batch, seed=0):
+    import numpy as np
+
+    rows = np.asarray(model_cfg.scaled_rows, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+    return rng.integers(0, rows[None, :, None], size=(batch, T, L),
+                        endpoint=False).astype(np.int32)
+
+
+def test_predict_returns_model_scores():
+    """POST /v1/predict runs CLIENT features through the serving fabric
+    (partitioned into sub-batches, bucket-padded) and the returned scores
+    match a direct model.apply on the same rows — the real-inference path
+    the reference lacks entirely (its engines only ever run pre-generated
+    synthetic rows, inferenceEngine.py:200-206)."""
+    import jax
+    import numpy as np
+
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    cfg = ServingConfig(engine_backend="cpu", inference_engines=1,
+                        batch_buckets=(8, 16), max_mini_batch_size=16,
+                        sub_task_batch_size=8)
+    server = ServingServer(model_cfg, cfg)
+    server.start()
+    ing = HttpIngress(server)
+    ing.start()
+    url = "http://%s:%s" % ing.address
+    try:
+        idx = _valid_indices(model_cfg, 16)
+        status, out = _post(f"{url}/v1/predict", {"indices": idx.tolist()})
+        assert status == 200
+        assert out["sub_batches"] == 2 and out["batch_size"] == 16
+        got = np.asarray(out["scores"], dtype=np.float32)
+
+        model = get_model(model_cfg)
+        want = np.asarray(model.apply(
+            server.engines[0].params,
+            Batch(dense=None, indices=jax.numpy.asarray(idx))),
+            dtype=np.float32)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+        # The named-model route answers identically.
+        status, out2 = _post(f"{url}/v1/models/ncf/predict",
+                             {"indices": idx.tolist()})
+        assert status == 200
+        np.testing.assert_allclose(np.asarray(out2["scores"], np.float32),
+                                   want, rtol=1e-5, atol=1e-6)
+    finally:
+        ing.stop()
+        server.stop()
+
+
+def test_predict_validation_and_backend_errors(ingress):
+    """Malformed feature payloads 400 with actionable messages; the sim
+    backend (which computes nothing) 501s instead of fabricating scores."""
+    # ingress fixture = sim backend.
+    try:
+        _post(f"{ingress}/v1/predict", {"indices": [[[0]] * 4]})
+        raise AssertionError("expected 501")
+    except urllib.error.HTTPError as e:
+        assert e.code == 501
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    cfg = ServingConfig(engine_backend="cpu", inference_engines=1,
+                        batch_buckets=(8,), max_mini_batch_size=8)
+    server = ServingServer(model_cfg, cfg)
+    server.start()
+    ing = HttpIngress(server)
+    ing.start()
+    url = "http://%s:%s" % ing.address
+
+    def expect_400(payload, needle):
+        try:
+            _post(f"{url}/v1/predict", payload)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert needle in e.read().decode()
+
+    try:
+        expect_400({}, "indices")                       # missing
+        expect_400({"indices": [[0]]}, "shape")         # wrong rank
+        expect_400({"indices": [[[0], [0]]]}, "shape")  # wrong table count
+        bad = _valid_indices(model_cfg, 2)
+        bad[0, 0, 0] = 10**9                            # out of range
+        expect_400({"indices": bad.tolist()}, "out of range")
+        ok = _valid_indices(model_cfg, 2)
+        expect_400({"indices": ok.tolist(), "dense": [[1.0], [1.0]]},
+                   "no dense input")                    # ncf takes none
+        expect_400({"indices": _valid_indices(model_cfg, 64).tolist()},
+                   "max_mini_batch_size")               # oversize batch
+        # And a valid one still works on this server.
+        status, out = _post(f"{url}/v1/predict", {"indices": ok.tolist()})
+        assert status == 200 and len(out["scores"]) == 2
+    finally:
+        ing.stop()
+        server.stop()
+
+
+def test_predict_dense_model_requires_and_uses_dense():
+    """A dense-featured model (wnd) demands its dense input and the
+    scores actually depend on it."""
+    import numpy as np
+
+    model_cfg = zoo.get_config("wnd", table_scale=2000)
+    cfg = ServingConfig(engine_backend="cpu", inference_engines=1,
+                        batch_buckets=(4,), max_mini_batch_size=4)
+    server = ServingServer(model_cfg, cfg)
+    server.start()
+    ing = HttpIngress(server)
+    ing.start()
+    url = "http://%s:%s" % ing.address
+    try:
+        idx = _valid_indices(model_cfg, 2)
+        try:
+            _post(f"{url}/v1/predict", {"indices": idx.tolist()})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"dense" in e.read()
+        d = model_cfg.dense_dim
+        dense0 = np.zeros((2, d), np.float32).tolist()
+        dense1 = np.full((2, d), 3.0, np.float32).tolist()
+        _, out0 = _post(f"{url}/v1/predict",
+                        {"indices": idx.tolist(), "dense": dense0})
+        _, out1 = _post(f"{url}/v1/predict",
+                        {"indices": idx.tolist(), "dense": dense1})
+        assert not np.allclose(np.asarray(out0["scores"]),
+                               np.asarray(out1["scores"]))
+    finally:
+        ing.stop()
+        server.stop()

@@ -36,6 +36,11 @@ def test_pack_roundtrip():
     resp_err = ServiceResponse(consumer_id=2, batch_id=3, batch_size=8,
                                error_code=3)
     assert unpack_packet(pack_packet(resp_err)) == resp_err
+    # Client-feature payloads cannot cross the fixed 64-byte slot — the
+    # pack must fail LOUDLY, not silently serve synthetic rows.
+    with pytest.raises(TypeError, match="payload"):
+        pack_packet(ServiceRequest(batch_id=1, batch_size=2,
+                                   payload=object()))
 
 
 def test_fifo_and_empty():

@@ -1362,3 +1362,58 @@ def test_engine_negotiates_param_layouts():
                              batch_size=4, total_sub_batches=1))
     assert resp_q.get(timeout=120).error_code == 0
     req_q.put(None)
+
+
+def test_payload_request_coalesced_with_synthetic_traffic():
+    """A client-feature (payload) request coalesced into one bucket
+    execution with load-modeling requests gets exactly ITS rows' scores:
+    the assembly offsets (engine._assemble_host) and the completion-loop
+    score slices must agree."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(
+        inference_engines=1, engine_backend="cpu",
+        batch_buckets=(8, 32), max_mini_batch_size=32,
+        coalesce_requests=True, max_coalesce=4,
+    )
+    rows = np.asarray(model_cfg.scaled_rows, dtype=np.int64)
+    rng = np.random.default_rng(7)
+    T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+    idx = rng.integers(0, rows[None, :, None], size=(8, T, L)).astype(np.int32)
+
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    # Enqueue BEFORE start so the coalescing drain sees all three at once:
+    # synthetic(8) + payload(8) + synthetic(8) -> one 32-bucket execution
+    # with the payload rows at offset [8, 16).
+    now = time.time()
+    req_q.put(ServiceRequest(batch_id=0, arrival_time=now, batch_size=8))
+    req_q.put(ServiceRequest(batch_id=1, arrival_time=now, batch_size=8,
+                             payload=Batch(dense=None, indices=idx)))
+    req_q.put(ServiceRequest(batch_id=2, arrival_time=now, batch_size=8))
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q,
+                        device=jax.devices("cpu")[0])
+    eng.start()
+    assert not isinstance(ready_q.get(timeout=300), Exception)
+    got = {}
+    for _ in range(3):
+        r = resp_q.get(timeout=120)
+        assert r.error_code == 0
+        got[r.batch_id] = r
+    assert eng.coalesced_requests == 3
+    assert got[0].scores is None and got[2].scores is None
+    model = get_model(model_cfg)
+    want = np.asarray(model.apply(
+        eng.params, Batch(dense=None, indices=jax.numpy.asarray(idx))),
+        dtype=np.float32)
+    np.testing.assert_allclose(got[1].scores, want, rtol=1e-5, atol=1e-6)
+    req_q.put(None)
+    eng.join(timeout=30)
