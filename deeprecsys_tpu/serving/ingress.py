@@ -470,6 +470,63 @@ def _health(server: ServingServer) -> dict:
     return out
 
 
+def _prometheus(registry: dict[str, ServingServer]) -> str:
+    """Text exposition (Prometheus 0.0.4) of every model's serving state —
+    the pull-based twin of /v1/healthz + /v1/stats, so operators scrape
+    the framework with stock tooling instead of polling JSON. TPU-native
+    addition (the reference's only observability is stdout prints and a
+    per-response log file, DeepRecSys.py:143-175)."""
+    lines = []
+
+    def metric(name, mtype, help_text, samples):
+        lines.append(f"# HELP {name} {help_text}")
+        lines.append(f"# TYPE {name} {mtype}")
+        for labels, value in samples:
+            lab = ",".join(f'{k}="{v}"' for k, v in labels.items())
+            lines.append(f"{name}{{{lab}}} {value}")
+
+    per_model = {name: (_health(s), s.stats()) for name, s in registry.items()}
+
+    def across(fn):
+        return [({"model": n}, fn(h, st)) for n, (h, st) in per_model.items()]
+
+    metric("drs_up", "gauge", "1 when every engine is live, else 0",
+           across(lambda h, st: 1 if h["status"] == "ok" else 0))
+    metric("drs_engines_live", "gauge", "live engine threads/processes",
+           across(lambda h, st: h["live_engines"]))
+    metric("drs_engines_total", "gauge", "configured engines",
+           across(lambda h, st: h["engines"]))
+    metric("drs_queries_completed_total", "counter",
+           "completed (non-warm-up) queries",
+           across(lambda h, st: st["completed"]))
+    metric("drs_qps", "gauge", "completed queries per second since start",
+           across(lambda h, st: st["qps"]))
+    for q in ("p50", "p95", "p99"):
+        metric(f"drs_query_latency_{q}_ms", "gauge",
+               f"{q} query latency over the recent completion window (ms)",
+               across(lambda h, st, q=q: st.get(f"{q}_ms", float("nan"))))
+    for counter, help_text in (
+            ("clamped_requests", "requests undercomputed at a static ladder cap"),
+            ("expired_requests", "deadline-expired requests dropped pre-dispatch"),
+            ("rejected_requests", "over-ladder requests answered with an error"),
+    ):
+        metric(f"drs_{counter}_total", "counter", help_text,
+               across(lambda h, st, c=counter: h.get(c, 0)))
+    metric("drs_coalesced_requests_total", "counter",
+           "requests served inside a multi-request coalesced execution",
+           [({"model": n},
+             sum(getattr(e, "coalesced_requests", 0) for e in s.engines))
+            for n, s in registry.items()])
+    bucket_samples = []
+    for n, (h, _) in per_model.items():
+        for b, c in (h.get("bucket_executions") or {}).items():
+            bucket_samples.append(({"model": n, "bucket": b}, c))
+    if bucket_samples:
+        metric("drs_bucket_executions_total", "counter",
+               "device executions per compiled batch bucket", bucket_samples)
+    return "\n".join(lines) + "\n"
+
+
 def _make_handler(registry: dict[str, ServingServer], default: str,
                   reload_guard=None):
     """Routes: the single-model endpoints act on the ``default`` model;
@@ -517,7 +574,15 @@ def _make_handler(registry: dict[str, ServingServer], default: str,
             return server
 
         def do_GET(self):
-            if self.path == "/v1/healthz":
+            if self.path == "/metrics":
+                body = _prometheus(registry).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/v1/healthz":
                 self._json(200, _health(registry[default]))
             elif self.path == "/v1/stats":
                 self._json(200, registry[default].stats())

@@ -611,3 +611,35 @@ def test_predict_dense_model_requires_and_uses_dense():
     finally:
         ing.stop()
         server.stop()
+
+
+def test_prometheus_metrics_exposition(ingress):
+    """GET /metrics serves a Prometheus 0.0.4 text exposition covering
+    liveness, query counters, latency quantiles, and admission counters —
+    scrapeable by stock tooling (the reference's only observability is
+    stdout prints + a response log file, DeepRecSys.py:143-175)."""
+    _post(f"{ingress}/v1/infer", {"batch_size": 8})
+    req = urllib.request.Request(f"{ingress}/metrics")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    assert 'drs_up{model="ncf"} 1' in body
+    assert 'drs_engines_live{model="ncf"}' in body
+    # At least the one completed query is counted, and the latency
+    # quantiles are present once a window exists.
+    for line in body.splitlines():
+        if line.startswith('drs_queries_completed_total{model="ncf"}'):
+            assert int(float(line.split()[-1])) >= 1
+            break
+    else:
+        raise AssertionError("completed-queries sample missing")
+    assert "drs_query_latency_p95_ms" in body
+    assert "drs_expired_requests_total" in body
+    # Every sample line parses as <name>{labels} <float>.
+    for line in body.splitlines():
+        if line.startswith("#") or not line:
+            continue
+        name_labels, value = line.rsplit(" ", 1)
+        float(value)
+        assert "{" in name_labels and name_labels.endswith("}")
