@@ -563,3 +563,50 @@ def test_mesh_bench_tool_records_artifact(tmp_path, monkeypatch):
                 (row if isinstance(row, list) else [row])]
         assert sum(flat) == v["n_cold_total"]
         assert len(flat) == d * m
+
+
+def test_payload_scores_through_mesh_engine():
+    """Client-feature (payload) requests through a hybrid-sharded mesh
+    engine: the assembled batch shards over "data", tables over "model",
+    and the returned scores match the single-device forward."""
+    import queue
+    import time
+
+    import jax
+    import numpy as np
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    model_cfg = zoo.get_config("rm1", table_scale=SCALE)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8)
+    mesh = make_mesh(data=2, model=4)
+    rows = np.asarray(model_cfg.scaled_rows, dtype=np.int64)
+    rng = np.random.default_rng(13)
+    T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+    idx = rng.integers(0, rows[None, :, None], size=(8, T, L)).astype(np.int32)
+    dense = rng.normal(size=(8, model_cfg.dense_dim)).astype(np.float32)
+
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q, mesh=mesh)
+    eng.start()
+    assert not isinstance(ready_q.get(timeout=600), Exception)
+    req_q.put(ServiceRequest(batch_id=0, arrival_time=time.time(),
+                             batch_size=8,
+                             payload=Batch(dense=dense, indices=idx)))
+    r = resp_q.get(timeout=120)
+    assert r.error_code == 0 and r.scores is not None
+
+    model = get_model(model_cfg)
+    want = np.asarray(model.apply(
+        model.init(jax.random.PRNGKey(0)),
+        Batch(dense=jax.numpy.asarray(dense),
+              indices=jax.numpy.asarray(idx))), dtype=np.float32)
+    np.testing.assert_allclose(r.scores, want, rtol=2e-4, atol=1e-5)
+    req_q.put(None)
+    eng.join(timeout=30)

@@ -1417,3 +1417,49 @@ def test_payload_request_coalesced_with_synthetic_traffic():
     np.testing.assert_allclose(got[1].scores, want, rtol=1e-5, atol=1e-6)
     req_q.put(None)
     eng.join(timeout=30)
+
+
+def test_payload_scores_through_hotcold_engine():
+    """predict-style payload requests work through the hot/cold lookup
+    engine too: assembled client rows go through prepare()'s split and
+    come back with the same scores as the plain model."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE).replace(
+        embedding_impl="hotcold", hot_set_rows=32)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8)
+    rows = np.asarray(model_cfg.scaled_rows, dtype=np.int64)
+    rng = np.random.default_rng(11)
+    T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+    idx = rng.integers(0, rows[None, :, None], size=(8, T, L)).astype(np.int32)
+
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q,
+                        device=jax.devices("cpu")[0])
+    eng.start()
+    assert not isinstance(ready_q.get(timeout=300), Exception)
+    req_q.put(ServiceRequest(batch_id=0, arrival_time=time.time(),
+                             batch_size=8,
+                             payload=Batch(dense=None, indices=idx)))
+    r = resp_q.get(timeout=120)
+    assert r.error_code == 0 and r.scores is not None
+
+    # Engine params are the CONVERTED hotcold tree; rebuild the plain
+    # model at the engine's seed (0) for the reference forward.
+    plain_cfg = model_cfg.replace(embedding_impl="xla")
+    model = get_model(plain_cfg)
+    want = np.asarray(model.apply(
+        model.init(jax.random.PRNGKey(0)),
+        Batch(dense=None, indices=jax.numpy.asarray(idx))), dtype=np.float32)
+    np.testing.assert_allclose(r.scores, want, rtol=1e-5, atol=1e-6)
+    req_q.put(None)
+    eng.join(timeout=30)
