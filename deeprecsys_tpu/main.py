@@ -85,6 +85,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory checkpoint paths for POST /v1/reload "
                         "must live under; required to enable reloads on a "
                         "non-loopback --host")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="start from this trained checkpoint "
+                        "(utils.checkpoint layout: <path>.npz + treedef "
+                        "sidecar) instead of random init — standalone, "
+                        "--queue, and --serve (applied to --model; other "
+                        "--serve_models keep random init)")
+    p.add_argument("--score_output", type=str, default=None,
+                   help="standalone mode: write the last epoch's scores "
+                        "to this .npz (offline batch scoring; combine "
+                        "with --checkpoint and --data_generation dataset)")
     p.add_argument("--inference_engines", type=int, default=1)
     p.add_argument("--engine_backend", type=str, default="tpu",
                    choices=("tpu", "cpu", "cpu-mp", "sim"))
@@ -225,6 +235,18 @@ def _calibrated_latency_model(model_cfg: ModelConfig):
     return lm
 
 
+def _checkpoint_params(model_cfg: ModelConfig, path: str):
+    """Load a trained checkpoint against the model's param skeleton
+    (shape/dtype template via eval_shape — no throwaway random init)."""
+    import jax
+
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.utils.checkpoint import load_params
+
+    template = jax.eval_shape(get_model(model_cfg).init, jax.random.PRNGKey(0))
+    return load_params(path, template)
+
+
 def run_standalone(model_cfg: ModelConfig, args) -> dict:
     """Characterization loop (reference inferenceEngine.py:137-173 and each
     model's __main__): separates data-generation time from device compute
@@ -236,7 +258,11 @@ def run_standalone(model_cfg: ModelConfig, args) -> dict:
     from deeprecsys_tpu.models.base import Batch
 
     model = get_model(model_cfg)
-    params = model.init(jax.random.PRNGKey(args.numpy_rand_seed))
+    if getattr(args, "checkpoint", None):
+        params = _checkpoint_params(model_cfg, args.checkpoint)
+        params = jax.device_put(params)
+    else:
+        params = model.init(jax.random.PRNGKey(args.numpy_rand_seed))
     gen = RecDataGenerator(model_cfg, seed=args.numpy_rand_seed,
                            data_generation=args.data_generation,
                            trace_file=args.synthetic_data_trace_file,
@@ -263,6 +289,18 @@ def run_standalone(model_cfg: ModelConfig, args) -> dict:
         for _ in range(args.nepochs):
             outs = [fn(params, b) for b in dev]
             jax.block_until_ready(outs)
+    if getattr(args, "score_output", None):
+        # Offline batch scoring: the per-batch outputs the characterization
+        # loop already computed, concatenated and written f32 (the
+        # reference discards its outputs after measuring the blob size,
+        # inferenceEngine.py:52-58).
+        import numpy as np
+
+        scores = np.concatenate(
+            [np.asarray(o).astype(np.float32) for o in outs], axis=0)
+        np.savez(args.score_output, scores=scores)
+        print(f"[deeprecsys_tpu] wrote {scores.shape[0]} x "
+              f"{scores.shape[1]} scores to {args.score_output}", flush=True)
     # The compute total comes from a chained-readback measurement, not the
     # loop above: through relayed PJRT backends block_until_ready is not a
     # trustworthy fence and per-call dispatch dominates (utils/timing.py).
@@ -332,9 +370,12 @@ def main(argv=None):
                 lm = _calibrated_latency_model(m_cfg) if need_lm else None
                 # In sim mode the offload engine is simulated too (the
                 # reference's accelerator is always simulated).
-                registry[name] = ServingServer(m_cfg, serving_cfg,
-                                               latency_model=lm,
-                                               accel_latency_model=lm)
+                registry[name] = ServingServer(
+                    m_cfg, serving_cfg, latency_model=lm,
+                    accel_latency_model=lm,
+                    params=(_checkpoint_params(m_cfg, args.checkpoint)
+                            if args.checkpoint
+                            and name == model_cfg.model_name else None))
             for s_ in registry.values():
                 s_.start()
             ingress = HttpIngress(registry, host=args.host, port=args.port,
@@ -343,7 +384,10 @@ def main(argv=None):
         else:
             lm = _calibrated_latency_model(model_cfg) if need_lm else None
             server = ServingServer(model_cfg, serving_cfg, latency_model=lm,
-                                   accel_latency_model=lm)
+                                   accel_latency_model=lm,
+                                   params=(_checkpoint_params(
+                                       model_cfg, args.checkpoint)
+                                       if args.checkpoint else None))
             server.start()
             ingress = HttpIngress(server, host=args.host, port=args.port,
                                   reload_root=args.reload_root)
@@ -384,7 +428,10 @@ def main(argv=None):
             # every other backend.
             res = run_serving(model_cfg, serving_cfg, latency_model=lm,
                               accel_latency_model=lm,
-                              log_responses=args.log_file is not None)
+                              log_responses=args.log_file is not None,
+                              params=(_checkpoint_params(
+                                  model_cfg, args.checkpoint)
+                                  if args.checkpoint else None))
         print("Measured QPS: ", res.measured_qps)
         print("Measured p95 tail-latency: ", res.p95_ms, " ms")
         print("Measured p99 tail-latency: ", res.p99_ms, " ms")

@@ -212,3 +212,42 @@ def test_bench_end_to_end_emits_valid_json(tmp_path, capsys, monkeypatch):
     assert isinstance(out2["vs_baseline"], (int, float))
     base = json.loads((tmp_path / "cpu_baseline.json").read_text())
     assert set(base["results"]) >= {"ncf", "wnd", "dien"}
+
+
+def test_standalone_checkpoint_and_score_output(tmp_path):
+    """Offline batch scoring: --checkpoint starts from trained weights
+    (not random init) and --score_output writes the computed scores —
+    the train -> checkpoint -> score loop without a serving process.
+    (The reference discards its outputs after measuring the blob size,
+    inferenceEngine.py:52-58, and re-randomizes weights every start.)"""
+    import jax
+    import numpy as np
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.utils.checkpoint import save_params
+
+    cfg = zoo.get_config("ncf", table_scale=2000)
+    model = get_model(cfg)
+    # A DIFFERENT key than the CLI's seed-0 default init: matching scores
+    # can only come from the checkpoint actually being loaded.
+    trained = model.init(jax.random.PRNGKey(99))
+    save_params(tmp_path / "ckpt", trained)
+
+    out = tmp_path / "scores.npz"
+    main(["--model", "ncf", "--table_scale", "2000", "--num_batches", "3",
+          "--mini_batch_size", "4", "--nepochs", "1",
+          "--checkpoint", str(tmp_path / "ckpt"),
+          "--score_output", str(out)])
+    with np.load(out) as d:
+        scores = d["scores"]
+    assert scores.shape[0] == 12  # 3 batches x 4 rows
+
+    gen = RecDataGenerator(cfg, seed=123)  # the CLI's numpy_rand_seed default
+    batches = [gen.generate_batch(4) for _ in range(3)]
+    want = np.concatenate([np.asarray(model.apply(
+        trained, Batch(dense=None, indices=jax.numpy.asarray(b.indices))),
+        dtype=np.float32) for b in batches], axis=0)
+    np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-6)

@@ -1139,6 +1139,90 @@ def job_train(model, batch=512, table_scale=1, iters=16, dedup=False):
     return r
 
 
+def job_predict_serving(model="ncf", n_queries=40):
+    """Real-input inference on the REAL chip: POST /v1/predict with
+    client-supplied features against a TPU-backed ingress — the evidence
+    that the payload path (assembly, bucket padding, score slicing)
+    holds on hardware, not just the virtual-CPU tests. Correctness here
+    is determinism + shape + finiteness (numerical parity vs the plain
+    forward is proven on CPU in test_ingress/test_serving; re-proving it
+    on-chip would cost a fresh eager/jit program per check). Latencies
+    are relay-bound as always (benchmarks/README.md)."""
+    import json as _json
+    import urllib.request
+
+    import numpy as np
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.serving.ingress import HttpIngress, ServingServer
+
+    model_cfg = zoo.get_config(model, table_scale=8, param_dtype="bfloat16",
+                               compute_dtype="bfloat16")
+    cfg = ServingConfig(engine_backend="tpu", inference_engines=1,
+                        batch_buckets=(64, 128), max_mini_batch_size=128,
+                        sub_task_batch_size=64)
+    server = ServingServer(model_cfg, cfg)
+    server.start(timeout=900)
+    ing = HttpIngress(server)
+    ing.start()
+    base = "http://%s:%s" % ing.address
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            base + path, data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return _json.loads(r.read())
+
+    rng = np.random.default_rng(0)
+    rows = np.asarray(model_cfg.scaled_rows, dtype=np.int64)
+    T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+
+    def features(b):
+        body = {"indices": rng.integers(
+            0, rows[None, :, None], size=(b, T, L)).astype(np.int32).tolist()}
+        if model_cfg.dense_dim:
+            body["dense"] = rng.normal(
+                size=(b, model_cfg.dense_dim)).astype(np.float32).tolist()
+        return body
+
+    lat_ms, out_dim = [], None
+    try:
+        # Determinism on-chip: the same features twice -> identical scores.
+        fixed = features(32)
+        s1 = np.asarray(post("/v1/predict", fixed)["scores"], np.float32)
+        s2 = np.asarray(post("/v1/predict", fixed)["scores"], np.float32)
+        if not np.array_equal(s1, s2):
+            raise RuntimeError("predict is not deterministic on the chip")
+        out_dim = int(s1.shape[1])
+        for i in range(n_queries):
+            b = int(rng.integers(1, 129))
+            out = post("/v1/predict", features(b))
+            sc = np.asarray(out["scores"], np.float32)
+            if sc.shape != (b, out_dim) or not np.isfinite(sc).all():
+                raise RuntimeError(
+                    f"bad scores at query {i}: shape {sc.shape}, "
+                    f"finite={np.isfinite(sc).all()}")
+            lat_ms.append(out["latency_ms"])
+        metrics = urllib.request.urlopen(base + "/metrics",
+                                         timeout=60).read().decode()
+        if f'drs_up{{model="{model}"}} 1' not in metrics:
+            raise RuntimeError("/metrics does not report the server up")
+    finally:
+        ing.stop()
+        server.stop()
+    r = {"model": model, "n_queries": n_queries, "out_dim": out_dim,
+         "deterministic": True,
+         "p50_ms": float(np.percentile(lat_ms, 50)),
+         "p95_ms": float(np.percentile(lat_ms, 95)),
+         "note": "latencies relay-bound; correctness = determinism + "
+                 "shape + finiteness (parity proven on CPU tests)"}
+    log(f"predict_serving {model}: {n_queries} queries OK, "
+        f"p50 {r['p50_ms']:.1f} ms / p95 {r['p95_ms']:.1f} ms (relay-bound)")
+    return r
+
+
 def job_soak(model="ncf", minutes=30, rate_qps=4.0):
     """Continuous-serving stability soak on the real chip: HTTP ingress +
     one TPU ComputeEngine under steady Poisson load for `minutes`,
@@ -1483,6 +1567,11 @@ JOBS = [
     # 22%-above-wall residual at the exact bench configuration.
     ("hlo_profile4:din", lambda: job_hlo_profile(
         "din", table_scale=1, pack=0, negotiate=True)),
+    # Round 3: real-input inference (POST /v1/predict) exercised on the
+    # real chip — payload assembly, bucket padding, score slicing, and
+    # the /metrics exposition through a TPU-backed ingress.
+    ("predict_serving:ncf", lambda: job_predict_serving("ncf")),
+    ("predict_serving:rm3", lambda: job_predict_serving("rm3")),
 ]
 
 
