@@ -236,15 +236,10 @@ def _calibrated_latency_model(model_cfg: ModelConfig):
 
 
 def _checkpoint_params(model_cfg: ModelConfig, path: str):
-    """Load a trained checkpoint against the model's param skeleton
-    (shape/dtype template via eval_shape — no throwaway random init)."""
-    import jax
+    """Load a trained checkpoint against the model's param skeleton."""
+    from deeprecsys_tpu.utils.checkpoint import load_model_params
 
-    from deeprecsys_tpu.models import get_model
-    from deeprecsys_tpu.utils.checkpoint import load_params
-
-    template = jax.eval_shape(get_model(model_cfg).init, jax.random.PRNGKey(0))
-    return load_params(path, template)
+    return load_model_params(model_cfg, path)
 
 
 def run_standalone(model_cfg: ModelConfig, args) -> dict:
@@ -285,11 +280,15 @@ def run_standalone(model_cfg: ModelConfig, args) -> dict:
         jax.profiler.trace(args.profile_dir) if args.enable_profiling
         else contextlib.nullcontext()
     )
+    outs = None
     with profiler_ctx:
         for _ in range(args.nepochs):
             outs = [fn(params, b) for b in dev]
             jax.block_until_ready(outs)
     if getattr(args, "score_output", None):
+        if outs is None:  # --nepochs 0: still score (scores ARE the ask)
+            outs = [fn(params, b) for b in dev]
+            jax.block_until_ready(outs)
         # Offline batch scoring: the per-batch outputs the characterization
         # loop already computed, concatenated and written f32 (the
         # reference discards its outputs after measuring the blob size,
@@ -373,9 +372,9 @@ def main(argv=None):
                 registry[name] = ServingServer(
                     m_cfg, serving_cfg, latency_model=lm,
                     accel_latency_model=lm,
-                    params=(_checkpoint_params(m_cfg, args.checkpoint)
-                            if args.checkpoint
-                            and name == model_cfg.model_name else None))
+                    checkpoint_path=(args.checkpoint if args.checkpoint
+                                     and name == model_cfg.model_name
+                                     else None))
             for s_ in registry.values():
                 s_.start()
             ingress = HttpIngress(registry, host=args.host, port=args.port,
@@ -385,9 +384,7 @@ def main(argv=None):
             lm = _calibrated_latency_model(model_cfg) if need_lm else None
             server = ServingServer(model_cfg, serving_cfg, latency_model=lm,
                                    accel_latency_model=lm,
-                                   params=(_checkpoint_params(
-                                       model_cfg, args.checkpoint)
-                                       if args.checkpoint else None))
+                                   checkpoint_path=args.checkpoint)
             server.start()
             ingress = HttpIngress(server, host=args.host, port=args.port,
                                   reload_root=args.reload_root)
@@ -429,9 +426,7 @@ def main(argv=None):
             res = run_serving(model_cfg, serving_cfg, latency_model=lm,
                               accel_latency_model=lm,
                               log_responses=args.log_file is not None,
-                              params=(_checkpoint_params(
-                                  model_cfg, args.checkpoint)
-                                  if args.checkpoint else None))
+                              checkpoint_path=args.checkpoint)
         print("Measured QPS: ", res.measured_qps)
         print("Measured p95 tail-latency: ", res.p95_ms, " ms")
         print("Measured p99 tail-latency: ", res.p99_ms, " ms")

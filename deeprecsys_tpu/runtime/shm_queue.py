@@ -29,13 +29,15 @@ assert struct.calcsize(_FMT) == 64
 
 _K_REQUEST, _K_RESPONSE, _K_SENTINEL, _K_RELOAD = 0, 1, 2, 3
 
-# Reload fragments carry a checkpoint PATH across the POD ring in 59-byte
+# Reload fragments carry a checkpoint PATH across the POD ring in 58-byte
 # utf-8 chunks (the zero-downtime reload side channel for cpu-mp process
-# engines; paths up to 255*59 bytes). Single producer per control ring,
-# so fragments arrive in order.
-_FMT_RELOAD = "<BBBB59sx"  # kind, seq, total, frag_len, payload, pad
+# engines; paths up to 255*58 bytes). ``gen`` tags every fragment AND the
+# engine's ACK with the reload request that produced it: without it, a
+# superseding reload's ACK could resolve the wrong handle, and two
+# concurrent producers' interleaved fragments could not be reassembled.
+_FMT_RELOAD = "<BBBBB58sx"  # kind, gen, seq, total, frag_len, payload, pad
 assert struct.calcsize(_FMT_RELOAD) == 64
-_RELOAD_CHUNK = 59
+_RELOAD_CHUNK = 58
 
 
 import dataclasses as _dc
@@ -43,21 +45,25 @@ import dataclasses as _dc
 
 @_dc.dataclass(slots=True)
 class ReloadFragment:
-    """One 59-byte chunk of a checkpoint path (transport detail of the
-    cpu-mp reload channel; engines reassemble in sequence order)."""
+    """One 58-byte chunk of a checkpoint path (transport detail of the
+    cpu-mp reload channel; engines reassemble per ``gen`` in sequence
+    order and echo ``gen`` in the ACK)."""
 
+    gen: int
     seq: int
     total: int
     payload: bytes
 
 
-def reload_fragments(path: str) -> "list[ReloadFragment]":
+def reload_fragments(path: str, gen: int = 0) -> "list[ReloadFragment]":
+    if not 0 <= gen <= 255:
+        raise ValueError(f"gen must fit one byte; got {gen}")
     raw = path.encode()
     chunks = [raw[i:i + _RELOAD_CHUNK]
               for i in range(0, len(raw), _RELOAD_CHUNK)] or [b""]
     if len(chunks) > 255:
         raise ValueError(f"checkpoint path too long ({len(raw)} bytes)")
-    return [ReloadFragment(seq=i, total=len(chunks), payload=c)
+    return [ReloadFragment(gen=gen, seq=i, total=len(chunks), payload=c)
             for i, c in enumerate(chunks)]
 
 
@@ -65,8 +71,8 @@ def pack_packet(obj) -> bytes:
     if obj is None:
         return struct.pack(_FMT, _K_SENTINEL, 0, 0, 0, 0, 0, 0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0)
     if isinstance(obj, ReloadFragment):
-        return struct.pack(_FMT_RELOAD, _K_RELOAD, obj.seq, obj.total,
-                           len(obj.payload), obj.payload)
+        return struct.pack(_FMT_RELOAD, _K_RELOAD, obj.gen, obj.seq,
+                           obj.total, len(obj.payload), obj.payload)
     if isinstance(obj, ServiceRequest):
         if obj.payload is not None:
             # The real-inference path (client feature payloads) cannot
@@ -93,8 +99,9 @@ def pack_packet(obj) -> bytes:
 
 def unpack_packet(buf: bytes):
     if buf[0] == _K_RELOAD:
-        _, seq, total, n, payload = struct.unpack_from(_FMT_RELOAD, buf)
-        return ReloadFragment(seq=seq, total=total, payload=payload[:n])
+        _, gen, seq, total, n, payload = struct.unpack_from(_FMT_RELOAD, buf)
+        return ReloadFragment(gen=gen, seq=seq, total=total,
+                              payload=payload[:n])
     (kind, exp, consumer, epoch, batch_id, bsz, sub, total, out,
      arr, qs, qe, inf, err) = struct.unpack_from(_FMT, buf)
     if kind == _K_SENTINEL:

@@ -171,7 +171,7 @@ class ComputeEngine(threading.Thread):
         # engine). Applied reloads are ACKed on the response ring with
         # batch_id = RELOAD_ACK_BATCH_ID.
         self.control_q = control_q
-        self._reload_frags: list = []
+        self._reload_frags: dict = {}  # gen -> accumulated fragments
         self._param_formats = None  # negotiated layouts (single-device)
 
     # -- setup ---------------------------------------------------------
@@ -587,8 +587,11 @@ class ComputeEngine(threading.Thread):
 
     def _poll_control(self):
         """Drain the cpu-mp reload side channel: reassemble ReloadFragment
-        path chunks (in order — single producer per control ring) and
-        apply + ACK each completed path."""
+        path chunks PER GENERATION (concurrent reload requests may
+        interleave their fragments on the ring; each request carries its
+        own gen tag) and apply + ACK each completed path. The ACK echoes
+        the gen in ``sub_id`` so the ingress resolves the handle that made
+        THIS request — not whichever reload happens to be newest."""
         if self.control_q is None:
             return
         while True:
@@ -598,19 +601,23 @@ class ComputeEngine(threading.Thread):
                 return
             if frag is None:
                 continue
-            self._reload_frags.append(frag)
-            if frag.seq + 1 < frag.total:
-                continue
-            # Last fragment: reassemble (tolerate a torn sequence by
-            # keeping only the trailing run that starts at seq 0).
-            frags = self._reload_frags
-            self._reload_frags = []
-            if len(frags) != frag.total or frags[0].seq != 0:
+            buf = self._reload_frags.setdefault(frag.gen, [])
+            if frag.seq != len(buf):
+                # Torn within one gen (producer died mid-path): drop the
+                # partial sequence; a fresh seq-0 fragment starts over.
                 print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id} "
-                      f"dropped a torn reload-path sequence "
-                      f"({len(frags)}/{frag.total} fragments)", flush=True)
+                      f"dropped a torn reload-path sequence (gen {frag.gen},"
+                      f" got seq {frag.seq} after {len(buf)} fragments)",
+                      flush=True)
+                self._reload_frags.pop(frag.gen, None)
+                if frag.seq != 0:
+                    continue
+                buf = self._reload_frags.setdefault(frag.gen, [])
+            buf.append(frag)
+            if len(buf) < frag.total:
                 continue
-            path = b"".join(f.payload for f in frags).decode()
+            del self._reload_frags[frag.gen]
+            path = b"".join(f.payload for f in buf).decode()
             handle = ReloadHandle(path)
             self._apply_reload(handle)
             now = time.time()
@@ -620,7 +627,7 @@ class ComputeEngine(threading.Thread):
                 arrival_time=now, queue_start_time=now, queue_end_time=now,
                 inference_end_time=now,
                 out_batch_size=0 if handle.error is not None else 1,
-                sub_id=0, total_sub_batches=1, exp_packet=True,
+                sub_id=frag.gen, total_sub_batches=1, exp_packet=True,
                 error_code=ERR_RELOAD if handle.error is not None else 0))
             if handle.error is not None:
                 print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id} "

@@ -83,6 +83,7 @@ class ServingServer:
         latency_model: LatencyModel | None = None,
         accel_latency_model: LatencyModel | None = None,
         params=None,
+        checkpoint_path: str | None = None,
     ):
         import collections
 
@@ -110,13 +111,23 @@ class ServingServer:
             # in-parent engine and is not supported in this mode.
             if cfg.model_accel:
                 raise NotImplementedError("model_accel with cpu-mp ingress")
+            if params is not None:
+                # A loaded pytree cannot cross the POD rings; silently
+                # random-initializing the children while the caller
+                # believes trained weights are serving would be worse
+                # than failing here.
+                raise ValueError(
+                    "cpu-mp engines cannot take a params pytree; pass "
+                    "checkpoint_path= instead (each child loads it)")
             from deeprecsys_tpu.serving.process_engine import spawn_process_engines
 
             (self.request_q, self.response_q, self.ready_q,
              self.procs, self._cleanup,
-             self._control_rings) = spawn_process_engines(model_cfg, cfg)
+             self._control_rings) = spawn_process_engines(
+                 model_cfg, cfg, checkpoint_path=checkpoint_path)
             self.n_engines = cfg.inference_engines
-            self._mp_reload: dict[int, object] = {}  # engine_id -> handle
+            self._mp_reload: dict[tuple, object] = {}  # (engine, gen) -> handle
+            self._mp_send_lock = threading.Lock()
             self._router = threading.Thread(target=self._route_loop, daemon=True,
                                             name="ingress-router")
             return
@@ -124,6 +135,10 @@ class ServingServer:
         self.request_q = queue.Queue(maxsize=1024)
         self.response_q = queue.Queue()
         self.ready_q = queue.Queue()
+        if params is None and checkpoint_path:
+            from deeprecsys_tpu.utils.checkpoint import load_model_params
+
+            params = load_model_params(model_cfg, checkpoint_path)
         from deeprecsys_tpu.serving.engine import build_engine_pool
 
         self.engines, self.n_engines = build_engine_pool(
@@ -203,7 +218,17 @@ class ServingServer:
                 f"predict needs in-process compute engines; backend "
                 f"{self.cfg.engine_backend!r} cannot return scores")
         m = self.model_cfg
-        idx = np.asarray(indices, dtype=np.int32)  # raises on ragged input
+        idx = np.asarray(indices)  # raises on ragged input
+        if idx.dtype.kind == "f":
+            # JSON serializers commonly emit ids as floats (1.0): accept
+            # exact integers, but never TRUNCATE — 1.9 -> 1 would silently
+            # return scores for the wrong embedding rows.
+            if not np.isfinite(idx).all() or (idx != np.floor(idx)).any():
+                raise ValueError(
+                    "indices must be integer ids (got non-integral floats)")
+        elif idx.dtype.kind not in "iu":
+            raise ValueError(
+                f"indices must be integer ids; got dtype {idx.dtype}")
         T, L = m.num_tables, m.num_indices_per_lookup
         if idx.ndim != 3 or idx.shape[1:] != (T, L) or idx.shape[0] < 1:
             raise ValueError(
@@ -214,10 +239,13 @@ class ServingServer:
                 f"batch {idx.shape[0]} exceeds max_mini_batch_size "
                 f"{self.cfg.max_mini_batch_size}")
         rows = np.asarray(m.scaled_rows, dtype=np.int64)[None, :, None]
+        # Range-check BEFORE the int32 cast: an id >= 2**31 would wrap and
+        # could pass the bound check after truncation.
         if (idx < 0).any() or (idx >= rows).any():
             raise ValueError(
                 "indices out of range: each id must satisfy "
                 "0 <= id < rows(table) (per-table-local ids)")
+        idx = idx.astype(np.int32)
         if m.dense_dim > 0:
             if dense is None:
                 raise ValueError(
@@ -325,9 +353,12 @@ class ServingServer:
             if r is None:  # an engine exited
                 continue
             if r.batch_id == RELOAD_ACK_BATCH_ID:
-                # cpu-mp reload ACK: resolve the acking engine's handle.
+                # cpu-mp reload ACK: sub_id echoes the request's gen tag,
+                # so this resolves the handle whose request was applied —
+                # a superseding reload's ACK cannot resolve the wrong one.
                 with self._lock:
-                    h = getattr(self, "_mp_reload", {}).pop(r.consumer_id, None)
+                    h = getattr(self, "_mp_reload", {}).pop(
+                        (r.consumer_id, r.sub_id), None)
                 if h is not None:
                     if r.error_code:
                         h.error = RuntimeError(
@@ -374,31 +405,43 @@ class ServingServer:
 
     def _reload_mp(self, path: str) -> list:
         """cpu-mp reload: ship the path to every engine process over its
-        control ring. A newer reload supersedes a pending one (same
-        contract as ComputeEngine.request_reload)."""
+        control ring. Unlike the thread-engine slot (where a newer request
+        supersedes a pending one), fragments already on a ring cannot be
+        un-sent — every shipped request WILL be applied in order, so each
+        gets its own generation tag and each engine ACK resolves exactly
+        the handle whose request it answers (the last-applied reload's
+        params win, matching the thread-path contract)."""
         from deeprecsys_tpu.runtime.shm_queue import reload_fragments
         from deeprecsys_tpu.serving.engine import ReloadHandle
 
-        frags = reload_fragments(path)
-        handles = []
-        superseded = []
         with self._lock:
+            gen = self._mp_reload_gen = (
+                getattr(self, "_mp_reload_gen", 0) % 255) + 1
+            handles = []
             for eid, ring in enumerate(self._control_rings):
                 h = ReloadHandle(path)
-                prev = self._mp_reload.get(eid)
-                if prev is not None and not prev.event.is_set():
-                    superseded.append((prev, path))
-                self._mp_reload[eid] = h
-                handles.append((ring, h))
-            self._reload_handles = [h for _, h in handles]
-        for prev, newer in superseded:
-            prev.error = RuntimeError(
-                f"superseded by a newer reload request ({newer})")
-            prev.event.set()
-        for ring, _ in handles:
-            for f in frags:
-                ring.put(f, timeout=5.0)
-        return [h for _, h in handles]
+                self._mp_reload[(eid, gen)] = h
+                handles.append((eid, ring, h))
+            self._reload_handles = [h for _, _, h in handles]
+        frags = reload_fragments(path, gen=gen)
+        # One sender at a time: concurrent handler threads interleaving
+        # fragments on the same ring would tear both sequences.
+        with self._mp_send_lock:
+            for eid, ring, h in handles:
+                try:
+                    for f in frags:
+                        ring.put(f, timeout=5.0)
+                except TimeoutError as e:
+                    # Ring full (engine dead or wedged): resolve THIS
+                    # handle now — nothing will ever ACK it — and keep
+                    # shipping to the other engines.
+                    with self._lock:
+                        self._mp_reload.pop((eid, gen), None)
+                    h.error = RuntimeError(
+                        f"engine process {eid} control ring full "
+                        f"({e}); reload not delivered")
+                    h.event.set()
+        return [h for _, _, h in handles]
 
     def reload_status(self) -> dict:
         """{scheduled, applied, failed, errors} for the last reload()."""
@@ -563,6 +606,18 @@ def _make_handler(registry: dict[str, ServingServer], default: str,
                 self._json(400, {"error": f"bad request: {e}"})
                 return None
 
+        @staticmethod
+        def _parse_deadline(payload):
+            """deadline_ms from a request body: None or a positive float.
+            One definition for every POST route — /v1/infer and /v1/predict
+            must never drift in deadline semantics."""
+            deadline_ms = payload.get("deadline_ms")
+            if deadline_ms is not None:
+                deadline_ms = float(deadline_ms)
+                if deadline_ms <= 0:
+                    raise ValueError("deadline_ms must be > 0")
+            return deadline_ms
+
         def _model_route(self, suffix: str):
             """Resolve ``/v1/models/<name>/<suffix>`` to its server.
             Sends the 404 and returns None for unknown model names."""
@@ -644,11 +699,7 @@ def _make_handler(registry: dict[str, ServingServer], default: str,
                 try:
                     if "indices" not in payload:
                         raise ValueError("'indices' ((B, T, L) ids) is required")
-                    deadline_ms = payload.get("deadline_ms")
-                    if deadline_ms is not None:
-                        deadline_ms = float(deadline_ms)
-                        if deadline_ms <= 0:
-                            raise ValueError("deadline_ms must be > 0")
+                    deadline_ms = self._parse_deadline(payload)
                     result = server.predict(payload["indices"],
                                             dense=payload.get("dense"),
                                             deadline_ms=deadline_ms)
@@ -688,11 +739,7 @@ def _make_handler(registry: dict[str, ServingServer], default: str,
                     raise ValueError(
                         f"batch_size {batch_size} exceeds this server's "
                         f"max_mini_batch_size {limit}")
-                deadline_ms = payload.get("deadline_ms")
-                if deadline_ms is not None:
-                    deadline_ms = float(deadline_ms)
-                    if deadline_ms <= 0:
-                        raise ValueError("deadline_ms must be > 0")
+                deadline_ms = self._parse_deadline(payload)
             except (KeyError, ValueError, TypeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return

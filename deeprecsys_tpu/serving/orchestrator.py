@@ -59,6 +59,7 @@ def run_serving(
     log_responses: bool = False,
     watchdog_s: float = 60.0,
     mesh=None,
+    checkpoint_path: str | None = None,
 ) -> ServingResult:
     """Run the full serving stack and return measured QPS / tail latency.
 
@@ -78,14 +79,23 @@ def run_serving(
     cleanup = None
     procs: list = []
     if cfg.engine_backend == "cpu-mp":
+        if params is not None:
+            raise ValueError(
+                "cpu-mp engines cannot take a params pytree; pass "
+                "checkpoint_path= instead (each child loads it)")
         from deeprecsys_tpu.serving.process_engine import spawn_process_engines
 
         (request_q, response_q, ready_q, procs, cleanup,
-         _controls) = spawn_process_engines(model_cfg, cfg)
+         _controls) = spawn_process_engines(
+             model_cfg, cfg, checkpoint_path=checkpoint_path)
     else:
         request_q = queue.Queue(maxsize=1024)
         response_q = queue.Queue()
         ready_q = queue.Queue()
+        if params is None and checkpoint_path:
+            from deeprecsys_tpu.utils.checkpoint import load_model_params
+
+            params = load_model_params(model_cfg, checkpoint_path)
 
     from deeprecsys_tpu.serving.engine import build_engine_pool
 

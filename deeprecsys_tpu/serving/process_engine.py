@@ -21,7 +21,8 @@ from deeprecsys_tpu.config import ModelConfig, ServingConfig
 
 def _engine_child(engine_id: int, model_cfg: ModelConfig, serving_cfg: ServingConfig,
                   req_name: str, resp_name: str, ready_name: str, capacity: int,
-                  ctl_name: str | None = None):
+                  ctl_name: str | None = None,
+                  checkpoint_path: str | None = None):
     import jax
 
     try:
@@ -49,9 +50,18 @@ def _engine_child(engine_id: int, model_cfg: ModelConfig, serving_cfg: ServingCo
         # and cannot target one engine; the POD slot cannot carry paths).
         control_q = (ShmRingQueue(64, shm_name=ctl_name, create=False)
                      if ctl_name else None)
+        # Trained weights cannot cross the 64-byte POD rings as a pytree;
+        # each child loads the checkpoint PATH itself (a load failure here
+        # reports through the ready ring like any other setup error).
+        params = None
+        if checkpoint_path:
+            from deeprecsys_tpu.utils.checkpoint import load_model_params
+
+            params = load_model_params(model_cfg, checkpoint_path)
         engine = ComputeEngine(
             engine_id, model_cfg, serving_cfg, request_q, response_q, ready_q,
-            device=jax.devices("cpu")[0], seed=serving_cfg.seed + engine_id,
+            device=jax.devices("cpu")[0], params=params,
+            seed=serving_cfg.seed + engine_id,
             strict_buckets=False,  # serving path: clamp + count, never reject
             control_q=control_q,
         )
@@ -108,12 +118,14 @@ class _ReadyReceiver:
         return pkt.batch_id if pkt is not None else None
 
 
-def spawn_process_engines(model_cfg: ModelConfig, cfg: ServingConfig, capacity: int = 1024):
+def spawn_process_engines(model_cfg: ModelConfig, cfg: ServingConfig, capacity: int = 1024,
+                          checkpoint_path: str | None = None):
     """Create shm rings + N engine processes. Returns
     (request_q, response_q, ready_receiver, processes, cleanup_fn,
     control_rings) — control_rings[i] is engine i's reload side channel
     (feed it ``reload_fragments(path)``; the engine ACKs on the response
-    ring with batch_id = RELOAD_ACK_BATCH_ID)."""
+    ring with batch_id = RELOAD_ACK_BATCH_ID). ``checkpoint_path``: each
+    child starts from these trained weights (loaded in-child)."""
     from deeprecsys_tpu.runtime.shm_queue import ShmRingQueue
 
     tag = f"drs{time.time_ns() % 1_000_000_000}"
@@ -131,7 +143,7 @@ def spawn_process_engines(model_cfg: ModelConfig, cfg: ServingConfig, capacity: 
         p = ctx.Process(
             target=_engine_child,
             args=(i, model_cfg, cfg, req_name, resp_name, ready_name,
-                  capacity, ctl_names[i]),
+                  capacity, ctl_names[i], checkpoint_path),
             daemon=True,
         )
         p.start()

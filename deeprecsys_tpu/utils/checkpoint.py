@@ -72,3 +72,14 @@ def load_params(path: str | Path, like) -> object:
             raise ValueError(f"leaf shape mismatch: {got.shape} vs {want.shape}")
         out.append(got.astype(want.dtype))
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def load_model_params(model_cfg, path: str | Path):
+    """Load a trained checkpoint against ``model_cfg``'s param skeleton
+    (shape/dtype template via eval_shape — no throwaway random init).
+    Shared by the CLI (--checkpoint) and the cpu-mp engine children, which
+    load the path themselves (a params pytree cannot cross the POD rings)."""
+    from deeprecsys_tpu.models import get_model
+
+    template = jax.eval_shape(get_model(model_cfg).init, jax.random.PRNGKey(0))
+    return load_params(path, template)

@@ -251,3 +251,13 @@ def test_standalone_checkpoint_and_score_output(tmp_path):
         trained, Batch(dense=None, indices=jax.numpy.asarray(b.indices))),
         dtype=np.float32) for b in batches], axis=0)
     np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-6)
+
+    # --nepochs 0 ("skip the characterization epochs, just score") still
+    # writes scores instead of crashing on an unbound epoch output.
+    out0 = tmp_path / "scores0.npz"
+    main(["--model", "ncf", "--table_scale", "2000", "--num_batches", "3",
+          "--mini_batch_size", "4", "--nepochs", "0",
+          "--checkpoint", str(tmp_path / "ckpt"),
+          "--score_output", str(out0)])
+    with np.load(out0) as d:
+        np.testing.assert_allclose(d["scores"], want, rtol=1e-5, atol=1e-6)

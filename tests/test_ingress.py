@@ -439,7 +439,13 @@ def test_reload_over_process_engines(tmp_path):
     cfg = ServingConfig(engine_backend="cpu-mp", inference_engines=2,
                         sub_task_batch_size=8, max_mini_batch_size=16,
                         batch_buckets=(8, 16))
-    server = ServingServer(model_cfg, cfg)
+    # A loaded params PYTREE cannot cross the POD rings — refuse loudly
+    # (silently random-initializing children while the caller believes
+    # trained weights are serving would be a data bug, not a crash).
+    with pytest.raises(ValueError, match="checkpoint_path"):
+        ServingServer(model_cfg, cfg, params=params)
+    # --checkpoint on cpu-mp: children load the PATH themselves at setup.
+    server = ServingServer(model_cfg, cfg, checkpoint_path=str(ckpt))
     server.start(timeout=300)
     ing = HttpIngress(server, reload_root=str(tmp_path))
     ing.start()
@@ -457,19 +463,49 @@ def test_reload_over_process_engines(tmp_path):
         # Serving continues on the new params.
         status, out = _post(f"{base}/v1/infer", {"batch_size": 12})
         assert status == 200 and out["latency_ms"] > 0
-        # A nonexistent checkpoint fails the handles; serving survives.
-        status, out = _post(f"{base}/v1/reload",
-                            {"path": str(tmp_path / "missing.ckpt")})
-        assert status == 200
-        for h in server._reload_handles:
+        # Rapid back-to-back reloads: fragments for BOTH requests are on
+        # the rings before the engines poll. Each ACK carries its
+        # request's gen tag, so the bad path's failure resolves ITS
+        # handles and the good path's success resolves its own — without
+        # gen matching the first (failing) ACK would resolve the newer
+        # handle with the older reload's outcome.
+        bad = server.reload(str(tmp_path / "missing.ckpt"))
+        good = server.reload(str(ckpt))
+        for h in bad:
             assert h.event.wait(timeout=60)
             assert h.error is not None
+        for h in good:
+            assert h.event.wait(timeout=60)
+            assert h.error is None, f"good reload failed: {h.error!r}"
+        # reload_status reports the LATEST request (the good one).
         _, st = _get(f"{base}/v1/reload")
-        assert st["failed"] == 2 and st["applied"] == 0
+        assert st["applied"] == 2 and st["failed"] == 0
         status, out = _post(f"{base}/v1/infer", {"batch_size": 5})
         assert status == 200
     finally:
         ing.stop()
+
+
+def test_mp_checkpoint_load_failure_reported_at_startup(tmp_path):
+    """A bad --checkpoint on cpu-mp must fail the ready barrier loudly
+    (the child reports through the ready ring), never serve random
+    weights."""
+    pytest.importorskip("deeprecsys_tpu.runtime.shm_queue")
+    from deeprecsys_tpu.runtime.native import native_available
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    cfg = ServingConfig(engine_backend="cpu-mp", inference_engines=1,
+                        sub_task_batch_size=8, max_mini_batch_size=16,
+                        batch_buckets=(8, 16))
+    server = ServingServer(model_cfg, cfg,
+                           checkpoint_path=str(tmp_path / "nope.ckpt"))
+    try:
+        with pytest.raises(RuntimeError, match="failed during"):
+            server.start(timeout=120)
+    finally:
+        server.stop()
 
 
 # -- real-input inference (POST /v1/predict) ---------------------------
@@ -535,6 +571,7 @@ def test_predict_returns_model_scores():
 def test_predict_validation_and_backend_errors(ingress):
     """Malformed feature payloads 400 with actionable messages; the sim
     backend (which computes nothing) 501s instead of fabricating scores."""
+    import numpy as np
     # ingress fixture = sim backend.
     try:
         _post(f"{ingress}/v1/predict", {"indices": [[[0]] * 4]})
@@ -571,9 +608,19 @@ def test_predict_validation_and_backend_errors(ingress):
                    "no dense input")                    # ncf takes none
         expect_400({"indices": _valid_indices(model_cfg, 64).tolist()},
                    "max_mini_batch_size")               # oversize batch
+        # Non-integral float ids must be REJECTED, not truncated — 1.9
+        # silently becoming row 1 would return scores for wrong rows.
+        frac = ok.astype(np.float64) + 0.5
+        expect_400({"indices": frac.tolist()}, "integer")
+        # Exact-integer floats (common JSON serializer output) are fine
+        # and score identically to their int form.
+        status, out_f = _post(f"{url}/v1/predict",
+                              {"indices": ok.astype(np.float64).tolist()})
+        assert status == 200
         # And a valid one still works on this server.
         status, out = _post(f"{url}/v1/predict", {"indices": ok.tolist()})
         assert status == 200 and len(out["scores"]) == 2
+        assert out_f["scores"] == out["scores"]
     finally:
         ing.stop()
         server.stop()

@@ -46,7 +46,8 @@ def test_one_engine_crash_completes_degraded(monkeypatch):
 
     real_spawn = process_engine.spawn_process_engines
 
-    def spawn_and_kill_one(model_cfg, cfg, capacity=1024):
+    def spawn_and_kill_one(model_cfg, cfg, capacity=1024,
+                           checkpoint_path=None):
         (request_q, response_q, ready, procs, cleanup,
          controls) = real_spawn(model_cfg, cfg, capacity)
 

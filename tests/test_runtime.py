@@ -43,6 +43,24 @@ def test_pack_roundtrip():
                                    payload=object()))
 
 
+def test_reload_fragment_roundtrip_carries_gen():
+    """Reload-path fragments tag every chunk with the request's gen so
+    interleaved concurrent reloads reassemble per-request and ACKs resolve
+    the handle that made the request (not whichever reload is newest)."""
+    from deeprecsys_tpu.runtime.shm_queue import reload_fragments
+
+    path = "/ckpts/" + "x" * 150  # multi-fragment (58-byte chunks)
+    frags = reload_fragments(path, gen=201)
+    assert len(frags) > 1
+    assert [f.seq for f in frags] == list(range(len(frags)))
+    out = [unpack_packet(pack_packet(f)) for f in frags]
+    assert out == frags
+    assert all(f.gen == 201 for f in out)
+    assert b"".join(f.payload for f in out).decode() == path
+    with pytest.raises(ValueError, match="gen"):
+        reload_fragments(path, gen=256)
+
+
 def test_fifo_and_empty():
     q = ShmRingQueue(capacity=8)
     with pytest.raises(Empty):
