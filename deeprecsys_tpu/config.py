@@ -384,6 +384,19 @@ class ServingConfig:
     synthetic_trace_file: str | None = None
     raw_data_file: str | None = None
 
+    # Adaptive hot-set refresh (hotcold/auto engines, single-device):
+    # engines track the LIVE hot-hit rate from the splitter's per-request
+    # cold counts; every `interval` tracked requests, if the windowed
+    # coverage fell more than `margin` below the reference coverage (the
+    # warm-up sample's, then each refresh's), the hot set is re-derived
+    # from the last `window` request batches and hot-swapped without
+    # recompiling (the hot table is a same-shape param; models/hotcold.py
+    # with_hot_ids). 0 = off. Guards popularity DRIFT: a hot set frozen at
+    # warm-up decays as the head of the id distribution moves.
+    hotcold_refresh_interval: int = 0
+    hotcold_refresh_margin: float = 0.05
+    hotcold_refresh_window: int = 16
+
     seed: int = 123
     debug_mode: bool = False
     log_file: str | None = None

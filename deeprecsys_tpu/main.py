@@ -43,6 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="minimum sampled hot-set coverage for "
                         "--embedding_impl auto to choose hotcold "
                         "(default: config.py hotcold_min_hit)")
+    p.add_argument("--hotcold_refresh_interval", type=int, default=0,
+                   help="adaptive hot-set refresh: every N tracked "
+                        "requests, re-derive the hot set from the live "
+                        "stream if its hit rate dropped (0 = off; "
+                        "hotcold/auto single-device engines)")
+    p.add_argument("--hotcold_refresh_margin", type=float, default=0.05,
+                   help="refresh when live coverage falls this far below "
+                        "the reference coverage")
     p.add_argument("--table_pack", type=int, default=0,
                    help="pack N logical rows per physical table row "
                         "(0 = auto to 128-byte rows — the measured 2x fix "
@@ -209,6 +217,8 @@ def serving_config_from_args(args) -> ServingConfig:
         accel_request_size_thres=args.accel_request_size_thres,
         coalesce_requests=args.coalesce_requests,
         max_coalesce=args.max_coalesce,
+        hotcold_refresh_interval=args.hotcold_refresh_interval,
+        hotcold_refresh_margin=args.hotcold_refresh_margin,
         seed=args.numpy_rand_seed,
         log_file=args.log_file,
         debug_mode=args.debug_mode,

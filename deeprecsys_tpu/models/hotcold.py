@@ -229,6 +229,18 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
                         convert_params=convert_params, apply=apply, prepare=prepare)
 
 
+def with_hot_ids(hc: HotColdModel, hot_ids: np.ndarray,
+                 mesh=None) -> HotColdModel:
+    """The same model serving a NEW hot set, keeping the ORIGINAL
+    ``apply`` callable. ``apply`` reads the hot table from params and
+    never depends on the id list itself (only ``prepare``/
+    ``convert_params`` do), so engines swap hot sets at runtime —
+    adaptive refresh under distribution drift — without invalidating any
+    compiled executable keyed on the old apply's identity."""
+    fresh = make_hotcold_model(hc.base, np.asarray(hot_ids), mesh=mesh)
+    return fresh._replace(apply=hc.apply)
+
+
 def hot_ids_and_coverage_from_generator(
         cfg, seed: int, hot_rows: int, n_batches: int = 8,
         batch_size: int = 256, data_generation: str = "random",

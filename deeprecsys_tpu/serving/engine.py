@@ -145,6 +145,16 @@ class ComputeEngine(threading.Thread):
         self._pending: "queue.Queue" = queue.Queue()
         self._hotcold = None  # HotColdModel when the hotcold path is active
         self.hot_coverage = None  # sampled hot-set coverage (hotcold/auto)
+        # Adaptive hot-set refresh (cfg.hotcold_refresh_interval > 0):
+        # live hit-rate window + recent-batch buffer, serve-loop-local
+        # (single writer; healthz reads the plain attributes).
+        self.hot_refreshes = 0
+        self.live_hot_coverage = None
+        self._live_hot = 0
+        self._live_total = 0
+        self._refresh_buf = None
+        self._tracked_since_check = 0
+        self._refresh_warned = False
         self._reload: ReloadHandle | None = None  # pending checkpoint swap
         self._reload_lock = threading.Lock()
         self._stopped = False  # set (under the lock) when the engine exits
@@ -585,6 +595,95 @@ class ComputeEngine(threading.Thread):
         finally:
             handle.event.set()
 
+    def _track_hotcold(self, host, split) -> bool:
+        """Adaptive hot-set refresh: accumulate the live hit rate from the
+        splitter's cold counts and the recent request batches; every
+        ``hotcold_refresh_interval`` requests, re-derive the hot set from
+        the buffered stream if the windowed coverage fell
+        ``hotcold_refresh_margin`` below the reference coverage. A hot set
+        frozen at warm-up decays under popularity drift — the reference
+        has no analog (its data distribution is fixed per run,
+        dlrm_data_caffe2.py); this is the serving consequence of making
+        the hot set data-driven. Returns True when the set was swapped
+        (the caller's split is stale). Runs in the serve-loop thread —
+        the only writer of ``_hotcold``/``params`` during serving."""
+        import collections
+
+        cfg = self.serving_cfg
+        total = int(np.prod(host.indices.shape))
+        self._live_hot += total - int(split["n_cold"])
+        self._live_total += total
+        if self._refresh_buf is None:
+            self._refresh_buf = collections.deque(
+                maxlen=max(cfg.hotcold_refresh_window, 1))
+        self._refresh_buf.append(np.asarray(host.indices))
+        self._tracked_since_check += 1
+        if self._tracked_since_check < cfg.hotcold_refresh_interval:
+            return False
+        cov = self._live_hot / max(self._live_total, 1)
+        self.live_hot_coverage = cov
+        self._tracked_since_check = 0
+        self._live_hot = self._live_total = 0
+        ref = self.hot_coverage if self.hot_coverage is not None else 0.0
+        if cov >= ref - cfg.hotcold_refresh_margin:
+            return False
+        return self._refresh_hot_set(cov)
+
+    def _refresh_hot_set(self, live_cov: float) -> bool:
+        """Re-derive the hot set from the buffered recent stream and swap
+        it in WITHOUT recompiling: the hot table is a same-shape param
+        (padded back to the original K with still-hot old ids when the
+        buffer has fewer distinct rows), and the jittable apply never
+        depends on the id list (models/hotcold.py::with_hot_ids)."""
+        from deeprecsys_tpu.models.hotcold import with_hot_ids
+        from deeprecsys_tpu.ops.embedding import select_hot_ids
+
+        if self.mesh is not None:
+            # The sharded/hybrid conversion re-shards the whole tree;
+            # swapping it mid-serve is not supported — refresh mesh
+            # engines via checkpoint reload instead.
+            if not self._refresh_warned:
+                self._refresh_warned = True
+                print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id}: "
+                      f"hotcold_refresh_interval is ignored on mesh "
+                      f"engines (reload to re-derive the hot set)",
+                      flush=True)
+            return False
+        k = len(self._hotcold.hot_ids)
+        sample = np.concatenate(list(self._refresh_buf), axis=0)
+        offsets = np.asarray(self.model_cfg.table_offsets)
+        new_hot = select_hot_ids(sample, offsets, k)
+        if len(new_hot) < k:
+            # Keep the hot-table shape FIXED (a new shape would recompile
+            # every bucket program): top up with previous hot ids the
+            # buffer didn't surface — still the best available guess.
+            extra = np.setdiff1d(self._hotcold.hot_ids, new_hot)
+            new_hot = np.sort(np.concatenate(
+                [new_hot, extra[:k - len(new_hot)]]))
+        if len(new_hot) != k:
+            return False  # cannot preserve the compiled shape
+        flat = (sample.astype(np.int64)
+                + offsets.astype(np.int64)[None, :, None]).reshape(-1)
+        # Re-baseline the reference coverage on the refreshed set (slightly
+        # optimistic — in-sample on the buffer — but it stops a stream
+        # whose achievable head mass genuinely dropped from re-triggering
+        # a refresh every window).
+        new_cov = float(np.isin(flat, new_hot).mean())
+        hc = with_hot_ids(self._hotcold, new_hot, mesh=None)
+        base = {key: v for key, v in self.params.items() if key != "hot_table"}
+        new_params = hc.convert_params(base)
+        target = (self._param_formats if self._param_formats is not None
+                  else self.device)
+        self.params = jax.device_put(new_params, target)
+        self._hotcold = hc
+        self.hot_coverage = new_cov
+        self.hot_refreshes += 1
+        print(f"[deeprecsys_tpu] engine {self.engine_id}: hot-set refresh "
+              f"#{self.hot_refreshes} (live coverage {live_cov:.1%} -> "
+              f"buffered-stream coverage {new_cov:.1%}, {k} rows)",
+              flush=True)
+        return True
+
     def _poll_control(self):
         """Drain the cpu-mp reload side channel: reassemble ReloadFragment
         path chunks PER GENERATION (concurrent reload requests may
@@ -766,6 +865,14 @@ class ComputeEngine(threading.Thread):
                 # single-pass splitter), overlapped with device compute of
                 # the previous request by the dispatch pipeline.
                 split = self._hotcold.prepare(host)
+                if self.serving_cfg.hotcold_refresh_interval > 0:
+                    # May swap self._hotcold/self.params (same thread as
+                    # every other reader of both — no race) BEFORE this
+                    # dispatch, but the already-computed split stays valid:
+                    # it was made against the pre-swap hot set, so re-run
+                    # prepare if a refresh happened.
+                    if self._track_hotcold(host, split):
+                        split = self._hotcold.prepare(host)
                 out = self._jitted[bucket](self.params, dev_batch,
                                            self._device_split(split))
             else:

@@ -503,11 +503,21 @@ def _health(server: ServingServer) -> dict:
     impls = []
     for e in server.engines:
         if hasattr(e, "_hotcold"):
-            impls.append({
+            entry = {
                 "engine": e.engine_id,
                 "impl": "hotcold" if e._hotcold is not None else "direct",
                 "hot_coverage": (round(e.hot_coverage, 4)
-                                 if e.hot_coverage is not None else None)})
+                                 if e.hot_coverage is not None else None)}
+            if e._hotcold is not None and getattr(
+                    e.serving_cfg, "hotcold_refresh_interval", 0) > 0:
+                # Adaptive refresh telemetry: the windowed LIVE hit rate
+                # vs the (re-baselined) reference, and how many times the
+                # hot set was re-derived under drift.
+                entry["live_hot_coverage"] = (
+                    round(e.live_hot_coverage, 4)
+                    if e.live_hot_coverage is not None else None)
+                entry["hot_refreshes"] = e.hot_refreshes
+            impls.append(entry)
     if impls:
         out["embedding_impl"] = impls
     return out

@@ -626,6 +626,83 @@ def test_engine_auto_embedding_impl_picks_by_coverage():
     assert eng._hotcold is not None
 
 
+def test_hotcold_adaptive_refresh_recovers_from_drift():
+    """Adaptive hot-set refresh (hotcold_refresh_interval): a hot set
+    frozen at warm-up decays when the popular head of the id stream
+    MOVES. The engine tracks the live hit rate from the splitter's cold
+    counts; when the windowed coverage falls below the reference, it
+    re-derives the hot set from the buffered recent stream and swaps it
+    in WITHOUT recompiling (the hot table is a same-shape param). Scores
+    stay exactly equal to the direct model through the swap. The
+    reference has no analog (its data distribution is fixed per run)."""
+    import jax
+    import numpy as np
+
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.serving.ingress import ServingServer, _health
+
+    # ts=500: (280, 280, 56, 56) rows — every table keeps cold rows after
+    # the 64-row hot budget (at ts=2000 the 14-row tables are fully hot
+    # and a drifted head could not be made cold).
+    model_cfg = zoo.get_config("ncf", table_scale=500).replace(
+        embedding_impl="hotcold", hot_set_rows=64)
+    cfg = ServingConfig(engine_backend="cpu", inference_engines=1,
+                        batch_buckets=(8,), max_mini_batch_size=8,
+                        sub_task_batch_size=8,
+                        hotcold_refresh_interval=4,
+                        hotcold_refresh_window=8,
+                        hotcold_refresh_margin=0.05)
+    server = ServingServer(model_cfg, cfg)
+    server.start()
+    try:
+        eng = server.engines[0]
+        assert eng._hotcold is not None
+        ref_cov = eng.hot_coverage
+        assert ref_cov > 0.05  # uniform warm-up sample, hot = 64 of 672
+        # Drifted stream: a small popular head chosen entirely OUTSIDE
+        # the warm-up hot set (fused ids that are currently cold).
+        offsets = model_cfg.table_offsets
+        rows = model_cfg.scaled_rows
+        hot = set(int(i) for i in eng._hotcold.hot_ids)
+        pools = []
+        for off, r in zip(offsets, rows):
+            cold_local = [i for i in range(r) if (int(off) + i) not in hot][:6]
+            assert len(cold_local) == 6, "test premise: enough cold rows"
+            pools.append(cold_local)
+        T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+
+        def drift_batch(seed):
+            rng = np.random.default_rng(seed)
+            return np.stack([rng.choice(pools[t], size=(8, L))
+                             for t in range(T)], axis=1).astype(np.int32)
+
+        for i in range(4):  # interval=4: the 4th request triggers
+            server.predict(drift_batch(i))
+        assert eng.hot_refreshes == 1
+        assert eng.hot_coverage > 0.9  # re-baselined on the buffered stream
+        for i in range(4, 8):  # next window: the drifted head is now hot
+            server.predict(drift_batch(i))
+        assert eng.live_hot_coverage > 0.9
+        assert eng.hot_refreshes == 1  # recovered coverage: no re-trigger
+        # Correctness through the swap: predict scores == direct apply on
+        # the same (post-refresh) params.
+        idx = drift_batch(99)
+        out = server.predict(idx)
+        direct = get_model(model_cfg.replace(embedding_impl="xla"))
+        base = {k: v for k, v in eng.params.items() if k != "hot_table"}
+        want = np.asarray(direct.apply(
+            base, Batch(dense=None, indices=jax.numpy.asarray(idx))),
+            dtype=np.float32)
+        np.testing.assert_allclose(np.asarray(out["scores"], np.float32),
+                                   want, rtol=1e-5, atol=1e-6)
+        (impl,) = _health(server)["embedding_impl"]
+        assert impl["hot_refreshes"] == 1
+        assert impl["live_hot_coverage"] > 0.9
+    finally:
+        server.stop()
+
+
 @pytest.mark.parametrize("quant", ["int8", "int8_rowwise"])
 def test_hotcold_quantized_matches_plain_quantized(quant):
     """Hot/cold composes with quantized tables: output identical to the

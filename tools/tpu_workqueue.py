@@ -1019,6 +1019,68 @@ def job_full(model, quant="none", pack=0):
     return r
 
 
+def job_chain_perturb(model, variant, n_banks=4, iters=32):
+    """Attribute the judged bench chain's per-iteration index-perturbation
+    cost. 'mod' re-times bench.measure_model's exact program (body
+    recomputes `(indices + i) % rows` each iteration). 'banks' pre-stages
+    n_banks perturbed index tensors in HBM and cycles them with a dynamic
+    slice — the loop body stays data-dependent on `i` (LICM cannot hoist
+    the forward), but the timed region no longer pays a fresh
+    (B, T, L) index recompute + relayout per iteration. din's HLO trace
+    (hlo_profile4:din) showed a 4.62 ms device total vs the 5.51 ms
+    chain measurement; if 'banks' closes that gap, the excess was harness
+    overhead, not model time."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    import bench
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.utils.devices import jit_pinned, pick_accel_device
+
+    device = pick_accel_device()
+    if variant == "mod":
+        r = bench.measure_model(model, device, 512, 1, "bfloat16", iters=iters)
+        log(f"chain_perturb {model} mod: {r['latency_ms']:.3f} ms/iter")
+        return {"model": model, "variant": "mod",
+                "latency_ms": r["latency_ms"], "compile_s": r["compile_s"]}
+
+    cfg = zoo.get_config(model, table_scale=1, param_dtype="bfloat16",
+                         compute_dtype="bfloat16")
+    model_m = get_model(cfg)
+    host = RecDataGenerator(cfg, seed=0).generate_batch(512)
+    rows_np = np.asarray(cfg.scaled_rows, dtype=np.int32)[None, :, None]
+    banks_np = np.stack([(host.indices + i) % rows_np
+                         for i in range(n_banks)])
+
+    def program(n, seed, dense, banks):
+        params = model_m.init(jax.random.PRNGKey(seed))
+
+        def body(i, c):
+            idx = lax.dynamic_index_in_dim(banks, lax.rem(i, n_banks),
+                                           axis=0, keepdims=False)
+            d = (None if dense is None
+                 else dense + jnp.float32(i).astype(dense.dtype) * 1e-6)
+            out = model_m.apply(params, Batch(dense=d, indices=idx))
+            return c + jnp.sum(out.astype(jnp.float32))
+
+        return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    fn = jit_pinned(program, device)
+    dense = (None if host.dense is None
+             else jax.device_put(host.dense, device))
+    banks = jax.device_put(banks_np, device)
+    ms, cs = _chain_readback(fn, 0, dense, banks, iters=iters, trials=3)
+    log(f"chain_perturb {model} banks(x{n_banks}): {ms:.3f} ms/iter "
+        f"(compile {cs:.0f}s)")
+    return {"model": model, "variant": f"banks{n_banks}", "latency_ms": ms,
+            "compile_s": cs}
+
+
 def job_serving_coalesce(model):
     """TPU serving with dynamic batching enabled: the backlog coalesces
     into large bucket runs, amortizing the relay's per-execution round
@@ -1572,6 +1634,20 @@ JOBS = [
     # the /metrics exposition through a TPU-backed ingress.
     ("predict_serving:ncf", lambda: job_predict_serving("ncf")),
     ("predict_serving:rm3", lambda: job_predict_serving("rm3")),
+    # Round 3: how much of the judged chain is the per-iteration index
+    # perturbation, not the model? 'mod' entries are fresh re-measures of
+    # the bench program (same compiled program as full_r3 — cache-warm);
+    # 'banks' pre-stages the perturbed indices. Models chosen where HLO
+    # attribution suggested harness excess (din 22%) plus a d=64 control
+    # (rm2, AT the wall — banks should move it little).
+    ("chain_perturb_mod:din", lambda: job_chain_perturb("din", "mod")),
+    ("chain_perturb_banks:din", lambda: job_chain_perturb("din", "banks")),
+    ("chain_perturb_mod:rm1", lambda: job_chain_perturb("rm1", "mod")),
+    ("chain_perturb_banks:rm1", lambda: job_chain_perturb("rm1", "banks")),
+    ("chain_perturb_mod:rm3", lambda: job_chain_perturb("rm3", "mod")),
+    ("chain_perturb_banks:rm3", lambda: job_chain_perturb("rm3", "banks")),
+    ("chain_perturb_mod:rm2", lambda: job_chain_perturb("rm2", "mod")),
+    ("chain_perturb_banks:rm2", lambda: job_chain_perturb("rm2", "banks")),
 ]
 
 
