@@ -40,20 +40,48 @@ def zipf_stream(cfg, batch: int, alpha: float = 1.2, seed: int = 2) -> np.ndarra
     return (rng.zipf(alpha, size=(batch, T, L)) % rows[None, :, None]).astype(np.int32)
 
 
+def drifted_zipf_stream(cfg, batch: int, alpha: float = 1.2, seed: int = 2,
+                        drift_seed: int = 7) -> np.ndarray:
+    """The zipf stream after POPULARITY DRIFT: same skew shape, but each
+    table's id space is remapped through a random affine permutation
+    (a*id + b mod rows, gcd(a, rows) = 1), so the popular head lands on
+    entirely different rows. This is the stream a hot set frozen at
+    warm-up decays on — the scenario ``hotcold_refresh_interval``
+    exists for."""
+    import math
+
+    idx = zipf_stream(cfg, batch, alpha=alpha, seed=seed)
+    rows = np.asarray(cfg.scaled_rows, dtype=np.int64)
+    rng = np.random.default_rng(drift_seed)
+    out = np.empty_like(idx)
+    for t, r in enumerate(rows):
+        r = int(r)
+        a = int(rng.integers(1, r))
+        while math.gcd(a, r) != 1:
+            a = a % r + 1
+        b = int(rng.integers(0, r))
+        out[:, t, :] = ((idx[:, t, :].astype(np.int64) * a + b) % r).astype(np.int32)
+    return out
+
+
+def stream_coverage(cfg, idx: np.ndarray, hot_ids: np.ndarray) -> float:
+    """Fraction of this stream's lookups served by ``hot_ids`` (sorted)."""
+    offs = np.asarray(cfg.table_offsets, dtype=np.int64)
+    flat = (idx.astype(np.int64) + offs[None, :, None]).reshape(-1)
+    if len(hot_ids) == 0:
+        return 0.0
+    pos = np.clip(np.searchsorted(hot_ids, flat), 0, len(hot_ids) - 1)
+    return float((np.asarray(hot_ids)[pos] == flat).mean())
+
+
 def _hot_set(cfg, idx: np.ndarray):
     """VMEM-budgeted hot set for this stream + its measured coverage."""
-    from deeprecsys_tpu.models import get_model
-    from deeprecsys_tpu.models.base import Batch
-    from deeprecsys_tpu.models.hotcold import make_hotcold_model
     from deeprecsys_tpu.ops.embedding import select_hot_ids
     from deeprecsys_tpu.utils.memory import suggest_hot_rows
 
     offs = np.asarray(cfg.table_offsets, dtype=np.int64)
     hot_ids = select_hot_ids(idx, offs, suggest_hot_rows(cfg))
-    hc = make_hotcold_model(get_model(cfg), hot_ids)
-    split = hc.prepare(Batch(dense=None, indices=idx))
-    coverage = 1.0 - split["n_cold"] / idx.size
-    return hot_ids, float(coverage)
+    return hot_ids, stream_coverage(cfg, idx, hot_ids)
 
 
 def resolve_auto_impl(cfg, idx: np.ndarray):
@@ -74,9 +102,14 @@ def resolve_auto_impl(cfg, idx: np.ndarray):
 def measure_skewed(model_name: str, device, impl: str = "auto",
                    batch: int = 512, table_scale: int = 1,
                    alpha: float = 1.2, iters: int = 32,
-                   trials: int = 2) -> dict:
+                   trials: int = 2, stream: np.ndarray | None = None,
+                   hot_ids_override: np.ndarray | None = None) -> dict:
     """One self-contained chained measurement of the full model forward on
-    the zipf stream. ``impl``: "xla" | "hotcold" | "auto" (engine rule)."""
+    the zipf stream. ``impl``: "xla" | "hotcold" | "auto" (engine rule).
+    ``stream`` substitutes the measured id stream (drift experiments);
+    ``hot_ids_override`` forces a SPECIFIC hot set with impl="hotcold" —
+    e.g. a STALE set selected on a different stream, the decayed state
+    adaptive refresh recovers from."""
     import time as _time
 
     import jax
@@ -94,13 +127,16 @@ def measure_skewed(model_name: str, device, impl: str = "auto",
                          param_dtype="bfloat16", compute_dtype="bfloat16",
                          table_pack=0)
     model = get_model(cfg)
-    idx = zipf_stream(cfg, batch, alpha=alpha)
+    idx = stream if stream is not None else zipf_stream(cfg, batch, alpha=alpha)
     host = RecDataGenerator(cfg, seed=0).generate_batch(batch)
     dense_host = host.dense
 
     chosen, hot_ids, coverage = impl, None, None
     if impl == "auto":
         chosen, hot_ids, coverage = resolve_auto_impl(cfg, idx)
+    elif impl == "hotcold" and hot_ids_override is not None:
+        hot_ids = np.asarray(hot_ids_override)
+        coverage = stream_coverage(cfg, idx, hot_ids)
     elif impl == "hotcold":  # forced (bypasses guard + threshold)
         hot_ids, coverage = _hot_set(cfg, idx)
 

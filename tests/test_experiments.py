@@ -91,3 +91,34 @@ def test_skew_bench_auto_matches_engine_rule():
                          param_dtype="bfloat16", table_pack=0)
     impl, hot, cov = resolve_auto_impl(cfg, zipf_stream(cfg, 8))
     assert impl == "xla" and hot is None and cov is None
+
+
+def test_drifted_stream_moves_the_head():
+    """drifted_zipf_stream: same skew, permuted head — the original
+    stream's hot set covers little of the drifted stream, while a set
+    re-selected on it (what adaptive refresh converges to) recovers the
+    original coverage. The stale/refreshed gap is what job_drift measures
+    on the chip."""
+    import numpy as np
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.experiments.skew_bench import (
+        drifted_zipf_stream, stream_coverage, zipf_stream)
+    from deeprecsys_tpu.ops.embedding import select_hot_ids
+
+    cfg = zoo.get_config("rm1", table_scale=100)
+    old = zipf_stream(cfg, 256)
+    new = drifted_zipf_stream(cfg, 256)
+    offs = np.asarray(cfg.table_offsets, dtype=np.int64)
+    k = 2048
+    stale = select_hot_ids(old, offs, k)
+    fresh = select_hot_ids(new, offs, k)
+    cov_before = stream_coverage(cfg, old, stale)
+    cov_stale = stream_coverage(cfg, new, stale)
+    cov_fresh = stream_coverage(cfg, new, fresh)
+    assert cov_before > 0.5          # zipf(1.2) head mass, as measured
+    assert cov_stale < cov_before / 2  # the head moved off the stale set
+    assert cov_fresh > 0.9 * cov_before  # re-selection restores it
+    # Drift is a permutation: ids stay in range, per-table.
+    rows = np.asarray(cfg.scaled_rows)[None, :, None]
+    assert (new >= 0).all() and (new < rows).all()

@@ -1081,6 +1081,53 @@ def job_chain_perturb(model, variant, n_banks=4, iters=32):
             "compile_s": cs}
 
 
+def job_drift(model, batch=512, iters=32):
+    """Quantify what adaptive hot-set refresh (hotcold_refresh_interval)
+    is worth on the chip: the zipf stream after POPULARITY DRIFT (each
+    table's id space affine-permuted — the head moves to new rows),
+    measured three ways at full scale:
+      stale     — hotcold with the hot set selected on the ORIGINAL
+                  stream (the decayed state a frozen warm-up set reaches)
+      refreshed — hotcold with the hot set re-selected on the drifted
+                  stream (what the refresh converges to)
+      direct    — plain fused gather (the floor hotcold must beat)
+    """
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.experiments.skew_bench import (
+        drifted_zipf_stream,
+        measure_skewed,
+        zipf_stream,
+    )
+    from deeprecsys_tpu.ops.embedding import select_hot_ids
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+    from deeprecsys_tpu.utils.memory import suggest_hot_rows
+
+    import numpy as np
+
+    device = pick_accel_device()
+    cfg = zoo.get_config(model, table_scale=1, param_dtype="bfloat16",
+                         compute_dtype="bfloat16", table_pack=0)
+    offs = np.asarray(cfg.table_offsets, dtype=np.int64)
+    stale_hot = select_hot_ids(zipf_stream(cfg, batch), offs,
+                               suggest_hot_rows(cfg))
+    drifted = drifted_zipf_stream(cfg, batch)
+    out = {}
+    out["stale"] = measure_skewed(model, device, impl="hotcold",
+                                  batch=batch, iters=iters, stream=drifted,
+                                  hot_ids_override=stale_hot)
+    out["refreshed"] = measure_skewed(model, device, impl="hotcold",
+                                      batch=batch, iters=iters,
+                                      stream=drifted)
+    out["direct"] = measure_skewed(model, device, impl="xla", batch=batch,
+                                   iters=iters, stream=drifted)
+    s, r, d = (out[k]["latency_ms"] for k in ("stale", "refreshed", "direct"))
+    log(f"drift {model}: stale {s:.2f} ms (cov "
+        f"{out['stale']['hot_coverage']:.1%}) / refreshed {r:.2f} ms (cov "
+        f"{out['refreshed']['hot_coverage']:.1%}) / direct {d:.2f} ms -> "
+        f"refresh restores {s / r:.2f}x over stale, {d / r:.2f}x over direct")
+    return out
+
+
 def job_serving_coalesce(model):
     """TPU serving with dynamic batching enabled: the backlog coalesces
     into large bucket runs, amortizing the relay's per-execution round
@@ -1648,6 +1695,11 @@ JOBS = [
     ("chain_perturb_banks:rm3", lambda: job_chain_perturb("rm3", "banks")),
     ("chain_perturb_mod:rm2", lambda: job_chain_perturb("rm2", "mod")),
     ("chain_perturb_banks:rm2", lambda: job_chain_perturb("rm2", "banks")),
+    # Round 3: value of adaptive hot-set refresh under popularity drift
+    # (stale vs refreshed vs direct on the affine-permuted zipf stream).
+    ("drift:rm1", lambda: job_drift("rm1")),
+    ("drift:rm2", lambda: job_drift("rm2")),
+    ("drift:rm3", lambda: job_drift("rm3")),
 ]
 
 
