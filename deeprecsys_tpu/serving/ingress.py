@@ -570,6 +570,26 @@ def _prometheus(registry: dict[str, ServingServer]) -> str:
            [({"model": n},
              sum(getattr(e, "coalesced_requests", 0) for e in s.engines))
             for n, s in registry.items()])
+    # Adaptive hot-set refresh telemetry (only for engines running the
+    # hotcold path with tracking enabled — absent series otherwise, the
+    # Prometheus idiom for "not applicable").
+    refresh_samples, live_cov_samples = [], []
+    for n, s in registry.items():
+        for e in s.engines:
+            if (getattr(e, "_hotcold", None) is not None
+                    and getattr(e.serving_cfg, "hotcold_refresh_interval", 0) > 0):
+                labels = {"model": n, "engine": e.engine_id}
+                refresh_samples.append((labels, e.hot_refreshes))
+                if e.live_hot_coverage is not None:
+                    live_cov_samples.append((labels, round(e.live_hot_coverage, 4)))
+    if refresh_samples:
+        metric("drs_hot_set_refreshes_total", "counter",
+               "adaptive hot-set re-derivations under popularity drift",
+               refresh_samples)
+    if live_cov_samples:
+        metric("drs_live_hot_coverage", "gauge",
+               "windowed live hot-set hit rate (hotcold engines)",
+               live_cov_samples)
     bucket_samples = []
     for n, (h, _) in per_model.items():
         for b, c in (h.get("bucket_executions") or {}).items():

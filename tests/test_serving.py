@@ -699,6 +699,12 @@ def test_hotcold_adaptive_refresh_recovers_from_drift():
         (impl,) = _health(server)["embedding_impl"]
         assert impl["hot_refreshes"] == 1
         assert impl["live_hot_coverage"] > 0.9
+        # The Prometheus exposition carries the same telemetry.
+        from deeprecsys_tpu.serving.ingress import _prometheus
+
+        text = _prometheus({"ncf": server})
+        assert 'drs_hot_set_refreshes_total{model="ncf",engine="0"} 1' in text
+        assert "drs_live_hot_coverage" in text
     finally:
         server.stop()
 
