@@ -391,8 +391,12 @@ class ServingConfig:
     # warm-up sample's, then each refresh's), the hot set is re-derived
     # from the last `window` request batches and hot-swapped without
     # recompiling (the hot table is a same-shape param; models/hotcold.py
-    # with_hot_ids). 0 = off. Guards popularity DRIFT: a hot set frozen at
-    # warm-up decays as the head of the id distribution moves.
+    # with_hot_ids). If no candidate set clears hotcold_min_hit (the
+    # stream lost its head entirely), the split is DISABLED and the plain
+    # gather serves — a headless split measured 2.1x slower than direct
+    # (drift:rm1) — with the engine still watching the stream and
+    # re-enabling when a head returns. 0 = off. Guards popularity DRIFT:
+    # a hot set frozen at warm-up decays as the id distribution moves.
     hotcold_refresh_interval: int = 0
     hotcold_refresh_margin: float = 0.05
     hotcold_refresh_window: int = 16

@@ -56,8 +56,13 @@ def breakdown_for(name: str, batch_size: int, table_scale: int, param_dtype: str
     from deeprecsys_tpu.ops import embedding_bag, mlp_apply, dot_interaction, cat_interaction, basic_rnn_scan
     from deeprecsys_tpu.models.base import stacked_mlp_apply
 
+    # table_pack=1: the stage isolation times the PLAIN embedding_bag;
+    # a packed (dict) table layout belongs to the packed bag variants and
+    # would change what "embedding stage" means across models (the
+    # default pack became auto after the first artifact was recorded).
     cfg = zoo.get_config(name, table_scale=table_scale,
-                         param_dtype=param_dtype, compute_dtype=param_dtype)
+                         param_dtype=param_dtype, compute_dtype=param_dtype,
+                         table_pack=1)
     model = get_model(cfg)
     params = model.init(jax.random.PRNGKey(0))
     batch = RecDataGenerator(cfg, seed=0).generate_batch(batch_size)

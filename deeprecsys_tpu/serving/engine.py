@@ -155,6 +155,14 @@ class ComputeEngine(threading.Thread):
         self._refresh_buf = None
         self._tracked_since_check = 0
         self._refresh_warned = False
+        # Runtime hotcold enable/disable (bidirectional adaptation): when
+        # a refresh finds the stream has LOST its popular head (candidate
+        # coverage < hotcold_min_hit), the engine falls back to the plain
+        # fused gather — a stale-or-headless split serves SLOWER than
+        # direct (measured 6.95 vs 3.31 ms, drift:rm1) — and keeps
+        # estimating; a returning head re-enables the split.
+        self._hotcold_active = True
+        self._direct_fn = None
         self._reload: ReloadHandle | None = None  # pending checkpoint swap
         self._reload_lock = threading.Lock()
         self._stopped = False  # set (under the lock) when the engine exits
@@ -629,15 +637,39 @@ class ComputeEngine(threading.Thread):
             return False
         return self._refresh_hot_set(cov)
 
-    def _refresh_hot_set(self, live_cov: float) -> bool:
-        """Re-derive the hot set from the buffered recent stream and swap
-        it in WITHOUT recompiling: the hot table is a same-shape param
-        (padded back to the original K with still-hot old ids when the
-        buffer has fewer distinct rows), and the jittable apply never
-        depends on the id list (models/hotcold.py::with_hot_ids)."""
-        from deeprecsys_tpu.models.hotcold import with_hot_ids
+    def _candidate_hot_ids(self):
+        """(new_hot, buffer_coverage) from the buffered recent stream,
+        padded back to the original K with still-hot old ids so the
+        hot-table shape — and every compiled bucket program — survives
+        the swap. Returns (None, cov) when K cannot be preserved."""
         from deeprecsys_tpu.ops.embedding import select_hot_ids
 
+        k = len(self._hotcold.hot_ids)
+        sample = np.concatenate(list(self._refresh_buf), axis=0)
+        offsets = np.asarray(self.model_cfg.table_offsets)
+        new_hot = select_hot_ids(sample, offsets, k)
+        if len(new_hot) < k:
+            extra = np.setdiff1d(self._hotcold.hot_ids, new_hot)
+            new_hot = np.sort(np.concatenate(
+                [new_hot, extra[:k - len(new_hot)]]))
+        flat = (sample.astype(np.int64)
+                + offsets.astype(np.int64)[None, :, None]).reshape(-1)
+        # Coverage of the buffered stream by the candidate (in-sample —
+        # slightly optimistic, mirrored by the warm-up estimator's
+        # out-of-sample split only when enough batches exist).
+        cov = float(np.isin(flat, new_hot).mean())
+        return (new_hot if len(new_hot) == k else None), cov
+
+    def _refresh_hot_set(self, live_cov: float) -> bool:
+        """Live coverage collapsed: re-derive the hot set from the
+        buffered recent stream. If the buffer still HAS a popular head,
+        swap it in WITHOUT recompiling (same-shape hot-table param; the
+        jittable apply never depends on the id list —
+        models/hotcold.py::with_hot_ids). If it does NOT (candidate
+        coverage < hotcold_min_hit), DISABLE the split and serve the
+        plain fused gather: a headless split is slower than direct
+        (measured 2.1x worse, drift:rm1). Returns True when the dispatch
+        state changed (caller's split is stale)."""
         if self.mesh is not None:
             # The sharded/hybrid conversion re-shards the whole tree;
             # swapping it mid-serve is not supported — refresh mesh
@@ -649,26 +681,24 @@ class ComputeEngine(threading.Thread):
                       f"engines (reload to re-derive the hot set)",
                       flush=True)
             return False
-        k = len(self._hotcold.hot_ids)
-        sample = np.concatenate(list(self._refresh_buf), axis=0)
-        offsets = np.asarray(self.model_cfg.table_offsets)
-        new_hot = select_hot_ids(sample, offsets, k)
-        if len(new_hot) < k:
-            # Keep the hot-table shape FIXED (a new shape would recompile
-            # every bucket program): top up with previous hot ids the
-            # buffer didn't surface — still the best available guess.
-            extra = np.setdiff1d(self._hotcold.hot_ids, new_hot)
-            new_hot = np.sort(np.concatenate(
-                [new_hot, extra[:k - len(new_hot)]]))
-        if len(new_hot) != k:
+        new_hot, new_cov = self._candidate_hot_ids()
+        if new_cov < self.model_cfg.hotcold_min_hit:
+            self._disable_hotcold(live_cov, new_cov)
+            return True
+        if new_hot is None:
             return False  # cannot preserve the compiled shape
-        flat = (sample.astype(np.int64)
-                + offsets.astype(np.int64)[None, :, None]).reshape(-1)
-        # Re-baseline the reference coverage on the refreshed set (slightly
-        # optimistic — in-sample on the buffer — but it stops a stream
-        # whose achievable head mass genuinely dropped from re-triggering
-        # a refresh every window).
-        new_cov = float(np.isin(flat, new_hot).mean())
+        self._install_hot_ids(new_hot, new_cov)
+        print(f"[deeprecsys_tpu] engine {self.engine_id}: hot-set refresh "
+              f"#{self.hot_refreshes} (live coverage {live_cov:.1%} -> "
+              f"buffered-stream coverage {new_cov:.1%}, "
+              f"{len(new_hot)} rows)", flush=True)
+        return True
+
+    def _install_hot_ids(self, new_hot, ref_cov: float):
+        """Swap the hot set + rebuild the hot table from the live params'
+        full tables, preserving negotiated layouts (no recompile)."""
+        from deeprecsys_tpu.models.hotcold import with_hot_ids
+
         hc = with_hot_ids(self._hotcold, new_hot, mesh=None)
         base = {key: v for key, v in self.params.items() if key != "hot_table"}
         new_params = hc.convert_params(base)
@@ -676,13 +706,54 @@ class ComputeEngine(threading.Thread):
                   else self.device)
         self.params = jax.device_put(new_params, target)
         self._hotcold = hc
-        self.hot_coverage = new_cov
+        # Re-baseline the reference coverage on the refreshed set: stops a
+        # stream whose achievable head mass genuinely dropped from
+        # re-triggering a refresh every window.
+        self.hot_coverage = ref_cov
         self.hot_refreshes += 1
-        print(f"[deeprecsys_tpu] engine {self.engine_id}: hot-set refresh "
-              f"#{self.hot_refreshes} (live coverage {live_cov:.1%} -> "
-              f"buffered-stream coverage {new_cov:.1%}, {k} rows)",
-              flush=True)
-        return True
+
+    def _disable_hotcold(self, live_cov: float, cand_cov: float):
+        self._hotcold_active = False
+        self.hot_coverage = cand_cov
+        print(f"[deeprecsys_tpu] engine {self.engine_id}: hot/cold split "
+              f"DISABLED (live coverage {live_cov:.1%}, best candidate "
+              f"{cand_cov:.1%} < min_hit "
+              f"{self.model_cfg.hotcold_min_hit:.0%}); serving the direct "
+              f"gather, still watching the stream", flush=True)
+
+    def _direct_dispatch(self, dev_batch):
+        """Plain fused-gather dispatch for a runtime-disabled hotcold
+        engine. Compiled lazily on first use per batch shape (the warm-up
+        only compiled the hotcold programs)."""
+        if self._direct_fn is None:
+            model = get_model(self.model_cfg.replace(embedding_impl="xla"))
+            self._direct_fn = jax.jit(model.apply)
+        # Derived from the LIVE params every dispatch (not cached at
+        # disable time): a checkpoint reload while disabled must serve
+        # the reloaded tables. Same array objects -> no retrace.
+        base = {k: v for k, v in self.params.items() if k != "hot_table"}
+        return self._direct_fn(base, dev_batch)
+
+    def _track_direct(self, host):
+        """Disabled-state stream watch: keep buffering batches; every
+        interval, estimate what a re-derived hot set WOULD cover (pure
+        host math — no device work) and re-enable the split when a
+        popular head returns."""
+        self._refresh_buf.append(np.asarray(host.indices))
+        self._tracked_since_check += 1
+        if self._tracked_since_check < self.serving_cfg.hotcold_refresh_interval:
+            return
+        self._tracked_since_check = 0
+        new_hot, cov = self._candidate_hot_ids()
+        self.live_hot_coverage = cov
+        if new_hot is None or cov < self.model_cfg.hotcold_min_hit:
+            return
+        self._install_hot_ids(new_hot, cov)
+        self._hotcold_active = True
+        self._live_hot = self._live_total = 0
+        print(f"[deeprecsys_tpu] engine {self.engine_id}: hot/cold split "
+              f"RE-ENABLED (candidate coverage {cov:.1%}, refresh "
+              f"#{self.hot_refreshes})", flush=True)
 
     def _poll_control(self):
         """Drain the cpu-mp reload side channel: reassemble ReloadFragment
@@ -860,7 +931,8 @@ class ComputeEngine(threading.Thread):
             # Fresh host->device transfer each execution: honest serving
             # cost (the reference re-feeds host blobs through BlobsQueues).
             dev_batch = self._device_batch(host)
-            if self._hotcold is not None:
+            use_hc = self._hotcold is not None and self._hotcold_active
+            if use_hc:
                 # Honest host cost: the split runs per request (native C++
                 # single-pass splitter), overlapped with device compute of
                 # the previous request by the dispatch pipeline.
@@ -870,11 +942,24 @@ class ComputeEngine(threading.Thread):
                     # every other reader of both — no race) BEFORE this
                     # dispatch, but the already-computed split stays valid:
                     # it was made against the pre-swap hot set, so re-run
-                    # prepare if a refresh happened.
+                    # prepare if a refresh happened — or fall through to
+                    # the direct path if the stream lost its head and the
+                    # split was disabled.
                     if self._track_hotcold(host, split):
-                        split = self._hotcold.prepare(host)
+                        if self._hotcold_active:
+                            split = self._hotcold.prepare(host)
+                        else:
+                            use_hc = False
+            if use_hc:
                 out = self._jitted[bucket](self.params, dev_batch,
                                            self._device_split(split))
+            elif self._hotcold is not None:
+                # Hotcold disabled at runtime (stream lost its popular
+                # head): serve the plain fused gather, keep watching the
+                # stream, re-enable when a head returns.
+                if self.serving_cfg.hotcold_refresh_interval > 0:
+                    self._track_direct(host)
+                out = self._direct_dispatch(dev_batch)
             else:
                 out = self._jitted[bucket](self.params, dev_batch)
             queue_end = time.time()

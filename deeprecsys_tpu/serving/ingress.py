@@ -503,9 +503,16 @@ def _health(server: ServingServer) -> dict:
     impls = []
     for e in server.engines:
         if hasattr(e, "_hotcold"):
+            active = (e._hotcold is not None
+                      and getattr(e, "_hotcold_active", True))
             entry = {
                 "engine": e.engine_id,
-                "impl": "hotcold" if e._hotcold is not None else "direct",
+                # "direct (hotcold disabled)": the split was turned off at
+                # runtime because the stream lost its popular head; the
+                # engine keeps watching and may re-enable.
+                "impl": ("hotcold" if active else
+                         "direct (hotcold disabled)" if e._hotcold is not None
+                         else "direct"),
                 "hot_coverage": (round(e.hot_coverage, 4)
                                  if e.hot_coverage is not None else None)}
             if e._hotcold is not None and getattr(

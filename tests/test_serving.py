@@ -705,6 +705,51 @@ def test_hotcold_adaptive_refresh_recovers_from_drift():
         text = _prometheus({"ncf": server})
         assert 'drs_hot_set_refreshes_total{model="ncf",engine="0"} 1' in text
         assert "drs_live_hot_coverage" in text
+
+        # Phase 3 — the stream loses its head entirely (uniform over all
+        # rows): no hot set can clear hotcold_min_hit, so the engine must
+        # DISABLE the split and serve the plain fused gather (a headless
+        # split is slower than direct — measured 2.1x worse, drift:rm1).
+        def uniform_batch(seed):
+            rng = np.random.default_rng(1000 + seed)
+            return np.stack(
+                [rng.integers(0, rows[t], size=(8, L)) for t in range(T)],
+                axis=1).astype(np.int32)
+
+        for i in range(32):
+            server.predict(uniform_batch(i))
+            if not eng._hotcold_active:
+                break
+        assert not eng._hotcold_active, "uniform stream must disable the split"
+        # Disabled serving stays correct (lazy direct program).
+        idx = uniform_batch(99)
+        out = server.predict(idx)
+        want = np.asarray(direct.apply(
+            {k: v for k, v in eng.params.items() if k != "hot_table"},
+            Batch(dense=None, indices=jax.numpy.asarray(idx))),
+            dtype=np.float32)
+        np.testing.assert_allclose(np.asarray(out["scores"], np.float32),
+                                   want, rtol=1e-5, atol=1e-6)
+        (impl,) = _health(server)["embedding_impl"]
+        assert impl["impl"] == "direct (hotcold disabled)"
+
+        # Phase 4 — the head returns: the disabled engine keeps watching
+        # the stream (pure host math) and RE-ENABLES the split.
+        for i in range(64):
+            server.predict(drift_batch(200 + i))
+            if eng._hotcold_active:
+                break
+        assert eng._hotcold_active, "returning head must re-enable the split"
+        idx = drift_batch(999)
+        out = server.predict(idx)
+        want = np.asarray(direct.apply(
+            {k: v for k, v in eng.params.items() if k != "hot_table"},
+            Batch(dense=None, indices=jax.numpy.asarray(idx))),
+            dtype=np.float32)
+        np.testing.assert_allclose(np.asarray(out["scores"], np.float32),
+                                   want, rtol=1e-5, atol=1e-6)
+        (impl,) = _health(server)["embedding_impl"]
+        assert impl["impl"] == "hotcold"
     finally:
         server.stop()
 

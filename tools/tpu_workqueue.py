@@ -976,7 +976,12 @@ def job_op_breakdown(models, batch):
         log(f"breakdown {m} b={batch}: full={r['stage_ms']['full_model']:.3f}ms {frac}")
         rows.append(r)
     out = Path(__file__).parent.parent / "benchmarks" / "op_breakdown_tpu.json"
-    out.write_text(_json.dumps(rows, indent=2))
+    # MERGE by model: partial runs (e.g. the later wnd/mtwnd/ncf batch)
+    # must not clobber the models already in the artifact.
+    prior = _json.loads(out.read_text()) if out.exists() else []
+    merged = {r["model"]: r for r in prior}
+    merged.update({r["model"]: r for r in rows})
+    out.write_text(_json.dumps(list(merged.values()), indent=2))
     return {"models": list(models), "batch": batch,
             "fractions": {r["model"]: r["stage_fraction"] for r in rows}}
 
@@ -1700,6 +1705,9 @@ JOBS = [
     ("drift:rm1", lambda: job_drift("rm1")),
     ("drift:rm2", lambda: job_drift("rm2")),
     ("drift:rm3", lambda: job_drift("rm3")),
+    # Round 3: complete the stage-breakdown artifact — the three models
+    # it didn't cover (merged into op_breakdown_tpu.json by model).
+    ("op_breakdown:fast3", lambda: job_op_breakdown(("wnd", "mtwnd", "ncf"), 512)),
 ]
 
 
