@@ -32,7 +32,10 @@ import numpy as np
 def _time_fn(fn, *args, iters=16) -> float:
     """Honest stage timing: chained iterations with the last argument
     rolled by the loop index (loop-dependent, in-range for int indices),
-    scalar readback, two-point slope (see utils/timing.py)."""
+    scalar readback, two-point slope (see utils/timing.py). Adaptive
+    chain length: sub-0.1 ms stages (the MLP-bound models' everything)
+    need hundreds of chained iterations to rise above relay jitter —
+    same compiled program, bigger runtime trip count."""
     import jax.numpy as jnp
     from deeprecsys_tpu.utils.timing import time_step_chain
 
@@ -44,7 +47,19 @@ def _time_fn(fn, *args, iters=16) -> float:
         out = fn(*a[:-1], x)
         return carry + jnp.sum(out.astype(jnp.float32))
 
-    return time_step_chain(step, jnp.zeros((), jnp.float32), *args, iters=iters)
+    while True:
+        try:
+            ms = time_step_chain(step, jnp.zeros((), jnp.float32), *args,
+                                 iters=iters)
+        except RuntimeError:
+            ms = -1.0  # noise-clamped slope: lengthen and retry
+        if ms * iters >= 25.0 or iters >= 8192:
+            if ms <= 0:
+                raise RuntimeError(
+                    f"stage slope non-positive even at {iters} chained "
+                    f"iterations — backend jitter exceeds the signal")
+            return ms
+        iters = min(iters * 8, 8192)
 
 
 def breakdown_for(name: str, batch_size: int, table_scale: int, param_dtype: str = "float32") -> dict:
