@@ -297,6 +297,13 @@ class Trainer:
     ):
         if cfg.table_quant != "none":
             raise ValueError("training requires float tables (table_quant='none')")
+        if sparse_tables and cfg.resolved_table_pack > 1:
+            # Touched-rows updates need the logical (R, d) layout; with
+            # the auto-pack default (table_pack=0 packs narrow rows for
+            # SERVING gathers) a default config would otherwise be
+            # untrainable. Train unpacked — export_serving_params /
+            # the serving config re-pack for deployment.
+            cfg = cfg.replace(table_pack=1)
         self.cfg = cfg
         self.mesh = mesh
         self.sparse_tables = sparse_tables

@@ -334,3 +334,28 @@ def test_sparse_step_dedup_matches_colliding_scatter_sgd():
     hist = tr.fit(num_steps=60, batch_size=128)
     assert np.isfinite(hist.losses).all()
     assert np.mean(hist.losses[-10:]) < np.mean(hist.losses[:10])
+
+
+def test_sparse_trainer_accepts_auto_packed_default_config():
+    """The auto-pack default (table_pack=0 packs narrow rows for serving
+    gathers) must not make a DEFAULT config untrainable: the sparse
+    trainer transparently trains the logical (R, d) layout (packing is a
+    serving-side transform; export re-packs). Regression for the driver's
+    dryrun_multichip, which broke when the default flipped to auto."""
+    from deeprecsys_tpu.config import ModelConfig
+    from deeprecsys_tpu.train import Trainer
+
+    # d=8 f32 rows (32 B) auto-pack 4x — the dryrun's exact shape.
+    cfg = ModelConfig(
+        model_type="dlrm", model_name="autopack",
+        mlp_bot=(16, 8), mlp_top=(16, 8, 1),
+        embedding_rows=(64, 64, 32, 32),
+        sparse_feature_size=8, num_indices_per_lookup=4,
+        interaction_op="dot",
+    )
+    assert cfg.resolved_table_pack > 1  # premise: auto actually packs
+    tr = Trainer(cfg, optimizer="adagrad", learning_rate=0.05, loss="bce",
+                 sparse_tables=True)
+    assert tr.cfg.resolved_table_pack == 1  # trains the logical layout
+    hist = tr.fit(num_steps=4, batch_size=32)
+    assert np.isfinite(hist.losses).all()
