@@ -56,6 +56,9 @@ def drifted_zipf_stream(cfg, batch: int, alpha: float = 1.2, seed: int = 2,
     out = np.empty_like(idx)
     for t, r in enumerate(rows):
         r = int(r)
+        if r <= 1:  # degenerate table: identity (rng.integers(1, 1) raises)
+            out[:, t, :] = idx[:, t, :]
+            continue
         a = int(rng.integers(1, r))
         while math.gcd(a, r) != 1:
             a = a % r + 1

@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hotcold_refresh_margin", type=float, default=0.05,
                    help="refresh when live coverage falls this far below "
                         "the reference coverage")
+    p.add_argument("--hotcold_refresh_window", type=int, default=16,
+                   help="recent request batches buffered for hot-set "
+                        "re-derivation (and its out-of-sample coverage "
+                        "estimate)")
     p.add_argument("--table_pack", type=int, default=0,
                    help="pack N logical rows per physical table row "
                         "(0 = auto to 128-byte rows — the measured 2x fix "
@@ -219,6 +223,7 @@ def serving_config_from_args(args) -> ServingConfig:
         max_coalesce=args.max_coalesce,
         hotcold_refresh_interval=args.hotcold_refresh_interval,
         hotcold_refresh_margin=args.hotcold_refresh_margin,
+        hotcold_refresh_window=args.hotcold_refresh_window,
         seed=args.numpy_rand_seed,
         log_file=args.log_file,
         debug_mode=args.debug_mode,

@@ -70,12 +70,16 @@ class ReloadHandle:
     per-engine control ring (ReloadFragment chunks) and ACK on the
     response ring — ``ServingServer.reload`` speaks both."""
 
-    __slots__ = ("path", "event", "error")
+    # engine_id/gen: set by the cpu-mp ingress so reload_status can
+    # resolve handles whose engine process died before ACKing.
+    __slots__ = ("path", "event", "error", "engine_id", "gen")
 
     def __init__(self, path: str):
         self.path = path
         self.event = threading.Event()
         self.error: Exception | None = None
+        self.engine_id: int | None = None
+        self.gen: int | None = None
 
 
 def pick_bucket(buckets, batch_size: int) -> int:
@@ -385,6 +389,19 @@ class ComputeEngine(threading.Thread):
                          self._device_split(dummy)).block_until_ready()
 
         self._warm_buckets(warm, apply_fn)
+        if self.serving_cfg.hotcold_refresh_interval > 0 and self.mesh is None:
+            # Pre-warm the DIRECT program for every bucket: a runtime
+            # disable would otherwise jit-compile inside the serve loop —
+            # minutes per shape through a relayed backend, stalling queued
+            # requests exactly when the engine is escaping a measured-2x
+            # slowdown (drift:rm1).
+            direct = get_model(self.model_cfg.replace(embedding_impl="xla"))
+            self._direct_fn = jax.jit(direct.apply)
+            base = {k: v for k, v in self.params.items() if k != "hot_table"}
+            for b in self.buckets:
+                self._direct_fn(
+                    base, self._device_batch(self._host_data[b])
+                ).block_until_ready()
         return True
 
     def _warm_buckets(self, warm_fn, apply_fn):
@@ -603,28 +620,34 @@ class ComputeEngine(threading.Thread):
         finally:
             handle.event.set()
 
-    def _track_hotcold(self, host, split) -> bool:
+    def _track_hotcold(self, host, split, real_rows: int) -> bool:
         """Adaptive hot-set refresh: accumulate the live hit rate from the
-        splitter's cold counts and the recent request batches; every
-        ``hotcold_refresh_interval`` requests, re-derive the hot set from
-        the buffered stream if the windowed coverage fell
+        splitter's per-lookup hot mask and the recent request batches;
+        every ``hotcold_refresh_interval`` requests, re-derive the hot set
+        from the buffered stream if the windowed coverage fell
         ``hotcold_refresh_margin`` below the reference coverage. A hot set
         frozen at warm-up decays under popularity drift — the reference
         has no analog (its data distribution is fixed per run,
         dlrm_data_caffe2.py); this is the serving consequence of making
         the hot set data-driven. Returns True when the set was swapped
         (the caller's split is stale). Runs in the serve-loop thread —
-        the only writer of ``_hotcold``/``params`` during serving."""
+        the only writer of ``_hotcold``/``params`` during serving.
+
+        ``real_rows``: only the first N batch rows carry the actual
+        request stream — the rest is bucket padding from the warm-up
+        generator, which the warm-up hot set covers at ~reference rate
+        and would dilute drift detection toward never triggering (a
+        batch-1 payload on a bucket-64 ladder is 63/64 pad)."""
         import collections
 
         cfg = self.serving_cfg
-        total = int(np.prod(host.indices.shape))
-        self._live_hot += total - int(split["n_cold"])
-        self._live_total += total
+        hm = np.asarray(split["hot_mask"])[:real_rows]
+        self._live_hot += int(hm.sum())
+        self._live_total += int(hm.size)
         if self._refresh_buf is None:
             self._refresh_buf = collections.deque(
                 maxlen=max(cfg.hotcold_refresh_window, 1))
-        self._refresh_buf.append(np.asarray(host.indices))
+        self._refresh_buf.append(np.asarray(host.indices[:real_rows]))
         self._tracked_since_check += 1
         if self._tracked_since_check < cfg.hotcold_refresh_interval:
             return False
@@ -638,26 +661,40 @@ class ComputeEngine(threading.Thread):
         return self._refresh_hot_set(cov)
 
     def _candidate_hot_ids(self):
-        """(new_hot, buffer_coverage) from the buffered recent stream,
-        padded back to the original K with still-hot old ids so the
-        hot-table shape — and every compiled bucket program — survives
-        the swap. Returns (None, cov) when K cannot be preserved."""
+        """(new_hot, est_coverage) from the buffered recent stream.
+        ``new_hot`` is selected from the FULL buffer and padded back to
+        the original K with still-hot old ids so the hot-table shape —
+        and every compiled bucket program — survives the swap (None when
+        K cannot be preserved). ``est_coverage`` is OUT-OF-SAMPLE
+        (selected on the first half of the buffered batches, scored on
+        the second): scoring in-sample reads exactly 1.0 whenever the
+        window's distinct ids fit the K budget, which would defeat the
+        disable safeguard on headless streams and spuriously re-enable
+        the split on uniform ones — the same estimator rule as the
+        warm-up sampler (hot_ids_and_coverage_from_generator). Returns
+        (None, None) when the buffer is too small to estimate (< 2
+        batches): no state change should be made on it."""
         from deeprecsys_tpu.ops.embedding import select_hot_ids
 
+        batches = list(self._refresh_buf)
+        if len(batches) < 2:
+            return None, None
         k = len(self._hotcold.hot_ids)
-        sample = np.concatenate(list(self._refresh_buf), axis=0)
+        sample = np.concatenate(batches, axis=0)
         offsets = np.asarray(self.model_cfg.table_offsets)
         new_hot = select_hot_ids(sample, offsets, k)
         if len(new_hot) < k:
             extra = np.setdiff1d(self._hotcold.hot_ids, new_hot)
             new_hot = np.sort(np.concatenate(
                 [new_hot, extra[:k - len(new_hot)]]))
-        flat = (sample.astype(np.int64)
+        half = max(1, len(batches) // 2)
+        sel = select_hot_ids(np.concatenate(batches[:half], axis=0),
+                             offsets, k)
+        holdout = np.concatenate(batches[half:], axis=0)
+        flat = (holdout.astype(np.int64)
                 + offsets.astype(np.int64)[None, :, None]).reshape(-1)
-        # Coverage of the buffered stream by the candidate (in-sample —
-        # slightly optimistic, mirrored by the warm-up estimator's
-        # out-of-sample split only when enough batches exist).
-        cov = float(np.isin(flat, new_hot).mean())
+        pos = np.clip(np.searchsorted(sel, flat), 0, max(len(sel) - 1, 0))
+        cov = (float((sel[pos] == flat).mean()) if len(sel) else 0.0)
         return (new_hot if len(new_hot) == k else None), cov
 
     def _refresh_hot_set(self, live_cov: float) -> bool:
@@ -682,6 +719,8 @@ class ComputeEngine(threading.Thread):
                       flush=True)
             return False
         new_hot, new_cov = self._candidate_hot_ids()
+        if new_cov is None:
+            return False  # buffer too small to estimate — no change
         if new_cov < self.model_cfg.hotcold_min_hit:
             self._disable_hotcold(live_cov, new_cov)
             return True
@@ -734,19 +773,21 @@ class ComputeEngine(threading.Thread):
         base = {k: v for k, v in self.params.items() if k != "hot_table"}
         return self._direct_fn(base, dev_batch)
 
-    def _track_direct(self, host):
+    def _track_direct(self, host, real_rows: int):
         """Disabled-state stream watch: keep buffering batches; every
         interval, estimate what a re-derived hot set WOULD cover (pure
         host math — no device work) and re-enable the split when a
         popular head returns."""
-        self._refresh_buf.append(np.asarray(host.indices))
+        self._refresh_buf.append(np.asarray(host.indices[:real_rows]))
         self._tracked_since_check += 1
         if self._tracked_since_check < self.serving_cfg.hotcold_refresh_interval:
             return
         self._tracked_since_check = 0
         new_hot, cov = self._candidate_hot_ids()
-        self.live_hot_coverage = cov
-        if new_hot is None or cov < self.model_cfg.hotcold_min_hit:
+        if cov is not None:
+            self.live_hot_coverage = cov
+        if new_hot is None or cov is None \
+                or cov < self.model_cfg.hotcold_min_hit:
             return
         self._install_hot_ids(new_hot, cov)
         self._hotcold_active = True
@@ -932,6 +973,11 @@ class ComputeEngine(threading.Thread):
             # cost (the reference re-feeds host blobs through BlobsQueues).
             dev_batch = self._device_batch(host)
             use_hc = self._hotcold is not None and self._hotcold_active
+            # Drift tracking sees only the REAL request rows (the rest of
+            # the bucket is warm-up-generator padding that would dilute
+            # the live-coverage signal toward never triggering).
+            real_rows = min(sum(r.batch_size for r in group), bucket)
+            ingested = False
             if use_hc:
                 # Honest host cost: the split runs per request (native C++
                 # single-pass splitter), overlapped with device compute of
@@ -945,7 +991,8 @@ class ComputeEngine(threading.Thread):
                     # prepare if a refresh happened — or fall through to
                     # the direct path if the stream lost its head and the
                     # split was disabled.
-                    if self._track_hotcold(host, split):
+                    ingested = True
+                    if self._track_hotcold(host, split, real_rows):
                         if self._hotcold_active:
                             split = self._hotcold.prepare(host)
                         else:
@@ -956,9 +1003,12 @@ class ComputeEngine(threading.Thread):
             elif self._hotcold is not None:
                 # Hotcold disabled at runtime (stream lost its popular
                 # head): serve the plain fused gather, keep watching the
-                # stream, re-enable when a head returns.
-                if self.serving_cfg.hotcold_refresh_interval > 0:
-                    self._track_direct(host)
+                # stream, re-enable when a head returns. The disabling
+                # request was already ingested above — don't count it
+                # twice.
+                if (self.serving_cfg.hotcold_refresh_interval > 0
+                        and not ingested):
+                    self._track_direct(host, real_rows)
                 out = self._direct_dispatch(dev_batch)
             else:
                 out = self._jitted[bucket](self.params, dev_batch)

@@ -420,6 +420,7 @@ class ServingServer:
             handles = []
             for eid, ring in enumerate(self._control_rings):
                 h = ReloadHandle(path)
+                h.engine_id, h.gen = eid, gen  # reload_status liveness check
                 self._mp_reload[(eid, gen)] = h
                 handles.append((eid, ring, h))
             self._reload_handles = [h for _, _, h in handles]
@@ -428,13 +429,25 @@ class ServingServer:
         # fragments on the same ring would tear both sequences.
         with self._mp_send_lock:
             for eid, ring, h in handles:
+                if eid < len(self.procs) and not self.procs[eid].is_alive():
+                    # Dead engine: its ring would swallow ~64 fragments
+                    # without ever ACKing — resolve the handle NOW so
+                    # waiters and reload_status see the failure instead
+                    # of a forever-'scheduled' reload.
+                    with self._lock:
+                        self._mp_reload.pop((eid, gen), None)
+                    h.error = RuntimeError(
+                        f"engine process {eid} is not alive; reload not "
+                        f"delivered")
+                    h.event.set()
+                    continue
                 try:
                     for f in frags:
                         ring.put(f, timeout=5.0)
                 except TimeoutError as e:
-                    # Ring full (engine dead or wedged): resolve THIS
-                    # handle now — nothing will ever ACK it — and keep
-                    # shipping to the other engines.
+                    # Ring full (engine wedged): resolve THIS handle now —
+                    # nothing will ever ACK it — and keep shipping to the
+                    # other engines.
                     with self._lock:
                         self._mp_reload.pop((eid, gen), None)
                     h.error = RuntimeError(
@@ -447,6 +460,19 @@ class ServingServer:
         """{scheduled, applied, failed, errors} for the last reload()."""
         with self._lock:
             handles = list(getattr(self, "_reload_handles", []))
+        # cpu-mp: a handle whose engine died AFTER delivery will never be
+        # ACKed — resolve it here so the status cannot report a reload
+        # stuck in 'scheduled' forever.
+        for h in handles:
+            eid = getattr(h, "engine_id", None)
+            if (eid is not None and not h.event.is_set()
+                    and eid < len(self.procs)
+                    and not self.procs[eid].is_alive()):
+                with self._lock:
+                    self._mp_reload.pop((eid, getattr(h, "gen", -1)), None)
+                h.error = RuntimeError(
+                    f"engine process {eid} died before ACKing the reload")
+                h.event.set()
         applied = [h for h in handles if h.event.is_set() and h.error is None]
         failed = [h for h in handles if h.event.is_set() and h.error is not None]
         return {"scheduled": len(handles), "applied": len(applied),

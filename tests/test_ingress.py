@@ -504,6 +504,14 @@ def test_mp_checkpoint_load_failure_reported_at_startup(tmp_path):
     try:
         with pytest.raises(RuntimeError, match="failed during"):
             server.start(timeout=120)
+        # A reload against the dead engine must resolve its handle with
+        # an error immediately (nothing will ever ACK it), never leave it
+        # 'scheduled' forever.
+        for p in server.procs:
+            p.join(timeout=30)
+        (h,) = server.reload(str(tmp_path / "whatever.ckpt"))
+        assert h.event.is_set() and h.error is not None
+        assert "not alive" in str(h.error)
     finally:
         server.stop()
 
