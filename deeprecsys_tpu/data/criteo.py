@@ -103,8 +103,12 @@ class CriteoReader:
 
 
 def write_synthetic_criteo(path: str | Path, num_rows: int, seed: int = 0,
-                           missing_rate: float = 0.05):
-    """Write a synthetic Criteo-format TSV (for tests/smoke runs)."""
+                           missing_rate: float = 0.05,
+                           signal: bool = False):
+    """Write a synthetic Criteo-format TSV (for tests/smoke runs).
+    ``signal=True`` ties the label to the first integer feature (with
+    10% flip noise) so held-out AUC is a meaningful learnability check
+    rather than coin-flipping on random labels."""
     rng = np.random.default_rng(seed)
     with open(path, "w") as f:
         for _ in range(num_rows):
@@ -117,4 +121,12 @@ def write_synthetic_criteo(path: str | Path, num_rows: int, seed: int = 0,
                 "" if rng.random() < missing_rate else f"{int(rng.integers(0, 1 << 32)):08x}"
                 for _ in range(NUM_CAT)
             ]
+            if signal:
+                # Threshold low in the raw range: log1p compresses the
+                # top decades, so a midpoint split leaves the model a
+                # ~0.7 log-unit margin while 500 leaves ~2.3.
+                x = int(ints[0]) if ints[0] else 0
+                label = int(x > 500)
+                if rng.random() < 0.10:
+                    label = 1 - label
             f.write("\t".join([str(label)] + ints + cats) + "\n")

@@ -657,7 +657,24 @@ class ComputeEngine(threading.Thread):
         self._live_hot = self._live_total = 0
         ref = self.hot_coverage if self.hot_coverage is not None else 0.0
         if cov >= ref - cfg.hotcold_refresh_margin:
-            return False
+            # No degradation — but a set that was never GOOD (warm-up
+            # sampled a different distribution than the live stream, e.g.
+            # the uniform generator under skewed payload traffic) will
+            # never trip the drop rule either. Scan for an UPGRADE: if a
+            # set re-derived from the live stream would cover
+            # meaningfully more, install it. Skipped once the current
+            # set is already serving well.
+            if self.mesh is not None or ref >= self.model_cfg.hotcold_min_hit:
+                return False
+            new_hot, cand = self._candidate_hot_ids()
+            if (new_hot is None or cand is None
+                    or cand < max(ref, cov) + cfg.hotcold_refresh_margin):
+                return False
+            self._install_hot_ids(new_hot, cand)
+            print(f"[deeprecsys_tpu] engine {self.engine_id}: hot-set "
+                  f"UPGRADE #{self.hot_refreshes} (live coverage "
+                  f"{cov:.1%} -> candidate {cand:.1%})", flush=True)
+            return True
         return self._refresh_hot_set(cov)
 
     def _candidate_hot_ids(self):

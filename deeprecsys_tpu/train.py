@@ -435,6 +435,32 @@ class Trainer:
         scores = np.asarray(self.model.apply(self.params, host).astype(jnp.float32))
         return auc(scores[:, 0], labels.astype(int))
 
+    def evaluate_batches(self, batches) -> dict:
+        """Held-out evaluation over an iterable of (host Batch, labels)
+        pairs (e.g. ``CriteoReader.batches`` on a validation file):
+        ROC-AUC + binary log-loss — the Criteo benchmark's metrics.
+        Raw-logit models (no sigmoid in the graph) are converted to
+        probabilities for the log-loss."""
+        from deeprecsys_tpu.models import sigmoid_output
+
+        probs, ys = [], []
+        sig = sigmoid_output(self.cfg)
+        for host, labels in batches:
+            s = np.asarray(
+                self.model.apply(self.params, host).astype(jnp.float32))[:, 0]
+            if not sig:
+                s = 1.0 / (1.0 + np.exp(-s))
+            probs.append(s)
+            ys.append(np.asarray(labels, np.float32).reshape(-1))
+        if not probs:
+            raise ValueError("evaluate_batches: empty batch iterable")
+        p = np.concatenate(probs)
+        y = np.concatenate(ys)
+        pc = np.clip(p, 1e-7, 1.0 - 1e-7)
+        logloss = float(-np.mean(y * np.log(pc) + (1 - y) * np.log(1 - pc)))
+        return {"auc": auc(p, y.astype(int)), "logloss": logloss,
+                "n": int(y.size)}
+
 
 def export_serving_params(params: dict, cfg: ModelConfig,
                           table_quant: str = "int8_rowwise"):
@@ -525,6 +551,11 @@ def main(argv=None):
     ap.add_argument("--sparse_tables", action="store_true",
                     help="touched-rows-only table updates + row-wise AdaGrad")
     ap.add_argument("--eval_every", type=int, default=0)
+    ap.add_argument("--criteo_eval", default=None,
+                    help="held-out Criteo TSV: report ROC-AUC + log-loss "
+                         "after each epoch (with --criteo)")
+    ap.add_argument("--eval_batches", type=int, default=64,
+                    help="held-out batches per evaluation (--criteo_eval)")
     ap.add_argument("--criteo", default=None,
                     help="Criteo/Kaggle TSV file: train on real data instead of synthetic")
     ap.add_argument("--criteo_rows_per_table", type=int, default=1_000_000)
@@ -554,9 +585,15 @@ def main(argv=None):
             ls = _fit_batches(tr, reader.batches(args.batch_size,
                                                  max_batches=args.steps))
             losses.extend(ls)
-            print(f"epoch {epoch}: {len(ls)} steps, "
-                  f"loss {np.mean(ls[:4]):.4f} -> {np.mean(ls[-4:]):.4f}",
-                  flush=True)
+            msg = (f"epoch {epoch}: {len(ls)} steps, "
+                   f"loss {np.mean(ls[:4]):.4f} -> {np.mean(ls[-4:]):.4f}")
+            if args.criteo_eval:
+                ev = tr.evaluate_batches(
+                    CriteoReader(args.criteo_eval, cfg).batches(
+                        args.batch_size, max_batches=args.eval_batches))
+                msg += (f", holdout AUC {ev['auc']:.4f} "
+                        f"logloss {ev['logloss']:.4f} ({ev['n']} rows)")
+            print(msg, flush=True)
     else:
         cfg = zoo.get_config(args.model, table_scale=args.table_scale)
         tr = Trainer(cfg, optimizer=args.optimizer, learning_rate=args.lr,

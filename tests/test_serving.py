@@ -626,6 +626,48 @@ def test_engine_auto_embedding_impl_picks_by_coverage():
     assert eng._hotcold is not None
 
 
+def test_hotcold_upgrade_without_degradation():
+    """The symmetric refresh rule: a hot set that was never good (warm-up
+    sampled the uniform generator; live traffic is concentrated) never
+    trips the drop rule — live coverage never FELL — but the engine must
+    still adopt the live stream's head when a re-derived set would cover
+    meaningfully more."""
+    import numpy as np
+
+    from deeprecsys_tpu.serving.ingress import ServingServer
+
+    model_cfg = zoo.get_config("ncf", table_scale=500).replace(
+        embedding_impl="hotcold", hot_set_rows=64)
+    cfg = ServingConfig(engine_backend="cpu", inference_engines=1,
+                        batch_buckets=(8,), max_mini_batch_size=8,
+                        sub_task_batch_size=8,
+                        hotcold_refresh_interval=4,
+                        hotcold_refresh_window=8)
+    server = ServingServer(model_cfg, cfg)
+    server.start()
+    try:
+        eng = server.engines[0]
+        assert eng._hotcold is not None
+        assert eng.hot_coverage < 0.75  # warm-up (uniform) set: mediocre
+        rows = model_cfg.scaled_rows
+        T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+        pools = [[3, 7, 11, 19], [5, 9, 13, 21], [2, 4, 6, 8],
+                 [1, 10, 12, 14]]
+
+        def head_batch(seed):
+            rng = np.random.default_rng(seed)
+            return np.stack([rng.choice(pools[t], size=(8, L))
+                             for t in range(T)], axis=1).astype(np.int32)
+
+        for i in range(8):
+            server.predict(head_batch(i))
+        assert eng.hot_refreshes >= 1, "upgrade never installed"
+        assert eng.hot_coverage > 0.9
+        assert eng._hotcold_active
+    finally:
+        server.stop()
+
+
 def test_hotcold_adaptive_refresh_recovers_from_drift():
     """Adaptive hot-set refresh (hotcold_refresh_interval): a hot set
     frozen at warm-up decays when the popular head of the id stream

@@ -359,3 +359,36 @@ def test_sparse_trainer_accepts_auto_packed_default_config():
     assert tr.cfg.resolved_table_pack == 1  # trains the logical layout
     hist = tr.fit(num_steps=4, batch_size=32)
     assert np.isfinite(hist.losses).all()
+
+
+def test_criteo_holdout_eval_learns_signal(tmp_path, capsys):
+    """--criteo_eval: a learnable synthetic dataset (label tied to the
+    first integer feature) must yield held-out AUC well above chance and
+    finite log-loss — the Criteo benchmark's metrics on real splits."""
+    from deeprecsys_tpu.data.criteo import (CriteoReader,
+                                            criteo_model_config,
+                                            write_synthetic_criteo)
+    from deeprecsys_tpu.train import Trainer, _fit_batches, main
+
+    train_f, eval_f = tmp_path / "train.txt", tmp_path / "valid.txt"
+    write_synthetic_criteo(train_f, num_rows=2000, seed=2, signal=True)
+    write_synthetic_criteo(eval_f, num_rows=400, seed=5, signal=True)
+
+    cfg = criteo_model_config(rows_per_table=3000)
+    tr = Trainer(cfg, optimizer="adagrad", learning_rate=0.1, loss="bce")
+    reader = CriteoReader(train_f, cfg)
+    for _ in range(4):
+        _fit_batches(tr, reader.batches(100))
+    ev = tr.evaluate_batches(CriteoReader(eval_f, cfg).batches(100))
+    assert ev["n"] == 400
+    assert np.isfinite(ev["logloss"]) and ev["logloss"] < 0.75
+    # 2k noisy synthetic rows into a production-shaped DLRM: the bar is
+    # "clearly above chance on held-out data", not convergence.
+    assert ev["auc"] > 0.62, f"holdout AUC {ev['auc']:.3f} — did not learn"
+
+    # CLI surface prints the holdout metrics per epoch.
+    main(["--criteo", str(train_f), "--criteo_eval", str(eval_f),
+          "--criteo_rows_per_table", "3000", "--epochs", "1",
+          "--batch_size", "100", "--lr", "0.05"])
+    out = capsys.readouterr().out
+    assert "holdout AUC" in out and "logloss" in out

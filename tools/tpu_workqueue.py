@@ -1337,6 +1337,116 @@ def job_predict_serving(model="ncf", n_queries=40):
     return r
 
 
+def job_serving_drift(model="rm3", phase_queries=24):
+    """Adaptive hot-set refresh exercised END-TO-END on the real chip:
+    a TPU-backed ingress serves /v1/predict payloads whose popular head
+    SHIFTS between phases (two affine permutations of the zipf stream).
+    The engine must (a) UPGRADE away from its uniform warm-up set onto
+    phase A's head, then (b) refresh onto phase B's head after the
+    drift — visible in /v1/healthz hot_coverage / hot_refreshes.
+    Absolute latencies are relay-bound as always; the drift:* jobs carry
+    the model-level perf numbers (stale 2.6-3.9x slower than refreshed)."""
+    import json as _json
+    import urllib.request
+
+    import numpy as np
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.experiments.skew_bench import (
+        drifted_zipf_stream,
+        zipf_stream,
+    )
+    from deeprecsys_tpu.serving.ingress import HttpIngress, ServingServer
+
+    model_cfg = zoo.get_config(model, table_scale=8, param_dtype="bfloat16",
+                               compute_dtype="bfloat16",
+                               embedding_impl="hotcold")
+    cfg = ServingConfig(engine_backend="tpu", inference_engines=1,
+                        batch_buckets=(64,), max_mini_batch_size=64,
+                        sub_task_batch_size=64,
+                        hotcold_refresh_interval=6,
+                        hotcold_refresh_window=12)
+    server = ServingServer(model_cfg, cfg)
+    server.start(timeout=900)
+    ing = HttpIngress(server)
+    ing.start()
+    base = "http://%s:%s" % ing.address
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            base + path, data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return _json.loads(r.read())
+
+    def health():
+        with urllib.request.urlopen(base + "/v1/healthz", timeout=60) as r:
+            (impl,) = _json.loads(r.read())["embedding_impl"]
+            return impl
+
+    dense_rng = np.random.default_rng(3)
+
+    def run_phase(stream_fn, n):
+        lats, timeouts = [], 0
+        for i in range(n):
+            idx = stream_fn(i)
+            body = {"indices": idx.tolist()}
+            if model_cfg.dense_dim:
+                body["dense"] = dense_rng.normal(
+                    size=(idx.shape[0], model_cfg.dense_dim)
+                ).astype(np.float32).tolist()
+            try:
+                out = post("/v1/predict", body)
+            except urllib.error.HTTPError as e:
+                if e.code != 504:
+                    raise
+                # The refresh's hot-table rebuild compiles a fresh remote
+                # program through the relay (minutes); the in-flight
+                # request times out at the ingress while the engine
+                # finishes adapting. On a local TPU host the rebuild is
+                # milliseconds — tolerate and count here.
+                timeouts += 1
+                continue
+            lats.append(out["latency_ms"])
+        h = health()
+        return {"p50_ms": (float(np.percentile(lats, 50)) if lats
+                           else None),
+                "timeouts": timeouts,
+                "hot_coverage": h["hot_coverage"],
+                "live_hot_coverage": h["live_hot_coverage"],
+                "hot_refreshes": h["hot_refreshes"], "impl": h["impl"]}
+
+    # Phase A: undrifted zipf head (fresh draw per request — same head,
+    # varying tail). Phase B: the same stream through a fixed per-table
+    # permutation (drift_seed=7) — the head moves to different rows.
+    def stream_a(i):
+        return zipf_stream(model_cfg, 64, seed=1000 + i)
+
+    def stream_b(i):
+        return drifted_zipf_stream(model_cfg, 64, seed=1000 + i,
+                                   drift_seed=7)
+
+    try:
+        start = health()
+        a = run_phase(stream_a, phase_queries)
+        b = run_phase(stream_b, phase_queries)
+    finally:
+        ing.stop()
+    if not (a["hot_refreshes"] >= 1 and a["hot_coverage"] > start["hot_coverage"]):
+        raise RuntimeError(f"phase A never upgraded: start={start} a={a}")
+    if not (b["hot_refreshes"] > a["hot_refreshes"]
+            and b["live_hot_coverage"] > 0.5):
+        raise RuntimeError(f"phase B never re-adapted: a={a} b={b}")
+    p50 = lambda ph: "n/a" if ph["p50_ms"] is None else f"{ph['p50_ms']:.1f}"
+    log(f"serving_drift {model}: warmup cov {start['hot_coverage']:.2f} -> "
+        f"A cov {a['hot_coverage']:.2f} ({a['hot_refreshes']} refresh) -> "
+        f"B cov {b['hot_coverage']:.2f} ({b['hot_refreshes']} total), "
+        f"p50 A {p50(a)} / B {p50(b)} ms (relay-bound; "
+        f"{a['timeouts']}+{b['timeouts']} compile-stall timeouts)")
+    return {"model": model, "start": start, "phase_a": a, "phase_b": b}
+
+
 def job_soak(model="ncf", minutes=30, rate_qps=4.0):
     """Continuous-serving stability soak on the real chip: HTTP ingress +
     one TPU ComputeEngine under steady Poisson load for `minutes`,
@@ -1708,6 +1818,10 @@ JOBS = [
     # Round 3: complete the stage-breakdown artifact — the three models
     # it didn't cover (merged into op_breakdown_tpu.json by model).
     ("op_breakdown:fast3", lambda: job_op_breakdown(("wnd", "mtwnd", "ncf"), 512)),
+    # Round 3: adaptive hot-set refresh END-TO-END on the chip — upgrade
+    # from the uniform warm-up set onto the live head, then re-adapt
+    # after a permuted drift, over real /v1/predict payloads.
+    ("serving_drift:rm3", lambda: job_serving_drift("rm3")),
 ]
 
 
