@@ -397,6 +397,10 @@ class ServingConfig:
     # (drift:rm1) — with the engine still watching the stream and
     # re-enabling when a head returns. 0 = off. Guards popularity DRIFT:
     # a hot set frozen at warm-up decays as the id distribution moves.
+    # Scope: adaptation requires the engine to START on the hotcold path
+    # (embedding_impl="hotcold", or "auto" whose warm-up chose it) — an
+    # engine that began direct compiled no split programs and stays
+    # direct; restart or reload to change impl.
     hotcold_refresh_interval: int = 0
     hotcold_refresh_margin: float = 0.05
     hotcold_refresh_window: int = 16
