@@ -412,3 +412,10 @@ class ServingConfig:
     def __post_init__(self):
         if self.engine_backend not in ("tpu", "cpu", "cpu-mp", "sim"):
             raise ValueError(f"unknown engine_backend {self.engine_backend!r}")
+        if self.hotcold_refresh_interval > 0 and self.hotcold_refresh_window < 2:
+            # The out-of-sample candidate estimator needs a selection half
+            # AND a holdout half; a 1-batch window would silently make
+            # every refresh/upgrade/disable decision inert.
+            raise ValueError(
+                f"hotcold_refresh_window must be >= 2 when refresh tracking "
+                f"is on; got {self.hotcold_refresh_window}")

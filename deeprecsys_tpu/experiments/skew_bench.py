@@ -69,12 +69,9 @@ def drifted_zipf_stream(cfg, batch: int, alpha: float = 1.2, seed: int = 2,
 
 def stream_coverage(cfg, idx: np.ndarray, hot_ids: np.ndarray) -> float:
     """Fraction of this stream's lookups served by ``hot_ids`` (sorted)."""
-    offs = np.asarray(cfg.table_offsets, dtype=np.int64)
-    flat = (idx.astype(np.int64) + offs[None, :, None]).reshape(-1)
-    if len(hot_ids) == 0:
-        return 0.0
-    pos = np.clip(np.searchsorted(hot_ids, flat), 0, len(hot_ids) - 1)
-    return float((np.asarray(hot_ids)[pos] == flat).mean())
+    from deeprecsys_tpu.ops.embedding import hot_coverage_of
+
+    return hot_coverage_of(idx, np.asarray(cfg.table_offsets), hot_ids)
 
 
 def _hot_set(cfg, idx: np.ndarray):

@@ -534,6 +534,21 @@ def quantize_pertable_int8(table: jax.Array, table_rows) -> dict:
     return {"q": q, "scale": scale}
 
 
+def hot_coverage_of(indices: np.ndarray, offsets: np.ndarray,
+                    hot_ids: np.ndarray) -> float:
+    """Fraction of a (B, T, L) lookup stream served by a SORTED fused
+    hot-id set — the one definition shared by the serving engines'
+    adaptive-refresh estimator and the skew/drift experiments (it used
+    to exist in three near-identical copies)."""
+    if len(hot_ids) == 0:
+        return 0.0
+    hot_ids = np.asarray(hot_ids)
+    flat = (np.asarray(indices).astype(np.int64)
+            + np.asarray(offsets, dtype=np.int64)[None, :, None]).reshape(-1)
+    pos = np.clip(np.searchsorted(hot_ids, flat), 0, len(hot_ids) - 1)
+    return float((hot_ids[pos] == flat).mean())
+
+
 def select_hot_ids(indices_sample: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
     """Pick the hot set for ``split_hot_cold``: the k most frequent fused
     row ids in a representative index sample (production streams are

@@ -167,6 +167,8 @@ class ComputeEngine(threading.Thread):
         # estimating; a returning head re-enables the split.
         self._hotcold_active = True
         self._direct_fn = None
+        self._upgrade_backoff = 0  # doubling skip count after failed scans
+        self._upgrade_wait = 0
         self._reload: ReloadHandle | None = None  # pending checkpoint swap
         self._reload_lock = threading.Lock()
         self._stopped = False  # set (under the lock) when the engine exits
@@ -666,10 +668,22 @@ class ComputeEngine(threading.Thread):
             # set is already serving well.
             if self.mesh is not None or ref >= self.model_cfg.hotcold_min_hit:
                 return False
+            if self._upgrade_wait > 0:
+                # Back-off after failed scans: a STEADY mediocre stream
+                # has nothing to upgrade to, and the candidate derivation
+                # (two select_hot_ids passes over the window) is real
+                # dispatch-thread cost — don't pay it every interval
+                # forever.
+                self._upgrade_wait -= 1
+                return False
             new_hot, cand = self._candidate_hot_ids()
             if (new_hot is None or cand is None
                     or cand < max(ref, cov) + cfg.hotcold_refresh_margin):
+                self._upgrade_backoff = min(max(self._upgrade_backoff, 1) * 2,
+                                            64)
+                self._upgrade_wait = self._upgrade_backoff
                 return False
+            self._upgrade_backoff = self._upgrade_wait = 0
             self._install_hot_ids(new_hot, cand)
             print(f"[deeprecsys_tpu] engine {self.engine_id}: hot-set "
                   f"UPGRADE #{self.hot_refreshes} (live coverage "
@@ -680,18 +694,22 @@ class ComputeEngine(threading.Thread):
     def _candidate_hot_ids(self):
         """(new_hot, est_coverage) from the buffered recent stream.
         ``new_hot`` is selected from the FULL buffer and padded back to
-        the original K with still-hot old ids so the hot-table shape —
-        and every compiled bucket program — survives the swap (None when
-        K cannot be preserved). ``est_coverage`` is OUT-OF-SAMPLE
-        (selected on the first half of the buffered batches, scored on
-        the second): scoring in-sample reads exactly 1.0 whenever the
-        window's distinct ids fit the K budget, which would defeat the
-        disable safeguard on headless streams and spuriously re-enable
-        the split on uniform ones — the same estimator rule as the
-        warm-up sampler (hot_ids_and_coverage_from_generator). Returns
-        (None, None) when the buffer is too small to estimate (< 2
-        batches): no state change should be made on it."""
-        from deeprecsys_tpu.ops.embedding import select_hot_ids
+        the original K with still-hot old ids (|old| == K, so the top-up
+        always restores exactly K and the hot-table shape — and every
+        compiled bucket program — survives the swap). ``est_coverage``
+        is OUT-OF-SAMPLE (selected on the first half of the buffered
+        batches, scored on the second): scoring in-sample reads exactly
+        1.0 whenever the window's distinct ids fit the K budget, which
+        would defeat the disable safeguard on headless streams and
+        spuriously re-enable the split on uniform ones — the same
+        estimator rule as the warm-up sampler
+        (hot_ids_and_coverage_from_generator). Returns (None, None) when
+        the buffer is too small to estimate (< 2 batches — config
+        validation keeps the window >= 2 whenever tracking is on)."""
+        from deeprecsys_tpu.ops.embedding import (
+            hot_coverage_of,
+            select_hot_ids,
+        )
 
         batches = list(self._refresh_buf)
         if len(batches) < 2:
@@ -708,11 +726,7 @@ class ComputeEngine(threading.Thread):
         sel = select_hot_ids(np.concatenate(batches[:half], axis=0),
                              offsets, k)
         holdout = np.concatenate(batches[half:], axis=0)
-        flat = (holdout.astype(np.int64)
-                + offsets.astype(np.int64)[None, :, None]).reshape(-1)
-        pos = np.clip(np.searchsorted(sel, flat), 0, max(len(sel) - 1, 0))
-        cov = (float((sel[pos] == flat).mean()) if len(sel) else 0.0)
-        return (new_hot if len(new_hot) == k else None), cov
+        return new_hot, hot_coverage_of(holdout, offsets, sel)
 
     def _refresh_hot_set(self, live_cov: float) -> bool:
         """Live coverage collapsed: re-derive the hot set from the
@@ -741,8 +755,6 @@ class ComputeEngine(threading.Thread):
         if new_cov < self.model_cfg.hotcold_min_hit:
             self._disable_hotcold(live_cov, new_cov)
             return True
-        if new_hot is None:
-            return False  # cannot preserve the compiled shape
         self._install_hot_ids(new_hot, new_cov)
         print(f"[deeprecsys_tpu] engine {self.engine_id}: hot-set refresh "
               f"#{self.hot_refreshes} (live coverage {live_cov:.1%} -> "
@@ -779,9 +791,15 @@ class ComputeEngine(threading.Thread):
 
     def _direct_dispatch(self, dev_batch):
         """Plain fused-gather dispatch for a runtime-disabled hotcold
-        engine. Compiled lazily on first use per batch shape (the warm-up
-        only compiled the hotcold programs)."""
+        engine. ``_direct_fn`` is pre-warmed per bucket at setup whenever
+        refresh tracking is on (the only way to get here); the lazy
+        branch is a safety net if those conditions ever drift apart —
+        it pays an in-serve-loop compile, so warn loudly."""
         if self._direct_fn is None:
+            print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id}: "
+                  f"direct fallback compiling in the serve loop (pre-warm "
+                  f"did not run — setup/dispatch conditions out of sync)",
+                  flush=True)
             model = get_model(self.model_cfg.replace(embedding_impl="xla"))
             self._direct_fn = jax.jit(model.apply)
         # Derived from the LIVE params every dispatch (not cached at
@@ -803,8 +821,13 @@ class ComputeEngine(threading.Thread):
         new_hot, cov = self._candidate_hot_ids()
         if cov is not None:
             self.live_hot_coverage = cov
-        if new_hot is None or cov is None \
-                or cov < self.model_cfg.hotcold_min_hit:
+        # Hysteresis: re-enable needs min_hit + margin, while the disable
+        # fired below min_hit — a stream hovering AT the threshold (where
+        # the split is ~breakeven by the measured crossover) would
+        # otherwise flip split<->direct every interval, paying a
+        # hot-table rebuild per flip.
+        if cov is None or cov < (self.model_cfg.hotcold_min_hit
+                                 + self.serving_cfg.hotcold_refresh_margin):
             return
         self._install_hot_ids(new_hot, cov)
         self._hotcold_active = True

@@ -463,16 +463,26 @@ class ServingServer:
         # cpu-mp: a handle whose engine died AFTER delivery will never be
         # ACKed — resolve it here so the status cannot report a reload
         # stuck in 'scheduled' forever.
-        for h in handles:
-            eid = getattr(h, "engine_id", None)
-            if (eid is not None and not h.event.is_set()
-                    and eid < len(self.procs)
-                    and not self.procs[eid].is_alive()):
-                with self._lock:
-                    self._mp_reload.pop((eid, getattr(h, "gen", -1)), None)
-                h.error = RuntimeError(
-                    f"engine process {eid} died before ACKing the reload")
-                h.event.set()
+        suspects = [h for h in handles
+                    if getattr(h, "engine_id", None) is not None
+                    and not h.event.is_set()
+                    and h.engine_id < len(self.procs)
+                    and not self.procs[h.engine_id].is_alive()]
+        if suspects:
+            # Grace for the router: the engine may have ACKed and THEN
+            # exited, with the ACK still undrained on the response ring —
+            # resolving now would misreport an applied reload as failed.
+            # The router polls every 0.2 s; one wait covers several laps.
+            suspects[0].event.wait(0.75)
+        for h in suspects:
+            if h.event.is_set():
+                continue  # the drained ACK resolved it after all
+            with self._lock:
+                self._mp_reload.pop((h.engine_id, h.gen), None)
+            h.error = RuntimeError(
+                f"engine process {h.engine_id} died before ACKing the "
+                f"reload")
+            h.event.set()
         applied = [h for h in handles if h.event.is_set() and h.error is None]
         failed = [h for h in handles if h.event.is_set() and h.error is not None]
         return {"scheduled": len(handles), "applied": len(applied),
