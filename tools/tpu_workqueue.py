@@ -1827,6 +1827,10 @@ JOBS = [
     # from the uniform warm-up set onto the live head, then re-adapt
     # after a permuted drift, over real /v1/predict payloads.
     ("serving_drift:rm3", lambda: job_serving_drift("rm3")),
+    # v2: re-validates the POST-HYSTERESIS semantics (re-enable needs
+    # min_hit + margin; a ~threshold-coverage drifted head may correctly
+    # settle on the direct path instead of flapping).
+    ("serving_drift2:rm3", lambda: job_serving_drift("rm3")),
 ]
 
 
