@@ -664,6 +664,52 @@ def test_hotcold_upgrade_without_degradation():
         assert eng.hot_refreshes >= 1, "upgrade never installed"
         assert eng.hot_coverage > 0.9
         assert eng._hotcold_active
+        # A good set stops the scanning: ref >= min_hit short-circuits
+        # before any candidate derivation, so no back-off accrues either.
+        for i in range(8, 16):
+            server.predict(head_batch(i))
+        assert eng.hot_refreshes == 1
+        assert eng._upgrade_backoff == 0
+    finally:
+        server.stop()
+
+
+def test_hotcold_upgrade_scan_backs_off_on_steady_mediocre_stream():
+    """Failed upgrade scans must not pay the candidate derivation every
+    interval forever: a steady stream with nothing to upgrade to grows
+    an exponential skip count (reset only by an install or disable)."""
+    import numpy as np
+
+    from deeprecsys_tpu.serving.ingress import ServingServer
+
+    model_cfg = zoo.get_config("ncf", table_scale=500).replace(
+        embedding_impl="hotcold", hot_set_rows=64)
+    cfg = ServingConfig(engine_backend="cpu", inference_engines=1,
+                        batch_buckets=(8,), max_mini_batch_size=8,
+                        sub_task_batch_size=8,
+                        hotcold_refresh_interval=2,
+                        hotcold_refresh_window=8)
+    server = ServingServer(model_cfg, cfg)
+    server.start()
+    try:
+        eng = server.engines[0]
+        assert eng.hot_coverage < 0.75  # mediocre warm-up reference
+        rows = model_cfg.scaled_rows
+        T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+
+        def uniform_batch(seed):
+            rng = np.random.default_rng(seed)
+            return np.stack([rng.integers(0, rows[t], size=(8, L))
+                             for t in range(T)], axis=1).astype(np.int32)
+
+        # Uniform traffic matches the warm-up distribution: live ~= ref
+        # (no drop), candidates are no better (no upgrade) — after a few
+        # intervals the scan must be backing off, with no state change.
+        for i in range(12):
+            server.predict(uniform_batch(i))
+        assert eng.hot_refreshes == 0
+        assert eng._hotcold_active
+        assert eng._upgrade_backoff >= 2, "scan never backed off"
     finally:
         server.stop()
 
