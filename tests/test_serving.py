@@ -838,6 +838,31 @@ def test_hotcold_adaptive_refresh_recovers_from_drift():
                                    want, rtol=1e-5, atol=1e-6)
         (impl,) = _health(server)["embedding_impl"]
         assert impl["impl"] == "hotcold"
+
+        # Phase 5 — checkpoint reload AFTER a refresh: the reload's
+        # hot-table rebuild must use the REFRESHED hot ids (the live
+        # _hotcold), and scores on the reloaded weights stay exact.
+        import tempfile
+
+        from deeprecsys_tpu.utils.checkpoint import save_params
+
+        refreshed_ids = eng._hotcold.hot_ids.copy()
+        new_weights = get_model(
+            model_cfg.replace(embedding_impl="xla")).init(
+                jax.random.PRNGKey(1234))
+        with tempfile.TemporaryDirectory() as td:
+            ck = td + "/after_refresh"
+            save_params(ck, new_weights)
+            (h,) = server.reload(ck)
+            assert h.event.wait(timeout=60) and h.error is None
+        assert np.array_equal(eng._hotcold.hot_ids, refreshed_ids)
+        out = server.predict(idx)
+        want = np.asarray(direct.apply(
+            new_weights,
+            Batch(dense=None, indices=jax.numpy.asarray(idx))),
+            dtype=np.float32)
+        np.testing.assert_allclose(np.asarray(out["scores"], np.float32),
+                                   want, rtol=1e-4, atol=1e-5)
     finally:
         server.stop()
 
