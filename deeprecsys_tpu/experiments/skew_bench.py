@@ -28,7 +28,12 @@ from __future__ import annotations
 
 import numpy as np
 
-ZIPF_MODELS = ("rm1", "rm2", "rm3", "din")  # the gather-bound four
+# All eight: op_breakdown_tpu.json puts embedding at 76-100% of device
+# time for every family, so the auto-vs-direct decision is worth
+# MEASURING everywhere, not just the heavy-pooling four (rm1/rm2/rm3/din
+# were round 3's initial coverage; wnd/mtwnd/ncf/dien added round 4 —
+# VERDICT r3 #3b).
+ZIPF_MODELS = ("rm1", "rm2", "rm3", "wnd", "mtwnd", "ncf", "din", "dien")
 
 
 def zipf_stream(cfg, batch: int, alpha: float = 1.2, seed: int = 2) -> np.ndarray:

@@ -1,0 +1,182 @@
+"""Training-to-quality harness: prove the sparse-table trainer converges
+to a GOOD model at production scale, then carry the trained quality
+through the full lifecycle (checkpoint -> int8 export -> serving) on the
+chip.
+
+The reference is inference-only with random weights
+(`dlrm_s_caffe2.py:243-252`, `utils/utils.py:40` --inference_only default
+True), so BASELINE.md's "AUC parity" row could only ever be closed
+structurally. This module closes the stronger claim our training
+subsystem makes: `make_sparse_table_step`'s touched-rows updates actually
+LEARN — not just run at the recorded throughput (train:* jobs).
+
+Design of the planted signal
+----------------------------
+Labels depend ONLY on the embedding rows: each fused row r carries a
+hidden weight w[r] ~ N(0, 1), and a sample with lookups {r_1..r_n}
+(n = T*L) is positive with probability
+
+    p = sigmoid(alpha * sum_i w[r_i] / sqrt(n))
+
+The dense features stay uninformative, so any AUC above 0.5 is
+attributable to the tables — the component the sparse trainer updates.
+The per-table pooled sum of per-row values is exactly representable by a
+DLRM-class model (each row's embedding learns w[r] along a direction the
+top MLP reads out), and the Bayes-optimal score is the logit itself, so
+``auc(logit, y)`` on the holdout is the ceiling to report against.
+
+The id stream is zipf(1.2) folded per table (the production-
+representative skew the serving benchmarks use, skew_bench.py): the head
+rows get most of the gradient traffic, matching how production embedding
+tables actually train.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def planted_weights(cfg, seed: int = 5) -> np.ndarray:
+    """(total_rows,) float32 hidden per-row signal weights."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(cfg.total_rows, dtype=np.float32)
+
+
+def zipf_batch(cfg, batch: int, rng) -> np.ndarray:
+    """(B, T, L) int32 zipf(1.2) ids folded into each table's rows — the
+    skew_bench stream shape, but drawn FRESH per call from ``rng`` (a
+    trainer must see new samples every step, not one fixed batch)."""
+    rows = np.asarray(cfg.scaled_rows, dtype=np.int64)
+    T, L = cfg.num_tables, cfg.num_indices_per_lookup
+    return (rng.zipf(1.2, size=(batch, T, L)) % rows[None, :, None]).astype(
+        np.int32)
+
+
+def planted_logits(cfg, idx: np.ndarray, w: np.ndarray,
+                   alpha: float = 3.0) -> np.ndarray:
+    """(B,) true logits for a (B, T, L) id batch under the planted rule."""
+    offsets = np.asarray(cfg.table_offsets, dtype=np.int64)
+    flat = idx.astype(np.int64) + offsets[None, :, None]
+    n = idx.shape[1] * idx.shape[2]
+    return alpha * w[flat].sum(axis=(1, 2)) / np.sqrt(n)
+
+
+def planted_labels(cfg, idx: np.ndarray, w: np.ndarray, rng,
+                   alpha: float = 3.0):
+    """(logits, labels): Bernoulli(sigmoid(logit)) draws — the label NOISE
+    is what keeps the Bayes AUC below 1.0 and makes the ceiling honest."""
+    logits = planted_logits(cfg, idx, w, alpha=alpha)
+    p = 1.0 / (1.0 + np.exp(-logits))
+    y = (rng.random(idx.shape[0]) < p).astype(np.float32)
+    return logits, y
+
+
+def make_holdout(cfg, w: np.ndarray, n_batches: int = 8, batch: int = 512,
+                 seed: int = 91, alpha: float = 3.0, dense_seed: int = 92):
+    """Fixed held-out evaluation set: list of (idx, dense, logits, labels).
+    Deterministic in (cfg, seed) so the train and serve jobs regenerate
+    the SAME holdout independently."""
+    rng = np.random.default_rng(seed)
+    drng = np.random.default_rng(dense_seed)
+    out = []
+    for _ in range(n_batches):
+        idx = zipf_batch(cfg, batch, rng)
+        dense = (drng.random((batch, cfg.dense_dim), dtype=np.float32)
+                 if cfg.dense_dim else None)
+        logits, y = planted_labels(cfg, idx, w, rng, alpha=alpha)
+        out.append((idx, dense, logits, y))
+    return out
+
+
+def bayes_auc(holdout) -> float:
+    """AUC of the TRUE logits — the ceiling any model can reach."""
+    from deeprecsys_tpu.utils.metrics_ml import auc
+
+    logits = np.concatenate([h[2] for h in holdout])
+    y = np.concatenate([h[3] for h in holdout])
+    return auc(logits, y.astype(int))
+
+
+def eval_model_auc(apply_fn, params, cfg, holdout) -> float:
+    """Holdout ROC-AUC of ``apply_fn(params, batch)`` scores."""
+    import jax.numpy as jnp
+
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.utils.metrics_ml import auc
+
+    scores, ys = [], []
+    for idx, dense, _logits, y in holdout:
+        b = Batch(dense=None if dense is None else jnp.asarray(dense),
+                  indices=jnp.asarray(idx))
+        s = np.asarray(apply_fn(params, b)).astype(np.float32)[:, 0]
+        scores.append(s)
+        ys.append(y)
+    return auc(np.concatenate(scores), np.concatenate(ys).astype(int))
+
+
+def train_planted(cfg, steps: int = 600, batch: int = 512,
+                  eval_every: int = 50, alpha: float = 3.0,
+                  lr: float = 0.01, table_lr: float = 1e-3,
+                  seed: int = 0, stream_seed: int = 7,
+                  holdout_batches: int = 8, log=print):
+    """Train ``cfg`` with the sparse touched-rows trainer on the planted-
+    signal zipf stream; returns (trainer, report dict).
+
+    ``cfg`` must have float tables (training precondition). The losses and
+    the AUC curve are the artifact: a falling loss with holdout AUC
+    approaching ``bayes_auc`` is the training-to-quality evidence.
+
+    ``table_lr`` default 1e-3: zipf(1.2)'s head row lands in ~19% of ALL
+    lookups (scale-independent — P(1) = 1/zeta(1.2)), so one batch
+    scatter-adds thousands of occurrences into the same row and the L-way
+    pooled sum amplifies the movement L-fold into the MLP input.
+    Measured at tiny scale: 1e-3 converges cleanly (AUC 0.89 of a 0.947
+    Bayes ceiling at 1000 steps), 3e-3 saturates the sigmoid on step one
+    and the probability-space clip freezes training forever."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.train import Trainer
+
+    w = planted_weights(cfg)
+    holdout = make_holdout(cfg, w, n_batches=holdout_batches, batch=batch,
+                           alpha=alpha)
+    ceiling = bayes_auc(holdout)
+    tr = Trainer(cfg, sparse_tables=True, optimizer="adagrad",
+                 learning_rate=lr, table_learning_rate=table_lr,
+                 loss="bce", seed=seed)
+    eval_apply = jax.jit(tr.model.apply)
+    rng = np.random.default_rng(stream_seed)
+    lrng = np.random.default_rng(stream_seed + 1)
+    drng = np.random.default_rng(stream_seed + 2)
+    losses, curve = [], []
+    for i in range(steps):
+        idx = zipf_batch(cfg, batch, rng)
+        _, y = planted_labels(cfg, idx, w, lrng, alpha=alpha)
+        dense = (drng.random((batch, cfg.dense_dim), dtype=np.float32)
+                 if cfg.dense_dim else None)
+        b = Batch(dense=None if dense is None else jnp.asarray(dense),
+                  indices=jnp.asarray(idx))
+        targets = jnp.asarray(
+            np.broadcast_to(y[:, None], (batch, cfg.out_dim)).copy())
+        tr.params, tr.opt_state, loss = tr._step(tr.params, tr.opt_state,
+                                                 b, targets)
+        losses.append(float(loss))
+        if eval_every and ((i + 1) % eval_every == 0 or i == 0):
+            a = eval_model_auc(eval_apply, tr.params, cfg, holdout)
+            curve.append({"step": i + 1, "auc": round(a, 4),
+                          "loss": round(float(np.mean(losses[-8:])), 4)})
+            log(f"step {i + 1}: loss {curve[-1]['loss']:.4f}, "
+                f"holdout AUC {a:.4f} (bayes {ceiling:.4f})")
+    report = {
+        "alpha": alpha, "steps": steps, "batch": batch,
+        "lr": lr, "table_lr": table_lr,
+        "loss_first8": round(float(np.mean(losses[:8])), 4),
+        "loss_last8": round(float(np.mean(losses[-8:])), 4),
+        "bayes_auc": round(ceiling, 4),
+        "auc_curve": curve,
+        "final_auc": curve[-1]["auc"] if curve else None,
+        "holdout_n": holdout_batches * batch,
+    }
+    return tr, report

@@ -666,6 +666,65 @@ def job_sim_validation3(model):
     return out
 
 
+def _parse_hlo_trace(trace_dir, n_lookups: int) -> dict:
+    """Aggregate per-HLO durations from a jax.profiler Chrome trace.
+
+    HLO op/fusion events are bare lowercase names (gather.12, fusion.3)
+    and carry hlo_category + the full HLO text in args.long_name; python
+    frames ($file:line), runtime internals (Foo::Bar), and executable
+    wrappers (jit_*, PjitFunction) are host-side lanes and excluded.
+    ``n_lookups`` attributes the table gather: an explicit gather HLO, or
+    the custom fusion whose RESULT is the flattened (n_lookups, d) row
+    fetch."""
+    import glob
+    import gzip
+    import json as _json
+    import re
+
+    (tj,) = glob.glob(str(Path(trace_dir) / "**" / "*.trace.json.gz"),
+                      recursive=True)
+    trace = _json.loads(gzip.open(tj).read())
+    events = trace.get("traceEvents", [])
+    hlo_name = re.compile(r"^(?!jit)[a-z][a-z0-9._\-]*$")
+    durs: dict = {}
+    gather_us = 0.0
+    categories: dict = {}
+    long_names: dict = {}
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        name = e.get("name", "")
+        if not hlo_name.match(name):
+            continue
+        dur = float(e.get("dur", 0.0))
+        durs[name] = durs.get(name, 0.0) + dur
+        args = e.get("args", {})
+        cat = args.get("hlo_category", "?")
+        categories[cat] = categories.get(cat, 0.0) + dur
+        long = args.get("long_name", "")
+        if long and name not in long_names:
+            long_names[name] = long[:400]
+        res = re.match(r"%\S+ = \w+\[(\d+),", long)
+        if ("gather(" in long
+                or (res and int(res.group(1)) == n_lookups
+                    and cat in ("custom fusion", "gather"))):
+            gather_us += dur
+    total = sum(durs.values())
+    top = sorted(durs.items(), key=lambda kv: -kv[1])[:20]
+    root = Path(__file__).parent.parent
+    return {
+        "total_device_us": total,
+        "gather_us": gather_us,
+        "gather_fraction": gather_us / total if total else None,
+        "category_us": {k: round(v, 2) for k, v in
+                        sorted(categories.items(), key=lambda kv: -kv[1])},
+        "top_hlos_us": [{"hlo": k, "us": round(v, 2),
+                         "long_name": long_names.get(k, "")[:200]}
+                        for k, v in top],
+        "trace_json": str(Path(tj).relative_to(root)),
+    }
+
+
 def job_hlo_profile(model, batch=512, table_scale=8, negotiate=False, pack=1):
     """Per-HLO device trace for a gather-bound model (VERDICT r2 #10):
     run one jitted forward under jax.profiler.trace, parse the device
@@ -674,8 +733,6 @@ def job_hlo_profile(model, batch=512, table_scale=8, negotiate=False, pack=1):
     the stage-level 'gather is 98-100% of device time' claim
     (op_breakdown_tpu.json) at HLO granularity — the reference's per-op
     prof_dag parity (sweep_p.py:12-41)."""
-    import glob
-    import gzip
     import json as _json
     import shutil
 
@@ -742,66 +799,25 @@ def job_hlo_profile(model, batch=512, table_scale=8, negotiate=False, pack=1):
     with jax.profiler.trace(str(trace_dir)):
         float(jnp.sum(fn(params, batch_dev).astype(jnp.float32)))
 
-    # Parse the Chrome trace: per-pid process names from metadata events,
-    # then aggregate X-event durations on non-python lanes.
-    (tj,) = glob.glob(str(trace_dir / "**" / "*.trace.json.gz"),
-                      recursive=True)
-    import re
-
-    trace = _json.loads(gzip.open(tj).read())
-    events = trace.get("traceEvents", [])
-    # HLO op/fusion events are bare lowercase names (gather.12, fusion.3,
-    # convolution_reduce_fusion) and carry hlo_category + the full HLO
-    # text in args.long_name; python frames ($file:line), runtime
-    # internals (Foo::Bar, names with spaces), and executable wrappers
-    # (jit_*, PjitFunction) are host-side.
-    hlo_name = re.compile(r"^(?!jit)[a-z][a-z0-9._\-]*$")
-    n_lookups = batch * cfg.num_tables * cfg.num_indices_per_lookup
-    durs: dict = {}
-    gather_us = 0.0
-    categories: dict = {}
-    for e in events:
-        if e.get("ph") != "X":
-            continue
-        name = e.get("name", "")
-        if not hlo_name.match(name):
-            continue
-        dur = float(e.get("dur", 0.0))
-        durs[name] = durs.get(name, 0.0) + dur
-        args = e.get("args", {})
-        cat = args.get("hlo_category", "?")
-        categories[cat] = categories.get(cat, 0.0) + dur
-        long = args.get("long_name", "")
-        # The table gather: an explicit gather HLO, or the custom fusion
-        # whose RESULT is the flattened (B*T*L, d) row fetch.
-        res = re.match(r"%\S+ = \w+\[(\d+),", long)
-        if ("gather(" in long
-                or (res and int(res.group(1)) == n_lookups
-                    and cat in ("custom fusion", "gather"))):
-            gather_us += dur
-    total = sum(durs.values())
-    top = sorted(durs.items(), key=lambda kv: -kv[1])[:20]
+    parsed = _parse_hlo_trace(trace_dir,
+                              batch * cfg.num_tables * cfg.num_indices_per_lookup)
     summary = {
         "model": model, "batch": batch, "table_scale": table_scale,
         "negotiated_layouts": negotiate,
-        "total_device_us": total,
-        "gather_us": gather_us,
-        "gather_fraction": gather_us / total if total else None,
-        "category_us": {k: round(v, 2) for k, v in
-                        sorted(categories.items(), key=lambda kv: -kv[1])},
-        "top_hlos_us": [{"hlo": k, "us": round(v, 2)} for k, v in top],
-        "trace_json": str(Path(tj).relative_to(out_dir.parent.parent)),
+        **parsed,
     }
+    total, gather_us, top = (parsed["total_device_us"], parsed["gather_us"],
+                             parsed["top_hlos_us"])
     (out_dir / f"summary_{model}_b{batch}{suffix}.json").write_text(
         _json.dumps(summary, indent=2))
     log(f"hlo_profile {model}: total {total:.0f} us device, gather "
         f"{gather_us:.0f} us ({(gather_us / total if total else 0):.1%}); "
-        f"top: {top[:3]}")
+        f"top: {[(t['hlo'], t['us']) for t in top[:3]]}")
     return summary
 
 
 def job_model_hotcold(model, variant, pack=1, hot_rows=None, hot_arg=False,
-                      no_cold=False, hot_build=None):
+                      no_cold=False, hot_build=None, quant="none"):
     """FULL-MODEL forward at production table scale on a Zipf id stream:
     'direct' = standard apply (same-data baseline), 'hotcold' = the
     hot/cold-split apply with a VMEM-budgeted hot set. The model-level
@@ -810,7 +826,10 @@ def job_model_hotcold(model, variant, pack=1, hot_rows=None, hot_arg=False,
     VMEM-budgeted hot-set size — the budgeted set covers 100% of the
     zipf(1.2) stream for rm1/rm3 (hit_rate 1.0, empty cold stream), so
     composition claims need a CONSTRAINED hot set that leaves a real
-    cold stream."""
+    cold stream. quant="int8": per-table int8 tables — int8 hot rows cost
+    d bytes instead of d*2, so the SAME 8 MB VMEM budget holds 2x the hot
+    rows (suggest_hot_rows accounts for the layout) — the rm2 skewed-
+    stream lever VERDICT r3 #6 asks to measure."""
     import time as _time
 
     import jax
@@ -831,7 +850,8 @@ def job_model_hotcold(model, variant, pack=1, hot_rows=None, hot_arg=False,
     device = pick_accel_device()
     B = 512
     cfg = zoo.get_config(model, table_scale=1, param_dtype="bfloat16",
-                         compute_dtype="bfloat16", table_pack=pack)
+                         compute_dtype="bfloat16", table_pack=pack,
+                         table_quant=quant)
     model_fns = get_model(cfg)
     host = RecDataGenerator(cfg, seed=0).generate_batch(B)
     rows_np = np.asarray(cfg.scaled_rows, dtype=np.int64)
@@ -954,8 +974,11 @@ def job_model_hotcold(model, variant, pack=1, hot_rows=None, hot_arg=False,
     ms, compile_s = _chain_readback(fn, *args, iters=32)
     out = {"variant": variant, "ms": ms, "samples_per_s": B / (ms / 1000.0),
            "compile_s": compile_s}
+    if quant != "none":
+        out["quant"] = quant
     if variant == "hotcold":
         out["hit_rate"] = hit
+        out["hot_rows"] = int(len(hot_ids))
     log(f"model_{variant} {model}: {ms:.2f} ms/iter "
         f"({B/(ms/1000.0):.0f} samples/s), compile {compile_s:.0f}s")
     return out
@@ -1542,6 +1565,260 @@ def job_soak(model="ncf", minutes=30, rate_qps=4.0):
     return r
 
 
+def job_hlo_hotcold(model="din", pack=0, batch=512):
+    """Per-HLO device trace of the HOT/COLD apply at the judged full-scale
+    point, packed (pack=0 -> auto) vs unpacked (pack=1) — the tooling that
+    nailed rm1's 1.83 ms relayout copy, pointed at the din packed-hotcold
+    regression (VERDICT r3 #2: 6.78 ms packed vs 4.55 ms unpacked at the
+    same 94.6% hit; four-way bisection ruled mechanisms out without
+    naming one). Reproduces job_model_hotcold's exact recipe (zipf 1.2
+    seed 2, VMEM-budgeted hot set, hot table fed as an ARGUMENT — the
+    regression persisted with hot-as-arg) and traces ONE apply call.
+    The packed-minus-unpacked top-HLO diff names the mechanism."""
+    import json as _json
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.models.hotcold import make_hotcold_model
+    from deeprecsys_tpu.ops.embedding import select_hot_ids
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+    from deeprecsys_tpu.utils.memory import suggest_hot_rows
+
+    device = pick_accel_device()
+    cfg = zoo.get_config(model, table_scale=1, param_dtype="bfloat16",
+                         compute_dtype="bfloat16", table_pack=pack)
+    model_fns = get_model(cfg)
+    host = RecDataGenerator(cfg, seed=0).generate_batch(batch)
+    rows_np = np.asarray(cfg.scaled_rows, dtype=np.int64)
+    rng = np.random.default_rng(2)
+    T, L = host.indices.shape[1], host.indices.shape[2]
+    idx = (rng.zipf(1.2, size=(batch, T, L)) % rows_np[None, :, None]).astype(np.int32)
+    offs = np.asarray(cfg.table_offsets, dtype=np.int64)
+    hot_ids = select_hot_ids(idx, offs, suggest_hot_rows(cfg))
+    hc = make_hotcold_model(model_fns, hot_ids)
+    split = hc.prepare(Batch(dense=host.dense, indices=idx))
+    hit = 1.0 - split["n_cold"] / idx.size
+    sp = {k: jax.device_put(np.asarray(v), device)
+          for k, v in split.items() if k != "n_cold"}
+    with jax.default_device(device):
+        params = jax.jit(
+            lambda: hc.convert_params(model_fns.init(jax.random.PRNGKey(0))))()
+    dev_batch = Batch(
+        dense=None if host.dense is None else jax.device_put(host.dense, device),
+        indices=jax.device_put(idx, device))
+    fn = jax.jit(hc.apply)
+    float(jnp.sum(fn(params, dev_batch, sp).astype(jnp.float32)))  # warm
+
+    out_dir = Path(__file__).parent.parent / "benchmarks" / "profile_hlo"
+    out_dir.mkdir(exist_ok=True)
+    tag = f"hotcold_{model}_b{batch}_p{pack}"
+    trace_dir = out_dir / f"trace_{tag}"
+    if trace_dir.exists():
+        shutil.rmtree(trace_dir)
+    with jax.profiler.trace(str(trace_dir)):
+        float(jnp.sum(fn(params, dev_batch, sp).astype(jnp.float32)))
+
+    parsed = _parse_hlo_trace(trace_dir, batch * T * L)
+    summary = {"model": model, "batch": batch, "table_scale": 1,
+               "pack": pack, "hit_rate": round(float(hit), 4),
+               "hot_rows": int(len(hot_ids)),
+               "cold_padded": int(split["cold_ids"].shape[0]), **parsed}
+    (out_dir / f"summary_{tag}.json").write_text(_json.dumps(summary, indent=2))
+    log(f"hlo_hotcold {model} pack={pack}: total "
+        f"{parsed['total_device_us']:.0f} us, top: "
+        f"{[(t['hlo'], t['us']) for t in parsed['top_hlos_us'][:4]]}")
+    return summary
+
+
+_TRAIN_QUALITY_DIR = Path.home() / ".cache" / "deeprecsys_tpu" / "train_quality"
+
+
+def job_train_quality(model="rm1", steps=1200, batch=512, eval_every=100):
+    """Training-to-quality at FULL production scale (VERDICT r3 #1): the
+    sparse touched-rows trainer on a zipf(1.2) stream with a PLANTED
+    per-row signal (experiments/train_quality.py) to convergence — the
+    loss/AUC curve is the artifact — then checkpoint + int8_rowwise
+    serving export for the lifecycle's serve half
+    (job_train_quality_serve). Reference contrast: inference-only random
+    weights (dlrm_s_caffe2.py:243-252)."""
+    import json as _json
+
+    import jax
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.experiments.train_quality import train_planted
+    from deeprecsys_tpu.train import export_serving_params
+    from deeprecsys_tpu.utils.checkpoint import save_params
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+
+    dev = pick_accel_device()
+    cfg = zoo.get_config(model, table_scale=1, compute_dtype="bfloat16")
+    with jax.default_device(dev):
+        tr, report = train_planted(cfg, steps=steps, batch=batch,
+                                   eval_every=eval_every, log=log)
+    _TRAIN_QUALITY_DIR.mkdir(parents=True, exist_ok=True)
+    ck = str(_TRAIN_QUALITY_DIR / f"{model}_f32")
+    save_params(ck, tr.params)
+    sp, _scfg = export_serving_params(tr.params, tr.cfg,
+                                      table_quant="int8_rowwise")
+    ck_q = str(_TRAIN_QUALITY_DIR / f"{model}_int8rw")
+    save_params(ck_q, sp)
+    report.update(model=model, table_scale=1, checkpoint=ck,
+                  serving_checkpoint=ck_q)
+    path = Path(__file__).parent.parent / "benchmarks" / "train_quality.json"
+    rec = _json.loads(path.read_text()) if path.exists() else {}
+    rec[model] = report
+    path.write_text(_json.dumps(rec, indent=2))
+    log(f"train_quality {model}: loss {report['loss_first8']} -> "
+        f"{report['loss_last8']}, AUC {report['final_auc']} "
+        f"(bayes {report['bayes_auc']}); exported {ck_q}")
+    return report
+
+
+def job_train_quality_serve(model="rm1", n_batches=8, batch=512):
+    """Lifecycle serve half (VERDICT r3 #1): load the int8_rowwise export
+    of the job_train_quality checkpoint into a REAL TPU ServingServer and
+    score the SAME held-out planted-signal stream through the serving
+    fabric (partition -> coalesce -> bucket-pad -> dispatch -> rejoin).
+    The served AUC must match the trained AUC: quantization error and
+    the serving path both sit between them, so this one number closes
+    train -> checkpoint -> int8 -> serve end-to-end. The holdout is
+    regenerated deterministically (make_holdout is seed-pure), so this
+    job shares no in-memory state with the train job."""
+    import json as _json
+
+    import jax
+    import numpy as np
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.experiments.train_quality import (
+        bayes_auc,
+        make_holdout,
+        planted_weights,
+    )
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.serving.ingress import ServingServer
+    from deeprecsys_tpu.utils.checkpoint import load_model_params
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+    from deeprecsys_tpu.utils.metrics_ml import auc
+
+    tq = Path(__file__).parent.parent / "benchmarks" / "train_quality.json"
+    rec = _json.loads(tq.read_text())
+    trained = rec[model]
+    ck_q = trained["serving_checkpoint"]
+    scfg = zoo.get_config(model, table_scale=1, param_dtype="bfloat16",
+                          compute_dtype="bfloat16",
+                          table_quant="int8_rowwise")
+    w = planted_weights(scfg)
+    holdout = make_holdout(scfg, w, n_batches=n_batches, batch=batch)
+
+    # Direct int8 forward first: separates quantization error from any
+    # serving-path effect (assembly, bucket padding, score slicing).
+    dev = pick_accel_device()
+    params = load_model_params(scfg, ck_q)
+    params = jax.device_put(params, dev)
+    m = get_model(scfg)
+    fn = jax.jit(m.apply)
+    from deeprecsys_tpu.models.base import Batch as _Batch
+
+    ss, ys = [], []
+    for idx, dense, _lg, y in holdout:
+        s = np.asarray(fn(params, _Batch(
+            dense=None if dense is None else jax.device_put(dense, dev),
+            indices=jax.device_put(idx, dev)))).astype(np.float32)[:, 0]
+        ss.append(s)
+        ys.append(y)
+    int8_direct_auc = auc(np.concatenate(ss), np.concatenate(ys).astype(int))
+    del params
+
+    cfg = ServingConfig(engine_backend="tpu", inference_engines=1,
+                        batch_buckets=(128,), max_mini_batch_size=batch,
+                        sub_task_batch_size=128)
+    server = ServingServer(scfg, cfg, checkpoint_path=ck_q)
+    server.start(timeout=900)
+    try:
+        ss, ys = [], []
+        for idx, dense, _lg, y in holdout:
+            out = server.predict(idx, dense=dense, timeout=300)
+            ss.append(np.asarray(out["scores"], np.float32)[:, 0])
+            ys.append(y)
+        served_auc = auc(np.concatenate(ss), np.concatenate(ys).astype(int))
+    finally:
+        server.stop()
+    out = {
+        "model": model, "n_holdout": n_batches * batch,
+        "trained_auc": trained["final_auc"],
+        "bayes_auc": trained["bayes_auc"],
+        "int8_direct_auc": round(float(int8_direct_auc), 4),
+        "served_auc": round(float(served_auc), 4),
+        "served_minus_trained": round(float(served_auc - trained["final_auc"]), 4),
+    }
+    if abs(out["served_minus_trained"]) > 0.02:
+        raise RuntimeError(
+            f"served AUC {served_auc:.4f} deviates from trained "
+            f"{trained['final_auc']:.4f} by more than 0.02 — the int8/"
+            f"serving lifecycle is losing trained quality")
+    rec[model].update(int8_direct_auc=out["int8_direct_auc"],
+                      served_auc=out["served_auc"],
+                      served_minus_trained=out["served_minus_trained"])
+    tq.write_text(_json.dumps(rec, indent=2))
+    log(f"train_quality_serve {model}: trained {trained['final_auc']} -> "
+        f"int8 direct {out['int8_direct_auc']} -> served "
+        f"{out['served_auc']} (bayes {trained['bayes_auc']})")
+    return out
+
+
+def job_zipf_snapshot(round_no: int):
+    """Round-stamp the skew-aware artifact (VERDICT r3 #3a): copy the
+    current benchmarks/zipf_bench.json — after this round's zipf_bench:*
+    jobs refreshed it — into ZIPF_r0N.json at the repo root, with the
+    geomeans the judged line would print, so the hot/cold subsystem's
+    number has round-over-round history like BENCH_r0N."""
+    import json as _json
+
+    import numpy as np
+
+    from deeprecsys_tpu.experiments.skew_bench import ZIPF_MODELS
+
+    src = Path(__file__).parent.parent / "benchmarks" / "zipf_bench.json"
+    rec = _json.loads(src.read_text())
+    missing = [m for m in ZIPF_MODELS if m not in rec.get("results", {})]
+    if missing:
+        raise RuntimeError(f"zipf_bench.json missing models {missing}; "
+                           f"run the zipf_bench:* jobs first")
+    results = rec["results"]
+    tputs = [results[m]["auto"]["samples_per_s"] for m in ZIPF_MODELS]
+    speeds = [results[m]["auto_vs_xla"] for m in ZIPF_MODELS]
+    snap = {
+        "round": round_no,
+        "models": list(ZIPF_MODELS),
+        "geomean_auto_samples_per_s": round(
+            float(np.exp(np.mean(np.log(tputs)))), 1),
+        "geomean_auto_vs_xla": round(
+            float(np.exp(np.mean(np.log(speeds)))), 3),
+        "per_model": {m: {
+            "auto_impl": results[m]["auto"]["impl"],
+            "auto_ms": round(results[m]["auto"]["latency_ms"], 3),
+            "xla_ms": round(results[m]["xla"]["latency_ms"], 3),
+            "auto_vs_xla": round(results[m]["auto_vs_xla"], 3),
+            "hot_coverage": results[m]["auto"]["hot_coverage"],
+        } for m in ZIPF_MODELS},
+    }
+    dst = Path(__file__).parent.parent / f"ZIPF_r{round_no:02d}.json"
+    dst.write_text(_json.dumps(snap, indent=2))
+    log(f"zipf snapshot -> {dst.name}: geomean auto/xla "
+        f"{snap['geomean_auto_vs_xla']}x over {len(ZIPF_MODELS)} models")
+    return snap
+
+
 JOBS = [
     ("warm:rm1", lambda: job_warm("rm1")),
     ("warm:rm2", lambda: job_warm("rm2")),
@@ -1831,6 +2108,29 @@ JOBS = [
     # min_hit + margin; a ~threshold-coverage drifted head may correctly
     # settle on the direct path instead of flapping).
     ("serving_drift2:rm3", lambda: job_serving_drift("rm3")),
+    # ---- Round 4 (VERDICT r3) ----------------------------------------
+    # #3b: zipf coverage for the four models round 3 left unmeasured
+    # (op_breakdown says 76-89% embedding-dominated — verify auto wins or
+    # correctly declines on the skewed stream, and record it).
+    ("zipf_bench:wnd", lambda: job_zipf_bench("wnd")),
+    ("zipf_bench:mtwnd", lambda: job_zipf_bench("mtwnd")),
+    ("zipf_bench:ncf", lambda: job_zipf_bench("ncf")),
+    ("zipf_bench:dien", lambda: job_zipf_bench("dien")),
+    # #6: the rm2 int8-hot-set zipf point — int8 rows halve the VMEM cost
+    # per hot row, so the 8 MB budget holds 2x rows (hit 81% -> ~83%);
+    # direct-int8 control on the same stream for the honest same-layout
+    # baseline.
+    ("model_hotcold_int8:rm2", lambda: job_model_hotcold("rm2", "hotcold", quant="int8")),
+    ("model_zipf_int8:rm2", lambda: job_model_hotcold("rm2", "direct", quant="int8")),
+    # #2: name the din packed-x-hotcold mechanism — per-HLO traces of the
+    # packed vs unpacked hotcold programs at the exact regression point.
+    ("hlo_hotcold_pack:din", lambda: job_hlo_hotcold("din", pack=0)),
+    ("hlo_hotcold_unpack:din", lambda: job_hlo_hotcold("din", pack=1)),
+    # #1: training-to-quality at production scale + the serve lifecycle.
+    ("train_quality:rm1", lambda: job_train_quality("rm1")),
+    ("train_quality_serve:rm1", lambda: job_train_quality_serve("rm1")),
+    # #3a: round-stamped skew artifact (runs AFTER the zipf_bench jobs).
+    ("zipf_r4:snapshot", lambda: job_zipf_snapshot(4)),
 ]
 
 
