@@ -693,18 +693,22 @@ class ComputeEngine(threading.Thread):
 
     def _candidate_hot_ids(self):
         """(new_hot, est_coverage) from the buffered recent stream.
-        ``new_hot`` is selected from the FULL buffer and padded back to
+        ``new_hot`` is selected on all buffered batches EXCEPT a held-out
+        tail (the most recent quarter, min 1 batch) and padded back to
         the original K with still-hot old ids (|old| == K, so the top-up
         always restores exactly K and the hot-table shape — and every
         compiled bucket program — survives the swap). ``est_coverage``
-        is OUT-OF-SAMPLE (selected on the first half of the buffered
-        batches, scored on the second): scoring in-sample reads exactly
-        1.0 whenever the window's distinct ids fit the K budget, which
-        would defeat the disable safeguard on headless streams and
-        spuriously re-enable the split on uniform ones — the same
-        estimator rule as the warm-up sampler
-        (hot_ids_and_coverage_from_generator). Returns (None, None) when
-        the buffer is too small to estimate (< 2 batches — config
+        scores exactly the set that would be INSTALLED, on the held-out
+        batches it never saw: scoring in-sample reads exactly 1.0
+        whenever the window's distinct ids fit the K budget (defeating
+        the disable safeguard on headless streams), and scoring a
+        DIFFERENT set than the installed one — round 3 scored a
+        half-window selection — systematically mis-states the installed
+        set's reference coverage, skewing every later drop-rule
+        comparison against the re-baselined ``hot_coverage``. One
+        select_hot_ids pass (the scan is dispatch-thread cost — see
+        benchmarks/README.md refresh-scan numbers). Returns (None, None)
+        when the buffer is too small to estimate (< 2 batches — config
         validation keeps the window >= 2 whenever tracking is on)."""
         from deeprecsys_tpu.ops.embedding import (
             hot_coverage_of,
@@ -715,18 +719,16 @@ class ComputeEngine(threading.Thread):
         if len(batches) < 2:
             return None, None
         k = len(self._hotcold.hot_ids)
-        sample = np.concatenate(batches, axis=0)
         offsets = np.asarray(self.model_cfg.table_offsets)
-        new_hot = select_hot_ids(sample, offsets, k)
+        n_hold = max(1, len(batches) // 4)
+        select = np.concatenate(batches[:-n_hold], axis=0)
+        holdout = np.concatenate(batches[-n_hold:], axis=0)
+        new_hot = select_hot_ids(select, offsets, k)
         if len(new_hot) < k:
             extra = np.setdiff1d(self._hotcold.hot_ids, new_hot)
             new_hot = np.sort(np.concatenate(
                 [new_hot, extra[:k - len(new_hot)]]))
-        half = max(1, len(batches) // 2)
-        sel = select_hot_ids(np.concatenate(batches[:half], axis=0),
-                             offsets, k)
-        holdout = np.concatenate(batches[half:], axis=0)
-        return new_hot, hot_coverage_of(holdout, offsets, sel)
+        return new_hot, hot_coverage_of(holdout, offsets, new_hot)
 
     def _refresh_hot_set(self, live_cov: float) -> bool:
         """Live coverage collapsed: re-derive the hot set from the

@@ -410,24 +410,35 @@ class ServingServer:
         un-sent — every shipped request WILL be applied in order, so each
         gets its own generation tag and each engine ACK resolves exactly
         the handle whose request it answers (the last-applied reload's
-        params win, matching the thread-path contract)."""
+        params win, matching the thread-path contract).
+
+        The WHOLE send side runs under one ``_mp_send_lock`` section (gen
+        allocation -> fragment building -> handle registration ->
+        shipping), for two reasons beyond fragment-tearing: (a)
+        ``reload_fragments`` raises on paths over 255*58 bytes, and it
+        must do so BEFORE any handle is registered — an orphan handle
+        would report 'scheduled' forever and hang its waiters; (b) with
+        gen allocation and shipping in separate critical sections, two
+        concurrent reload() calls could invert ring order vs handle
+        order, making the older request's params win while
+        ``reload_status`` reports the newer — serializing the section
+        makes the later gen also the later on every ring."""
         from deeprecsys_tpu.runtime.shm_queue import reload_fragments
         from deeprecsys_tpu.serving.engine import ReloadHandle
 
-        with self._lock:
-            gen = self._mp_reload_gen = (
-                getattr(self, "_mp_reload_gen", 0) % 255) + 1
-            handles = []
-            for eid, ring in enumerate(self._control_rings):
-                h = ReloadHandle(path)
-                h.engine_id, h.gen = eid, gen  # reload_status liveness check
-                self._mp_reload[(eid, gen)] = h
-                handles.append((eid, ring, h))
-            self._reload_handles = [h for _, _, h in handles]
-        frags = reload_fragments(path, gen=gen)
-        # One sender at a time: concurrent handler threads interleaving
-        # fragments on the same ring would tear both sequences.
         with self._mp_send_lock:
+            with self._lock:
+                gen = self._mp_reload_gen = (
+                    getattr(self, "_mp_reload_gen", 0) % 255) + 1
+            frags = reload_fragments(path, gen=gen)  # may raise: no handles yet
+            with self._lock:
+                handles = []
+                for eid, ring in enumerate(self._control_rings):
+                    h = ReloadHandle(path)
+                    h.engine_id, h.gen = eid, gen  # reload_status liveness
+                    self._mp_reload[(eid, gen)] = h
+                    handles.append((eid, ring, h))
+                self._reload_handles = [h for _, _, h in handles]
             for eid, ring, h in handles:
                 if eid < len(self.procs) and not self.procs[eid].is_alive():
                     # Dead engine: its ring would swallow ~64 fragments
@@ -475,10 +486,19 @@ class ServingServer:
             # The router polls every 0.2 s; one wait covers several laps.
             suspects[0].event.wait(0.75)
         for h in suspects:
-            if h.event.is_set():
-                continue  # the drained ACK resolved it after all
+            # Ownership CAS: popping the (engine, gen) entry from
+            # _mp_reload under the lock is the ONE resolution token —
+            # the router pops the same key before it touches a handle, so
+            # whichever side gets the entry resolves it and the other
+            # backs off. Without this, the router could drain a
+            # successful ACK between our is_set() check and the error
+            # assignment and we would overwrite an applied reload with
+            # 'died before ACKing'.
             with self._lock:
-                self._mp_reload.pop((h.engine_id, h.gen), None)
+                claimed = self._mp_reload.pop(
+                    (h.engine_id, h.gen), None) is not None
+            if not claimed:
+                continue  # the router owns (or already resolved) it
             h.error = RuntimeError(
                 f"engine process {h.engine_id} died before ACKing the "
                 f"reload")

@@ -482,6 +482,14 @@ def test_reload_over_process_engines(tmp_path):
         assert st["applied"] == 2 and st["failed"] == 0
         status, out = _post(f"{base}/v1/infer", {"batch_size": 5})
         assert status == 200
+        # A path too long for the fragment protocol (255 x 58-byte chunks)
+        # must raise BEFORE any handle is registered: an orphan handle
+        # would report 'scheduled' forever and hang its waiters (ADVICE
+        # r3 #1). reload_status keeps showing the last real reload.
+        with pytest.raises(ValueError, match="too long"):
+            server.reload("/x/" + "y" * (255 * 58))
+        _, st = _get(f"{base}/v1/reload")
+        assert st["applied"] == 2 and st["failed"] == 0
     finally:
         ing.stop()
 
