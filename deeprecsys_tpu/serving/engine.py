@@ -158,7 +158,7 @@ class ComputeEngine(threading.Thread):
         self._live_total = 0
         self._refresh_buf = None
         self._tracked_since_check = 0
-        self._refresh_warned = False
+        self._mesh_hot_rebuild = None  # jitted sharded hot-table rebuild
         # Runtime hotcold enable/disable (bidirectional adaptation): when
         # a refresh finds the stream has LOST its popular head (candidate
         # coverage < hotcold_min_hit), the engine falls back to the plain
@@ -391,20 +391,82 @@ class ComputeEngine(threading.Thread):
                          self._device_split(dummy)).block_until_ready()
 
         self._warm_buckets(warm, apply_fn)
-        if self.serving_cfg.hotcold_refresh_interval > 0 and self.mesh is None:
+        if self.serving_cfg.hotcold_refresh_interval > 0:
             # Pre-warm the DIRECT program for every bucket: a runtime
             # disable would otherwise jit-compile inside the serve loop —
             # minutes per shape through a relayed backend, stalling queued
             # requests exactly when the engine is escaping a measured-2x
             # slowdown (drift:rm1).
             direct = get_model(self.model_cfg.replace(embedding_impl="xla"))
-            self._direct_fn = jax.jit(direct.apply)
             base = {k: v for k, v in self.params.items() if k != "hot_table"}
+            if self.mesh is None:
+                self._direct_fn = jax.jit(direct.apply)
+            else:
+                from deeprecsys_tpu.parallel import sharded_apply
+
+                self._direct_fn = sharded_apply(
+                    direct.apply, base, self.mesh,
+                    has_dense=self.model_cfg.dense_dim > 0)
             for b in self.buckets:
                 self._direct_fn(
                     base, self._device_batch(self._host_data[b])
                 ).block_until_ready()
+            if self.mesh is not None:
+                # Mesh hot-set swaps re-derive the replicated hot table
+                # from the SHARDED live tables. Compile that program ONCE
+                # here, with the id list as an argument (shape (K,) is
+                # refresh-invariant: _candidate_hot_ids pads back to K),
+                # so a runtime refresh runs zero serve-loop compiles —
+                # the single-device path gets this for free because its
+                # convert_params gathers are eager ops on a warm backend.
+                self._mesh_hot_rebuild = self._build_mesh_hot_rebuild()
+                self.params = dict(
+                    self.params,
+                    hot_table=self._mesh_hot_rebuild(
+                        self.params["tables"],
+                        self._replicated_ids(self._hotcold.hot_ids)))
         return True
+
+    def _replicated_ids(self, hot_ids) -> jax.Array:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(np.asarray(hot_ids, dtype=np.int32),
+                              NamedSharding(self.mesh, P()))
+
+    def _build_mesh_hot_rebuild(self):
+        """Jitted (tables, hot_ids) -> replicated (K, d) hot table over
+        the mesh — the refresh-time twin of ``convert_params``'s gather,
+        but with the id list TRACED so one compile serves every future
+        swap. Mirrors the layout dispatch of
+        models/hotcold.py::make_hotcold_model.convert_params; operates on
+        the POST-conversion ``params["tables"]`` (odd-pack mesh fallbacks
+        already unpacked it there)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from deeprecsys_tpu.parallel.sharding import param_shardings
+
+        d = self.model_cfg.sparse_feature_size
+
+        def rebuild(tables, hid):
+            import jax.numpy as jnp
+
+            from deeprecsys_tpu.ops.embedding import select_packed_rows
+
+            if isinstance(tables, dict) and (
+                    "packed" in tables or "q_packed" in tables):
+                key = "packed" if "packed" in tables else "q_packed"
+                arr = tables[key]
+                pack = arr.shape[1] // d
+                return select_packed_rows(arr, hid, pack).astype(arr.dtype)
+            if isinstance(tables, dict):
+                key2d = "qrows" if "qrows" in tables else "q"
+                return jnp.take(tables[key2d], hid, axis=0)
+            return jnp.take(tables, hid, axis=0)
+
+        tb_sh = param_shardings(
+            {"tables": self.params["tables"]}, self.mesh)["tables"]
+        rep = NamedSharding(self.mesh, P())
+        return jax.jit(rebuild, in_shardings=(tb_sh, rep), out_shardings=rep)
 
     def _warm_buckets(self, warm_fn, apply_fn):
         """Shared warm-up scaffolding: pre-generate one max-size batch,
@@ -666,7 +728,7 @@ class ComputeEngine(threading.Thread):
             # set re-derived from the live stream would cover
             # meaningfully more, install it. Skipped once the current
             # set is already serving well.
-            if self.mesh is not None or ref >= self.model_cfg.hotcold_min_hit:
+            if ref >= self.model_cfg.hotcold_min_hit:
                 return False
             if self._upgrade_wait > 0:
                 # Back-off after failed scans: a STEADY mediocre stream
@@ -739,18 +801,10 @@ class ComputeEngine(threading.Thread):
         coverage < hotcold_min_hit), DISABLE the split and serve the
         plain fused gather: a headless split is slower than direct
         (measured 2.1x worse, drift:rm1). Returns True when the dispatch
-        state changed (caller's split is stale)."""
-        if self.mesh is not None:
-            # The sharded/hybrid conversion re-shards the whole tree;
-            # swapping it mid-serve is not supported — refresh mesh
-            # engines via checkpoint reload instead.
-            if not self._refresh_warned:
-                self._refresh_warned = True
-                print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id}: "
-                      f"hotcold_refresh_interval is ignored on mesh "
-                      f"engines (reload to re-derive the hot set)",
-                      flush=True)
-            return False
+        state changed (caller's split is stale). Mesh engines swap
+        through the pre-compiled sharded hot-table rebuild
+        (``_build_mesh_hot_rebuild``) — same zero-serve-loop-compile
+        contract as the single-device path."""
         new_hot, new_cov = self._candidate_hot_ids()
         if new_cov is None:
             return False  # buffer too small to estimate — no change
@@ -766,15 +820,26 @@ class ComputeEngine(threading.Thread):
 
     def _install_hot_ids(self, new_hot, ref_cov: float):
         """Swap the hot set + rebuild the hot table from the live params'
-        full tables, preserving negotiated layouts (no recompile)."""
+        full tables, preserving negotiated layouts (no recompile). On a
+        mesh the replicated hot table is re-derived from the SHARDED
+        tables by the rebuild program compiled at setup (the sharded
+        apply reads the hot table from params and never depends on the
+        id list, exactly like the single-device apply — only the host
+        splitter's ``prepare`` does)."""
         from deeprecsys_tpu.models.hotcold import with_hot_ids
 
-        hc = with_hot_ids(self._hotcold, new_hot, mesh=None)
-        base = {key: v for key, v in self.params.items() if key != "hot_table"}
-        new_params = hc.convert_params(base)
-        target = (self._param_formats if self._param_formats is not None
-                  else self.device)
-        self.params = jax.device_put(new_params, target)
+        hc = with_hot_ids(self._hotcold, new_hot, mesh=self.mesh)
+        if self.mesh is not None:
+            new_table = self._mesh_hot_rebuild(
+                self.params["tables"], self._replicated_ids(new_hot))
+            self.params = dict(self.params, hot_table=new_table)
+        else:
+            base = {key: v for key, v in self.params.items()
+                    if key != "hot_table"}
+            new_params = hc.convert_params(base)
+            target = (self._param_formats if self._param_formats is not None
+                      else self.device)
+            self.params = jax.device_put(new_params, target)
         self._hotcold = hc
         # Re-baseline the reference coverage on the refreshed set: stops a
         # stream whose achievable head mass genuinely dropped from
@@ -803,7 +868,15 @@ class ComputeEngine(threading.Thread):
                   f"did not run — setup/dispatch conditions out of sync)",
                   flush=True)
             model = get_model(self.model_cfg.replace(embedding_impl="xla"))
-            self._direct_fn = jax.jit(model.apply)
+            if self.mesh is not None:
+                from deeprecsys_tpu.parallel import sharded_apply
+
+                self._direct_fn = sharded_apply(
+                    model.apply,
+                    {k: v for k, v in self.params.items() if k != "hot_table"},
+                    self.mesh, has_dense=self.model_cfg.dense_dim > 0)
+            else:
+                self._direct_fn = jax.jit(model.apply)
         # Derived from the LIVE params every dispatch (not cached at
         # disable time): a checkpoint reload while disabled must serve
         # the reloaded tables. Same array objects -> no retrace.
