@@ -570,7 +570,7 @@ def job_sim_validation2(model):
     return out
 
 
-def job_zipf_bench(model):
+def job_zipf_bench(model, iters=32):
     """Skew-aware judged-artifact point (VERDICT r2 #1): full-model
     forward at production scale on the zipf(1.2) stream under the
     engines' embedding_impl="auto" decision vs the direct gather —
@@ -578,15 +578,17 @@ def job_zipf_bench(model):
     production-representative stream the uniform bench can't see.
     Merges into benchmarks/zipf_bench.json (the same artifact
     `python bench.py --stream zipf` writes) and warms the server-side
-    compile cache for the driver's run."""
+    compile cache for the driver's run. ``iters``: raise for sub-0.1 ms
+    models (ncf ~0.06 ms/iter: a 32-iter chain is ~2 ms of signal under
+    ~ms relay jitter — the slope comes out negative)."""
     import json as _json
 
     from deeprecsys_tpu.experiments.skew_bench import measure_skewed
     from deeprecsys_tpu.utils.devices import pick_accel_device
 
     device = pick_accel_device()
-    xla = measure_skewed(model, device, impl="xla", iters=32)
-    auto = measure_skewed(model, device, impl="auto", iters=32)
+    xla = measure_skewed(model, device, impl="xla", iters=iters)
+    auto = measure_skewed(model, device, impl="auto", iters=iters)
     speed = auto["samples_per_s"] / xla["samples_per_s"]
     out = {"xla": xla, "auto": auto, "auto_vs_xla": speed}
     path = Path(__file__).parent.parent / "benchmarks" / "zipf_bench.json"
@@ -1565,7 +1567,7 @@ def job_soak(model="ncf", minutes=30, rate_qps=4.0):
     return r
 
 
-def job_hlo_hotcold(model="din", pack=0, batch=512):
+def job_hlo_hotcold(model="din", pack=0, batch=512, negotiate=False):
     """Per-HLO device trace of the HOT/COLD apply at the judged full-scale
     point, packed (pack=0 -> auto) vs unpacked (pack=1) — the tooling that
     nailed rm1's 1.83 ms relayout copy, pointed at the din packed-hotcold
@@ -1574,7 +1576,15 @@ def job_hlo_hotcold(model="din", pack=0, batch=512):
     naming one). Reproduces job_model_hotcold's exact recipe (zipf 1.2
     seed 2, VMEM-budgeted hot set, hot table fed as an ARGUMENT — the
     regression persisted with hot-as-arg) and traces ONE apply call.
-    The packed-minus-unpacked top-HLO diff names the mechanism."""
+    The packed-minus-unpacked top-HLO diff names the mechanism.
+
+    MECHANISM FOUND (non-negotiated run): the packed program's cold
+    gather wants the (R/2, 64) 128-byte-row table ROW-MAJOR, the jitted
+    param producer emitted it column-major, and XLA baked a whole-table
+    relayout ``copy.58`` (2.95 GB, 14.0 ms — 81% of device time) into
+    every call; net of the copy, packed is FASTER (3.2 vs 4.25 ms).
+    ``negotiate=True`` replays the serving engines' layout treatment
+    (_commit_param_layouts): the copy must vanish and packed must win."""
     import json as _json
     import shutil
 
@@ -1610,6 +1620,22 @@ def job_hlo_hotcold(model="din", pack=0, batch=512):
     with jax.default_device(device):
         params = jax.jit(
             lambda: hc.convert_params(model_fns.init(jax.random.PRNGKey(0))))()
+    if negotiate:
+        from deeprecsys_tpu.utils.layouts import (
+            negotiated_param_formats,
+            shape_tree,
+        )
+
+        split_sds = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                     for k, v in split.items() if k != "n_cold"}
+        batch_sds = Batch(
+            dense=None if host.dense is None else jax.ShapeDtypeStruct(
+                host.dense.shape, host.dense.dtype),
+            indices=jax.ShapeDtypeStruct(idx.shape, idx.dtype))
+        fmts = negotiated_param_formats(hc.apply, device, shape_tree(params),
+                                        batch_sds, split_sds)
+        if fmts is not None:
+            params = jax.device_put(params, fmts)
     dev_batch = Batch(
         dense=None if host.dense is None else jax.device_put(host.dense, device),
         indices=jax.device_put(idx, device))
@@ -1618,7 +1644,7 @@ def job_hlo_hotcold(model="din", pack=0, batch=512):
 
     out_dir = Path(__file__).parent.parent / "benchmarks" / "profile_hlo"
     out_dir.mkdir(exist_ok=True)
-    tag = f"hotcold_{model}_b{batch}_p{pack}"
+    tag = f"hotcold_{model}_b{batch}_p{pack}" + ("_neg" if negotiate else "")
     trace_dir = out_dir / f"trace_{tag}"
     if trace_dir.exists():
         shutil.rmtree(trace_dir)
@@ -1627,14 +1653,103 @@ def job_hlo_hotcold(model="din", pack=0, batch=512):
 
     parsed = _parse_hlo_trace(trace_dir, batch * T * L)
     summary = {"model": model, "batch": batch, "table_scale": 1,
-               "pack": pack, "hit_rate": round(float(hit), 4),
+               "pack": pack, "negotiated_layouts": negotiate,
+               "hit_rate": round(float(hit), 4),
                "hot_rows": int(len(hot_ids)),
                "cold_padded": int(split["cold_ids"].shape[0]), **parsed}
     (out_dir / f"summary_{tag}.json").write_text(_json.dumps(summary, indent=2))
-    log(f"hlo_hotcold {model} pack={pack}: total "
+    log(f"hlo_hotcold {model} pack={pack} neg={negotiate}: total "
         f"{parsed['total_device_us']:.0f} us, top: "
         f"{[(t['hlo'], t['us']) for t in parsed['top_hlos_us'][:4]]}")
     return summary
+
+
+def job_model_hotcold_neg(model="din", pack=0, iters=32):
+    """Chained packed-vs-unpacked hotcold at the SERVING engines' layout
+    treatment: params converted eagerly, negotiated into the layouts the
+    compiled apply prefers (engine._commit_param_layouts), and fed as
+    ARGUMENTS to the timed program. The round-2d chained regression
+    (packed 6.78 ms vs unpacked 4.55 ms) was measured with in-program/
+    default-layout params; the HLO diff attributed the packed penalty to
+    a whole-table relayout copy the negotiation removes — this number
+    decides whether config.hotcold_auto_excluded (the >=64-tables+packed
+    guard) survives as a mechanism or falls as a layout artifact."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.models.hotcold import make_hotcold_model
+    from deeprecsys_tpu.ops.embedding import select_hot_ids
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+    from deeprecsys_tpu.utils.layouts import (
+        negotiated_param_formats,
+        shape_tree,
+    )
+    from deeprecsys_tpu.utils.memory import suggest_hot_rows
+
+    device = pick_accel_device()
+    B = 512
+    cfg = zoo.get_config(model, table_scale=1, param_dtype="bfloat16",
+                         compute_dtype="bfloat16", table_pack=pack)
+    model_fns = get_model(cfg)
+    host = RecDataGenerator(cfg, seed=0).generate_batch(B)
+    rows_np = np.asarray(cfg.scaled_rows, dtype=np.int64)
+    rng = np.random.default_rng(2)
+    T, L = host.indices.shape[1], host.indices.shape[2]
+    idx = (rng.zipf(1.2, size=(B, T, L)) % rows_np[None, :, None]).astype(np.int32)
+    offs = np.asarray(cfg.table_offsets, dtype=np.int64)
+    hot_ids = select_hot_ids(idx, offs, suggest_hot_rows(cfg))
+    hc = make_hotcold_model(model_fns, hot_ids)
+    split = hc.prepare(Batch(dense=host.dense, indices=idx))
+    hit = 1.0 - split["n_cold"] / idx.size
+    sp = {k: jax.device_put(np.asarray(v), device)
+          for k, v in split.items() if k != "n_cold"}
+    with jax.default_device(device):
+        params = jax.jit(
+            lambda: hc.convert_params(model_fns.init(jax.random.PRNGKey(0))))()
+    split_sds = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                 for k, v in split.items() if k != "n_cold"}
+    batch_sds = Batch(
+        dense=None if host.dense is None else jax.ShapeDtypeStruct(
+            host.dense.shape, host.dense.dtype),
+        indices=jax.ShapeDtypeStruct(idx.shape, idx.dtype))
+    fmts = negotiated_param_formats(hc.apply, device, shape_tree(params),
+                                    batch_sds, split_sds)
+    negotiated = fmts is not None
+    if negotiated:
+        params = jax.device_put(params, fmts)
+
+    def program(n, prm, dense, indices, hs, hm, ci, cseg):
+        def body(i, c):
+            s = {"hot_sel": jnp.roll(hs, i, axis=0),
+                 "hot_mask": jnp.roll(hm, i, axis=0),
+                 "cold_ids": jnp.roll(ci, i, axis=0), "cold_seg": cseg}
+            d = None if dense is None else dense
+            out = hc.apply(prm, Batch(dense=d, indices=indices), s)
+            return c + jnp.sum(out.astype(jnp.float32))
+
+        return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    fn = jax.jit(program)
+    args = (params,
+            None if host.dense is None else jax.device_put(host.dense, device),
+            jax.device_put(idx, device), sp["hot_sel"], sp["hot_mask"],
+            sp["cold_ids"], sp["cold_seg"])
+    ms, compile_s = _chain_readback(fn, *args, iters=iters)
+    out = {"variant": "hotcold_neg", "pack": pack, "ms": ms,
+           "samples_per_s": B / (ms / 1000.0), "hit_rate": hit,
+           "hot_rows": int(len(hot_ids)), "negotiated": negotiated,
+           "compile_s": compile_s}
+    log(f"model_hotcold_neg {model} pack={pack}: {ms:.2f} ms/iter "
+        f"({out['samples_per_s']:.0f} samples/s), negotiated={negotiated}")
+    return out
 
 
 _TRAIN_QUALITY_DIR = Path.home() / ".cache" / "deeprecsys_tpu" / "train_quality"
@@ -2129,6 +2244,20 @@ JOBS = [
     # #1: training-to-quality at production scale + the serve lifecycle.
     ("train_quality:rm1", lambda: job_train_quality("rm1")),
     ("train_quality_serve:rm1", lambda: job_train_quality_serve("rm1")),
+    # #2 follow-up: the non-negotiated HLO diff NAMED the mechanism — a
+    # 2.95 GB whole-table relayout copy from a parameter-layout mismatch
+    # (packed 128-byte rows want row-major; the jitted producer emitted
+    # column-major). The serving engines negotiate layouts at setup, so
+    # re-measure BOTH programs the engine way: if packed wins with
+    # negotiated args, the hotcold_auto_excluded guard is a layout
+    # artifact and falls.
+    ("hlo_hotcold_negpack:din", lambda: job_hlo_hotcold("din", pack=0, negotiate=True)),
+    ("hlo_hotcold_negunpack:din", lambda: job_hlo_hotcold("din", pack=1, negotiate=True)),
+    ("model_hotcold_negpack:din", lambda: job_model_hotcold_neg("din", pack=0)),
+    ("model_hotcold_negunpack:din", lambda: job_model_hotcold_neg("din", pack=1)),
+    # ncf retry at a chain long enough to clear relay jitter (its ~0.06
+    # ms/iter forward gives a 32-iter chain only ~2 ms of signal).
+    ("zipf_bench2:ncf", lambda: job_zipf_bench("ncf", iters=1024)),
     # #3a: round-stamped skew artifact (runs AFTER the zipf_bench jobs).
     ("zipf_r4:snapshot", lambda: job_zipf_snapshot(4)),
 ]
