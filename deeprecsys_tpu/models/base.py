@@ -25,10 +25,20 @@ from deeprecsys_tpu.config import ModelConfig
 
 
 class Batch(NamedTuple):
-    """One inference batch in the fused-table layout (see ops/embedding.py)."""
+    """One inference batch in the fused-table layout (see ops/embedding.py).
+
+    ``mask`` carries RAGGED pooling lengths (the reference's
+    lengths+indices CSR form, ``dlrm_s_caffe2.py`` lengths queues): slot
+    (b, t, l) contributes to the pooled sum iff mask[b, t, l]. None =
+    every group is full (all 8 shipped configs set
+    ``num_indices_per_lookup_fixed: true``, and the reference's own
+    random generator always emits fixed-size groups,
+    dlrm_data_caffe2.py:100-113 — so None is the fast default and masked
+    programs compile only where ragged input is actually enabled)."""
 
     dense: Optional[jax.Array]  # (B, dense_dim) float, or None
     indices: jax.Array          # (B, T, L) int32, per-table-local ids
+    mask: Optional[jax.Array] = None  # (B, T, L) bool, or None (= all true)
 
 
 class ModelFns(NamedTuple):
@@ -125,6 +135,7 @@ def pooled_lookup(tables, batch: Batch, cfg: ModelConfig) -> jax.Array:
         # benchmarking xla.
         raise ValueError(f"unknown embedding_impl {cfg.embedding_impl!r} "
                          "(valid: 'xla', 'hotcold', 'auto')")
+    mask = batch.mask  # ragged pooling lengths; None = full groups
     if isinstance(tables, dict) and "packed" in tables:
         from deeprecsys_tpu.ops.embedding import embedding_bag_packed
 
@@ -132,13 +143,14 @@ def pooled_lookup(tables, batch: Batch, cfg: ModelConfig) -> jax.Array:
         # checkpoints keep working whatever the current cfg default is.
         pack = tables["packed"].shape[1] // cfg.sparse_feature_size
         return embedding_bag_packed(tables["packed"], offsets, batch.indices,
-                                    pack=pack, compute_dtype=cdt)
+                                    pack=pack, compute_dtype=cdt, mask=mask)
     if isinstance(tables, dict) and "q_packed" in tables:
         from deeprecsys_tpu.ops.embedding import embedding_bag_packed_int8
 
         pooled = embedding_bag_packed_int8(tables["q_packed"], offsets,
                                            batch.indices,
-                                           d=cfg.sparse_feature_size)
+                                           d=cfg.sparse_feature_size,
+                                           mask=mask)
         return (pooled.astype(jnp.float32)
                 * tables["scale"][None, :, None]).astype(cdt)
     if isinstance(tables, dict) and "qrows" in tables:
@@ -146,13 +158,14 @@ def pooled_lookup(tables, batch: Batch, cfg: ModelConfig) -> jax.Array:
         from deeprecsys_tpu.ops.embedding import embedding_bag_int8_rowwise
 
         return embedding_bag_int8_rowwise(tables["qrows"], offsets, batch.indices,
-                                          compute_dtype=cdt)
+                                          compute_dtype=cdt, mask=mask)
     if isinstance(tables, dict):  # int8 symmetric, per-table scale
         # Pool in int32 (exact), dequantize once per pooled vector.
         pooled = embedding_bag(tables["q"], offsets, batch.indices,
-                               compute_dtype=jnp.int32)
+                               compute_dtype=jnp.int32, mask=mask)
         return (pooled.astype(jnp.float32) * tables["scale"][None, :, None]).astype(cdt)
-    return embedding_bag(tables, offsets, batch.indices, compute_dtype=cdt)
+    return embedding_bag(tables, offsets, batch.indices, compute_dtype=cdt,
+                         mask=mask)
 
 
 def compute_dtype_of(cfg: ModelConfig):

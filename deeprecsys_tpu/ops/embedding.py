@@ -162,6 +162,7 @@ def embedding_bag_packed(
     *,
     pack: int,
     compute_dtype=None,
+    mask: "jax.Array | None" = None,
 ) -> jax.Array:
     """``embedding_bag`` over a ``pack_table``-packed array.
 
@@ -181,7 +182,10 @@ def embedding_bag_packed(
         # sibling (embedding_bag_packed_int8) pools in exact int32 — match
         # that instead of silently corrupting every bag.
         cdt = jnp.int32
-    return rows.astype(cdt).reshape(B, T, L, d).sum(axis=2)
+    rows = rows.astype(cdt).reshape(B, T, L, d)
+    if mask is not None:
+        rows = jnp.where(mask[..., None], rows, jnp.zeros((), rows.dtype))
+    return rows.sum(axis=2)
 
 
 def embedding_bag_packed_int8(
@@ -190,15 +194,18 @@ def embedding_bag_packed_int8(
     indices: jax.Array,
     *,
     d: int,
+    mask: "jax.Array | None" = None,
 ) -> jax.Array:
     """Pooled lookup over a packed int8 fused table: (B, T, d) in EXACT
     int32 (dequantize per table after pooling, as the unpacked int8 path
-    does)."""
+    does). ``mask``: ragged pooling — see ``embedding_bag``."""
     B, T, L = indices.shape
     pack = q_packed.shape[1] // d
     flat = (indices + offsets[None, :, None]).reshape(-1)
-    rows = select_packed_rows(q_packed, flat, pack)
-    return rows.reshape(B, T, L, d).sum(axis=2)
+    rows = select_packed_rows(q_packed, flat, pack).reshape(B, T, L, d)
+    if mask is not None:
+        rows = rows * mask[..., None].astype(rows.dtype)
+    return rows.sum(axis=2)
 
 
 def quantize_rowwise_int8(table: jax.Array) -> jax.Array:
@@ -258,6 +265,7 @@ def embedding_bag_int8_rowwise(
     indices: jax.Array,
     *,
     compute_dtype=jnp.float32,
+    mask: "jax.Array | None" = None,
 ) -> jax.Array:
     """Pooled lookup over row-wise packed int8 tables (``quantize_rowwise_int8``).
 
@@ -270,8 +278,10 @@ def embedding_bag_int8_rowwise(
     d = packed.shape[1] - 4
     flat = (indices + offsets[None, :, None]).reshape(-1)
     rows = jnp.take(packed, flat, axis=0)  # (B*T*L, d+4) int8: one HBM gather
-    vals = dequant_packed_rows(rows)
-    return vals.reshape(B, T, L, d).sum(axis=2).astype(compute_dtype)
+    vals = dequant_packed_rows(rows).reshape(B, T, L, d)
+    if mask is not None:
+        vals = jnp.where(mask[..., None], vals, 0.0)
+    return vals.sum(axis=2).astype(compute_dtype)
 
 
 def _pad_bucket(n: int, buckets, floor: int = 1) -> int:
@@ -687,6 +697,7 @@ def embedding_bag(
     indices: jax.Array,
     *,
     compute_dtype=None,
+    mask: "jax.Array | None" = None,
 ) -> jax.Array:
     """Pooled multi-table lookup.
 
@@ -694,6 +705,9 @@ def embedding_bag(
       table: fused ``(total_rows, d)`` embedding array.
       offsets: ``(T,)`` int32 row offset of each table.
       indices: ``(B, T, L)`` int32 per-table-local ids.
+      mask: optional ``(B, T, L)`` bool — ragged pooling (the reference's
+        variable SparseLengthsSum lengths): masked-out slots contribute
+        zero to the pooled sum. None = all groups full.
 
     Returns:
       ``(B, T, d)`` pooled (summed over L) embeddings, in ``compute_dtype``
@@ -704,4 +718,7 @@ def embedding_bag(
     rows = jnp.take(table, flat, axis=0, indices_are_sorted=False, unique_indices=False)
     if compute_dtype is not None:
         rows = rows.astype(compute_dtype)
-    return rows.reshape(B, T, L, -1).sum(axis=2)
+    rows = rows.reshape(B, T, L, -1)
+    if mask is not None:
+        rows = jnp.where(mask[..., None], rows, jnp.zeros((), rows.dtype))
+    return rows.sum(axis=2)
