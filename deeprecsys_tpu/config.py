@@ -173,21 +173,23 @@ class ModelConfig:
 
     @property
     def hotcold_auto_excluded(self) -> bool:
-        """True when ``embedding_impl="auto"`` must NOT choose hotcold:
-        hot/cold composed with PACKED cold tables is measured-negative on
-        din-class models (hundreds of stacked behavior tables). At full
-        scale on the zipf stream, packed hotcold regressed din to 6.78 ms
-        vs 4.55 ms unpacked hotcold AND 5.49 ms packed direct at the same
-        94.6% hit (model_hotcold_pack:din / model_hotcold:din /
-        full_r2p:din); the regression reproduced exactly across
-        hot-as-arg, no-cold, and hot-table-layout bisections
-        (benchmarks/README.md "Hot/cold x packing"). Few-table models
-        (rm1/rm3) measured POSITIVE on the same pair, so the guard keys on
-        table count: with >= 64 tables and packed rows, auto serves packed
-        direct — the faster measured option under packing. Explicit
-        ``embedding_impl="hotcold"`` is honored (with a warning); pair it
-        with ``table_pack=1`` for the measured-best din configuration."""
-        return self.num_tables >= 64 and self.resolved_table_pack > 1
+        """RETIRED round 4 (always False, kept for one release as an API
+        courtesy): rounds 2-3 guarded ``embedding_impl="auto"`` against
+        the hotcold x packed-tables pair on din-class models after packed
+        hotcold measured 6.78 ms vs 4.55 unpacked at the same 94.6% hit.
+        Round 4's per-HLO diff NAMED the mechanism — a parameter-layout
+        mismatch: the 128-byte packed rows want a ROW-MAJOR cold table,
+        the measurement's jitted param producer emitted column-major, and
+        XLA baked a 2.95 GB whole-table relayout copy into every call
+        (copy.58, 14.0 ms, benchmarks/profile_hlo/summary_hotcold_din_*).
+        With the serving engines' negotiated layouts
+        (engine._commit_param_layouts) the copy vanishes and packed
+        hotcold is the FASTEST din configuration: 3.34 ms vs 3.80
+        unpacked hotcold vs 5.54 packed direct (model_hotcold_negpack:din
+        et al., benchmarks/README.md "Hot/cold x packing"). The guard was
+        a measurement-layout artifact, not a mechanism — auto now
+        composes the pair everywhere layouts are negotiated."""
+        return False
 
     @property
     def dense_dim(self) -> int:
@@ -404,6 +406,25 @@ class ServingConfig:
     hotcold_refresh_interval: int = 0
     hotcold_refresh_margin: float = 0.05
     hotcold_refresh_window: int = 16
+    # Cap on the LOOKUPS the refresh/upgrade candidate scan reads from
+    # the buffered window (0 = unlimited). The scan (select_hot_ids =
+    # sort-unique) runs on the DISPATCH thread; uncapped at rm2's shape
+    # (16 x 512 x 3840 = 23.6M ids) it measured 6.7 s — a serving stall —
+    # vs ~60-200 ms under this default (benchmarks/refresh_scan_cost.json).
+    # Capping subsamples whole rows at a uniform stride, which preserves
+    # head frequencies (a 2M-lookup sample resolves a 64k-row hot set's
+    # zipf head to well under the refresh margin).
+    hotcold_scan_budget: int = 2_000_000
+
+    # Accept RAGGED real-inference requests (the reference's
+    # lengths+indices CSR form, dlrm_s_caffe2.py lengths queues): engines
+    # additionally pre-warm a masked program per bucket (one extra
+    # compile each), and /v1/predict takes "lengths" (+ optional flat
+    # "values"). Off by default: all 8 shipped configs are fixed-length
+    # (num_indices_per_lookup_fixed: true) and the masked twin would be
+    # dead compile weight. Thread engines (tpu/cpu) only; the hot/cold
+    # splitter and the cpu-mp payload arena carry no mask.
+    accept_ragged: bool = False
 
     seed: int = 123
     debug_mode: bool = False

@@ -13,9 +13,18 @@ under two lookup implementations:
 - ``auto``: the serving engines' warm-up decision replayed measurement-
   side: size the hot set to the VMEM budget (utils.memory.suggest_hot_rows),
   sample the stream's hot coverage, and choose hotcold iff coverage >=
-  cfg.hotcold_min_hit and the config doesn't exclude the pair
-  (config.hotcold_auto_excluded — the measured-negative packed x hotcold
-  guard for din-class models). Below threshold, auto == xla by design.
+  cfg.hotcold_min_hit. Below threshold, auto == xla by design.
+
+Methodology note (round 4): the hotcold measurement feeds CONVERTED
+params as negotiated-layout ARGUMENTS — the serving engines' exact
+treatment (engine._commit_param_layouts). Rounds 2-3 built params
+in-program, which let the jitted producer pick a column-major packed
+table that the 128-byte-row gather rejects, baking a 2.95 GB relayout
+copy into din's packed-hotcold program (the artifact behind the retired
+config.hotcold_auto_excluded guard — see its docstring and
+benchmarks/profile_hlo/summary_hotcold_din_*). The direct (xla) branch
+stays in-program for comparability with the uniform judged bench; its
+single-program layouts are producer/consumer-consistent.
 
 Timing: utils/timing.py chained-readback discipline — param init inside
 ONE compiled program, runtime trip count, two-point slope. Streams and
@@ -93,11 +102,7 @@ def resolve_auto_impl(cfg, idx: np.ndarray):
     """Replay the engine's embedding_impl="auto" decision on this stream.
 
     Returns (impl, hot_ids, coverage): impl is "hotcold" or "xla";
-    hot_ids/coverage are the sampled hot set and its stream coverage
-    (None/None when the guard excluded hotcold without sampling —
-    engine.py does the same)."""
-    if cfg.hotcold_auto_excluded:
-        return "xla", None, None
+    hot_ids/coverage are the sampled hot set and its stream coverage."""
     hot_ids, coverage = _hot_set(cfg, idx)
     if coverage < cfg.hotcold_min_hit:
         return "xla", hot_ids, coverage
@@ -147,15 +152,33 @@ def measure_skewed(model_name: str, device, impl: str = "auto",
 
     if chosen == "hotcold":
         from deeprecsys_tpu.models.hotcold import make_hotcold_model
+        from deeprecsys_tpu.utils.layouts import (
+            negotiated_param_formats,
+            shape_tree,
+        )
 
         hc = make_hotcold_model(model, hot_ids)
         split = hc.prepare(Batch(dense=dense_host, indices=idx))
-        sp = {k: jnp.asarray(v) for k, v in split.items() if k != "n_cold"}
+        sp = {k: jax.device_put(np.asarray(v), device)
+              for k, v in split.items() if k != "n_cold"}
+        # Engine-representative params: converted once, then re-laid-out
+        # into the layouts the compiled hotcold apply prefers and fed as
+        # ARGUMENTS (see the module docstring's methodology note).
+        with jax.default_device(device):
+            params = jax.jit(
+                lambda: hc.convert_params(model.init(jax.random.PRNGKey(0))))()
+        split_sds = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                     for k, v in sp.items()}
+        batch_sds = Batch(
+            dense=None if dense_host is None else jax.ShapeDtypeStruct(
+                dense_host.shape, dense_host.dtype),
+            indices=jax.ShapeDtypeStruct(idx.shape, idx.dtype))
+        fmts = negotiated_param_formats(hc.apply, device, shape_tree(params),
+                                        batch_sds, split_sds)
+        if fmts is not None:
+            params = jax.device_put(params, fmts)
 
-        def program(n, dense, indices, hs, hm, ci, cseg):
-            params = model.init(jax.random.PRNGKey(0))
-            hcp = hc.convert_params(params)
-
+        def program(n, hcp, dense, indices, hs, hm, ci, cseg):
             def body(i, c):
                 s = {"hot_sel": jnp.roll(hs, i, axis=0),
                      "hot_mask": jnp.roll(hm, i, axis=0),
@@ -166,7 +189,8 @@ def measure_skewed(model_name: str, device, impl: str = "auto",
 
             return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
-        args = (None if dense_host is None else jnp.asarray(dense_host),
+        args = (params,
+                None if dense_host is None else jnp.asarray(dense_host),
                 jnp.asarray(idx), sp["hot_sel"], sp["hot_mask"],
                 sp["cold_ids"], sp["cold_seg"])
     else:

@@ -75,15 +75,22 @@ def pack_packet(obj) -> bytes:
                            obj.total, len(obj.payload), obj.payload)
     if isinstance(obj, ServiceRequest):
         if obj.payload is not None:
-            # The real-inference path (client feature payloads) cannot
-            # cross the fixed 64-byte POD slot — fail loudly instead of
-            # silently dropping the features and serving synthetic rows.
+            # An in-memory payload cannot cross the fixed 64-byte POD
+            # slot — fail loudly instead of silently dropping the features
+            # and serving synthetic rows. The cpu-mp transport for real
+            # inference is the blob arena: stage the arrays with
+            # BlobArena.write_batch and send payload_slot instead
+            # (serving/ingress.py does this for /v1/predict).
             raise TypeError(
                 "payload-carrying requests cannot cross the POD ring; "
-                "real-inference serving needs in-process thread engines "
-                "(engine_backend tpu/cpu)")
+                "stage the features in the BlobArena and set payload_slot "
+                "(or use in-process thread engines)")
+        # Requests reuse the response-only consumer_id int for the blob-
+        # arena slot id (-1 = no payload slot) — the cpu-mp real-inference
+        # transport (runtime/blob_arena.py).
         return struct.pack(
-            _FMT, _K_REQUEST, int(obj.exp_packet), 0, obj.epoch, obj.batch_id,
+            _FMT, _K_REQUEST, int(obj.exp_packet), obj.payload_slot,
+            obj.epoch, obj.batch_id,
             obj.batch_size, obj.sub_id, obj.total_sub_batches, 0,
             obj.arrival_time, obj.deadline, 0.0, 0.0, 0,
         )
@@ -109,7 +116,8 @@ def unpack_packet(buf: bytes):
     if kind == _K_REQUEST:
         return ServiceRequest(batch_id=batch_id, epoch=epoch, batch_size=bsz,
                               arrival_time=arr, sub_id=sub, total_sub_batches=total,
-                              exp_packet=bool(exp), deadline=qs)
+                              exp_packet=bool(exp), deadline=qs,
+                              payload_slot=consumer)
     return ServiceResponse(consumer_id=consumer, epoch=epoch, batch_id=batch_id,
                            batch_size=bsz, arrival_time=arr, queue_start_time=qs,
                            queue_end_time=qe, inference_end_time=inf,

@@ -48,6 +48,7 @@ from deeprecsys_tpu.serving.latency_model import LatencyModel
 from deeprecsys_tpu.serving.packets import (
     ERR_DEADLINE,
     ERR_OVER_LADDER,
+    ERR_PAYLOAD,
     ERR_READBACK,
     ERR_RELOAD,
     RELOAD_ACK_BATCH_ID,
@@ -56,6 +57,9 @@ from deeprecsys_tpu.serving.packets import (
 )
 
 _SENTINEL = None
+# _hydrate's "request answered with an error, skip it" marker — distinct
+# from _SENTINEL (None), which must still shut the serve loop down.
+_DROPPED = object()
 
 
 class ReloadHandle:
@@ -108,6 +112,7 @@ class ComputeEngine(threading.Thread):
         buckets=None,
         strict_buckets: bool = True,
         control_q=None,
+        arena=None,
     ):
         super().__init__(name=f"engine-{engine_id}", daemon=True)
         self.engine_id = engine_id
@@ -195,6 +200,10 @@ class ComputeEngine(threading.Thread):
         # engine). Applied reloads are ACKed on the response ring with
         # batch_id = RELOAD_ACK_BATCH_ID.
         self.control_q = control_q
+        # cpu-mp payload transport: the shared BlobArena this engine
+        # hydrates payload_slot requests from and writes scores back into
+        # (runtime/blob_arena.py ownership protocol).
+        self.arena = arena
         self._reload_frags: dict = {}  # gen -> accumulated fragments
         self._param_formats = None  # negotiated layouts (single-device)
 
@@ -238,19 +247,27 @@ class ComputeEngine(threading.Thread):
     def _setup(self):
         model = get_model(self.model_cfg)
         impl = self.model_cfg.embedding_impl
-        if impl == "auto" and self.model_cfg.hotcold_auto_excluded:
-            # Measured-negative pair (packed tables x hotcold on din-class
-            # models, config.hotcold_auto_excluded): auto never composes
-            # it — fall through to the packed direct gather, the faster
-            # measured option. hot_coverage stays None (never sampled).
-            impl = "xla"
-        elif impl == "hotcold" and self.model_cfg.hotcold_auto_excluded:
-            print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id}: "
-                  f"embedding_impl='hotcold' with packed tables on a "
-                  f"{self.model_cfg.num_tables}-table model is a "
-                  f"measured-negative combination (packed hotcold 6.78 ms "
-                  f"vs unpacked 4.55 ms on din); set table_pack=1 for "
-                  f"hotcold serving of din-class models", flush=True)
+        if self.serving_cfg.accept_ragged:
+            if self.mesh is not None:
+                raise ValueError(
+                    "accept_ragged is not supported on mesh engines (the "
+                    "sharded batch layout carries no mask)")
+            if impl == "hotcold":
+                raise ValueError(
+                    "accept_ragged cannot compose with embedding_impl="
+                    "'hotcold' (the host splitter carries no mask); use "
+                    "'xla' or 'auto'")
+            if impl == "auto":
+                # Ragged serving runs the masked direct programs; a
+                # hot/cold split would silently ignore the mask. Resolve
+                # auto to the direct gather up front.
+                impl = "xla"
+        # Round 2-3 guarded auto against hotcold x packed tables on
+        # din-class models here; round 4's HLO diff showed that
+        # regression was a measurement-layout artifact (a 2.95 GB
+        # relayout copy the engines' negotiated layouts remove — packed
+        # hotcold is din's FASTEST configuration at 3.34 ms), so auto
+        # composes the pair again (config.hotcold_auto_excluded history).
         if impl in ("hotcold", "auto") and self._setup_hotcold(
                 model, require=(impl == "hotcold")):
             return
@@ -285,10 +302,21 @@ class ComputeEngine(threading.Thread):
                                        self._batch_sds(max(self.buckets)))
         # Model-layout skeleton for checkpoint reloads (shapes/dtypes only).
         self._raw_template = self._layout_template(self.params)
-        self._warm_buckets(
-            lambda sliced: apply_fn(
-                self.params, self._device_batch(sliced)).block_until_ready(),
-            apply_fn)
+
+        def warm(sliced: Batch):
+            apply_fn(self.params, self._device_batch(sliced)).block_until_ready()
+            if self.serving_cfg.accept_ragged:
+                # Pre-warm the MASKED twin of every bucket program: a
+                # ragged request changes the arg pytree (mask None ->
+                # array), which is a fresh trace — compiling it in the
+                # serve loop would stall queued requests for minutes on a
+                # relayed backend.
+                ragged = Batch(dense=sliced.dense, indices=sliced.indices,
+                               mask=np.ones(sliced.indices.shape, dtype=bool))
+                apply_fn(self.params,
+                         self._device_batch(ragged)).block_until_ready()
+
+        self._warm_buckets(warm, apply_fn)
 
     def _setup_hotcold(self, model, require: bool = True) -> bool:
         """Hot/cold-split serving (models/hotcold.py): hot set selected
@@ -503,6 +531,26 @@ class ComputeEngine(threading.Thread):
         return {k: jax.device_put(np.asarray(v), self.device)
                 for k, v in split.items() if k != "n_cold"}
 
+    def _payload_ok(self, r: ServiceRequest) -> bool:
+        """True iff a request's payload (if any) matches the model's input
+        shapes — indices (batch_size, T, L), dense present iff the model
+        takes dense features, mask (if any) shaped like indices."""
+        p = r.payload
+        if p is None:
+            return True
+        base = self._host_data[self.buckets[0]]
+        T, L = base.indices.shape[1:]
+        if getattr(p.indices, "shape", None) != (r.batch_size, T, L):
+            return False
+        if (base.dense is None) != (p.dense is None):
+            return False
+        if p.dense is not None and p.dense.shape != (r.batch_size,
+                                                     base.dense.shape[1]):
+            return False
+        if p.mask is not None and p.mask.shape != (r.batch_size, T, L):
+            return False
+        return True
+
     def _assemble_host(self, group, bucket: int) -> Batch:
         """Bucket-size host batch for a group containing client payloads.
 
@@ -516,25 +564,47 @@ class ComputeEngine(threading.Thread):
         base = self._host_data[bucket]
         dense_parts = [] if base.dense is not None else None
         idx_parts = []
+        # Ragged requests carry a slot mask; any masked member upgrades
+        # the whole execution to the masked program (pre-warmed when
+        # accept_ragged), with full-group (all-true) masks for the
+        # fixed-length members and the bucket padding.
+        any_mask = any(r.payload is not None and r.payload.mask is not None
+                       for r in group)
+        mask_parts = [] if any_mask else None
+        T, L = base.indices.shape[1:]
+
+        def full_mask(n):
+            return np.ones((n, T, L), dtype=bool)
+
         off = 0
         for r in group:
             if r.payload is not None:
                 idx_parts.append(r.payload.indices)
                 if dense_parts is not None:
                     dense_parts.append(r.payload.dense)
+                if mask_parts is not None:
+                    mask_parts.append(r.payload.mask
+                                      if r.payload.mask is not None
+                                      else full_mask(r.batch_size))
             else:
                 idx_parts.append(base.indices[off:off + r.batch_size])
                 if dense_parts is not None:
                     dense_parts.append(base.dense[off:off + r.batch_size])
+                if mask_parts is not None:
+                    mask_parts.append(full_mask(r.batch_size))
             off += r.batch_size
         if off < bucket:  # pad to the compiled bucket shape
             idx_parts.append(base.indices[off:bucket])
             if dense_parts is not None:
                 dense_parts.append(base.dense[off:bucket])
+            if mask_parts is not None:
+                mask_parts.append(full_mask(bucket - off))
         return Batch(
             dense=(None if dense_parts is None
                    else np.concatenate(dense_parts, axis=0)),
             indices=np.concatenate(idx_parts, axis=0),
+            mask=(None if mask_parts is None
+                  else np.concatenate(mask_parts, axis=0)),
         )
 
     def _device_batch(self, host_batch: Batch) -> Batch:
@@ -545,7 +615,9 @@ class ComputeEngine(threading.Thread):
             dense = None if host_batch.dense is None else jax.device_put(host_batch.dense, sh.dense)
             return Batch(dense=dense, indices=jax.device_put(host_batch.indices, sh.indices))
         dense = None if host_batch.dense is None else jax.device_put(host_batch.dense, self.device)
-        return Batch(dense=dense, indices=jax.device_put(host_batch.indices, self.device))
+        mask = None if host_batch.mask is None else jax.device_put(host_batch.mask, self.device)
+        return Batch(dense=dense, indices=jax.device_put(host_batch.indices, self.device),
+                     mask=mask)
 
     # -- run loop ------------------------------------------------------
 
@@ -783,8 +855,26 @@ class ComputeEngine(threading.Thread):
         k = len(self._hotcold.hot_ids)
         offsets = np.asarray(self.model_cfg.table_offsets)
         n_hold = max(1, len(batches) // 4)
-        select = np.concatenate(batches[:-n_hold], axis=0)
-        holdout = np.concatenate(batches[-n_hold:], axis=0)
+        budget = self.serving_cfg.hotcold_scan_budget
+
+        def cap(arr):
+            # Scan-budget gate: this runs on the DISPATCH thread, and the
+            # sort-unique selection is O(N log N) in the scanned lookups
+            # (measured 6.7 s uncapped at rm2's 23.6M-id window,
+            # benchmarks/refresh_scan_cost.json). A uniform ROW stride
+            # preserves head frequencies, so selection quality degrades
+            # gracefully while the stall stays bounded (~0.1-0.2 s).
+            if not budget:
+                return arr
+            per_row = arr.shape[1] * arr.shape[2]
+            max_rows = max(budget // per_row, 2)
+            if arr.shape[0] <= max_rows:
+                return arr
+            stride = -(-arr.shape[0] // max_rows)
+            return arr[::stride]
+
+        select = cap(np.concatenate(batches[:-n_hold], axis=0))
+        holdout = cap(np.concatenate(batches[-n_hold:], axis=0))
         new_hot = select_hot_ids(select, offsets, k)
         if len(new_hot) < k:
             extra = np.setdiff1d(self._hotcold.hot_ids, new_hot)
@@ -980,15 +1070,42 @@ class ComputeEngine(threading.Thread):
                 if pending is not None:
                     self._apply_reload(pending)
 
+    def _hydrate(self, request):
+        """cpu-mp real inference: a request whose features crossed the
+        POD ring as a BlobArena slot id gets them read back here (copied
+        out — the completion loop overwrites the slot with scores). A
+        read failure answers the request and returns ``_DROPPED`` — NOT
+        None, which is the shutdown sentinel (a None return here would
+        make the serve loop swallow the sentinel and spin forever)."""
+        if (request is _SENTINEL or request is None or self.arena is None
+                or request.payload is not None
+                or getattr(request, "payload_slot", -1) < 0):
+            return request
+        from deeprecsys_tpu.models.base import Batch
+
+        try:
+            idx, dense = self.arena.read_batch(request.payload_slot)
+        except Exception as e:
+            print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id} "
+                  f"failed to read payload slot {request.payload_slot} "
+                  f"({e!r}); answering ERR_READBACK", flush=True)
+            self._emit_error(request, ERR_READBACK, time.time())
+            return _DROPPED
+        request.payload = Batch(dense=dense, indices=idx)
+        return request
+
     def _serve_loop(self):
         cfg = self.serving_cfg
         done = False
         carry = None  # request drained during coalescing that didn't fit
         while not done:
-            request = carry if carry is not None else self._next_request()
+            request = carry if carry is not None else self._hydrate(
+                self._next_request())
             carry = None
             if request is _SENTINEL:
                 break
+            if request is _DROPPED:
+                continue  # unreadable payload slot — answered above
             group = [request]
             if cfg.coalesce_requests:
                 # Dynamic batching: drain waiting requests into one bucket
@@ -1010,6 +1127,9 @@ class ComputeEngine(threading.Thread):
                         self.request_q.put(_SENTINEL)
                         done = True
                         break
+                    nxt = self._hydrate(nxt)
+                    if nxt is _DROPPED:
+                        continue  # unreadable payload slot — answered
                     if total + nxt.batch_size > self.buckets[-1]:
                         carry = nxt
                         break
@@ -1033,6 +1153,13 @@ class ComputeEngine(threading.Thread):
                 if r.deadline and queue_start > r.deadline:
                     self.expired_requests += 1
                     self._emit_error(r, ERR_DEADLINE, queue_start)
+                elif not self._payload_ok(r):
+                    # Shape-mismatched payloads (dense missing/extra, wrong
+                    # (T, L)) get a typed per-request error instead of
+                    # killing the engine in _assemble_host. Ingress
+                    # validates too; this covers direct queue producers.
+                    self.rejected_requests += 1
+                    self._emit_error(r, ERR_PAYLOAD, queue_start)
                 else:
                     live.append(r)
             group = live
@@ -1175,6 +1302,23 @@ class ComputeEngine(threading.Thread):
                     scores[off:off + request.batch_size].astype(np.float32)
                     if request.payload is not None else None)
                 off += request.batch_size
+                if (own_scores is not None and self.arena is not None
+                        and getattr(request, "payload_slot", -1) >= 0):
+                    # cpu-mp: the response POD cannot carry arrays — the
+                    # scores go back through the request's arena slot
+                    # (written BEFORE the response is pushed; the ring's
+                    # release/acquire pair orders the bytes for the
+                    # parent's read — blob_arena.py protocol).
+                    try:
+                        self.arena.write_scores(request.payload_slot,
+                                                own_scores)
+                    except Exception as e:
+                        print(f"[deeprecsys_tpu] WARNING: engine "
+                              f"{self.engine_id} failed to write scores to "
+                              f"slot {request.payload_slot} ({e!r})",
+                              flush=True)
+                        self._emit_error(request, ERR_READBACK, queue_start)
+                        continue
                 self.response_q.put(
                     ServiceResponse(
                         consumer_id=self.engine_id,

@@ -123,11 +123,16 @@ class ServingServer:
 
             (self.request_q, self.response_q, self.ready_q,
              self.procs, self._cleanup,
-             self._control_rings) = spawn_process_engines(
+             self._control_rings, self._arena) = spawn_process_engines(
                  model_cfg, cfg, checkpoint_path=checkpoint_path)
             self.n_engines = cfg.inference_engines
             self._mp_reload: dict[tuple, object] = {}  # (engine, gen) -> handle
             self._mp_send_lock = threading.Lock()
+            # Real-inference payloads over the blob arena: slot ownership
+            # per in-flight sub-request, (epoch, batch_id, sub_id) -> slot.
+            # The router frees a slot when ITS response arrives (success,
+            # error, or straggler-after-timeout alike).
+            self._slot_owners: dict[tuple, int] = {}
             self._router = threading.Thread(target=self._route_loop, daemon=True,
                                             name="ingress-router")
             return
@@ -195,8 +200,9 @@ class ServingServer:
         batch_size = max(1, min(int(batch_size), self.cfg.max_mini_batch_size))
         return self._run_query(batch_size, exp, timeout, deadline_ms, None)
 
-    def predict(self, indices, dense=None, timeout: float = 60.0,
-                deadline_ms: float | None = None) -> dict:
+    def predict(self, indices=None, dense=None, timeout: float = 60.0,
+                deadline_ms: float | None = None, lengths=None,
+                values=None) -> dict:
         """Real inference: run the model on CLIENT-SUPPLIED features and
         return their scores (the reference has no such path — its engines
         only ever run pre-generated synthetic rows sliced per request,
@@ -206,19 +212,60 @@ class ServingServer:
         dense_dim) floats (required iff the model takes dense features).
         The query rides the SAME serving fabric as load-modeling traffic —
         partitioned into sub-batches, coalesced, bucket-padded — and the
-        result dict adds ``scores`` (B x out_dim lists, f32). Thread
-        engines only (tpu/cpu backends): sim engines compute nothing and
-        the cpu-mp POD rings cannot carry arrays."""
+        result dict adds ``scores`` (B x out_dim lists, f32). Compute
+        backends only: thread engines carry the features in-process;
+        cpu-mp engines carry them through the shared blob arena
+        (runtime/blob_arena.py — the POD ring itself moves only the slot
+        id). Sim engines compute nothing and stay refused."""
         import numpy as np
 
         from deeprecsys_tpu.models.base import Batch
 
-        if self.cfg.engine_backend not in ("tpu", "cpu"):
+        if self.cfg.engine_backend not in ("tpu", "cpu", "cpu-mp"):
             raise NotImplementedError(
-                f"predict needs in-process compute engines; backend "
+                f"predict needs compute engines; backend "
                 f"{self.cfg.engine_backend!r} cannot return scores")
         m = self.model_cfg
-        idx = np.asarray(indices)  # raises on ragged input
+        # Ragged form (the reference's lengths+indices CSR,
+        # dlrm_s_caffe2.py lengths queues): "lengths" (B, T) with either
+        # flat "values" (true CSR) or padded "indices" whose slots beyond
+        # each length are ignored. Converted to padded indices + slot
+        # mask (data/ragged.py); the masked bag is exact
+        # SparseLengthsSum-with-variable-lengths semantics.
+        mask = None
+        if lengths is not None:
+            if not self.cfg.accept_ragged:
+                raise NotImplementedError(
+                    "ragged requests need accept_ragged=True on the "
+                    "serving config (engines then pre-warm the masked "
+                    "programs)")
+            if self.cfg.engine_backend == "cpu-mp":
+                raise NotImplementedError(
+                    "ragged requests are not supported on the cpu-mp "
+                    "backend (the payload arena carries no mask); use "
+                    "thread engines (tpu/cpu)")
+            from deeprecsys_tpu.data.ragged import lengths_to_mask, pad_csr
+
+            if values is not None:
+                if indices is not None:
+                    raise ValueError("pass either 'values' (flat CSR) or "
+                                     "'indices' (padded), not both")
+                indices, mask = pad_csr(lengths, values,
+                                        m.num_indices_per_lookup)
+            else:
+                if indices is None:
+                    raise ValueError("'lengths' needs 'values' (flat CSR) "
+                                     "or padded 'indices'")
+                mask = lengths_to_mask(np.asarray(lengths),
+                                       m.num_indices_per_lookup)
+                # Ignore slot content beyond each group's length (clients
+                # may leave junk there): zero is always a valid row id.
+                indices = np.where(mask, np.asarray(indices), 0)
+        elif values is not None:
+            raise ValueError("'values' requires 'lengths'")
+        if indices is None:
+            raise ValueError("'indices' ((B, T, L) ids) is required")
+        idx = np.asarray(indices)  # raises on ragged nesting
         if idx.dtype.kind == "f":
             # JSON serializers commonly emit ids as floats (1.0): accept
             # exact integers, but never TRUNCATE — 1.9 -> 1 would silently
@@ -234,6 +281,10 @@ class ServingServer:
             raise ValueError(
                 f"indices must have shape (B, {T}, {L}) with B >= 1 for "
                 f"model {m.model_name!r}; got {idx.shape}")
+        if mask is not None and mask.shape != idx.shape:
+            raise ValueError(
+                f"lengths must have shape (B, {T}) matching the batch; "
+                f"got mask shape {mask.shape} vs indices {idx.shape}")
         if idx.shape[0] > self.cfg.max_mini_batch_size:
             raise ValueError(
                 f"batch {idx.shape[0]} exceeds max_mini_batch_size "
@@ -262,7 +313,7 @@ class ServingServer:
             dense = None
         result, rs = self._run_query(
             idx.shape[0], False, timeout, deadline_ms,
-            Batch(dense=dense, indices=idx), want_responses=True)
+            Batch(dense=dense, indices=idx, mask=mask), want_responses=True)
         rs = sorted(rs, key=lambda r: r.sub_id)
         result["scores"] = np.concatenate([r.scores for r in rs],
                                           axis=0).tolist()
@@ -286,21 +337,43 @@ class ServingServer:
         with self._lock:
             self._pending[key] = pend
         target_q = self.accel_request_q if to_accel else self.request_q
+        use_arena = payload is not None and getattr(self, "_arena", None) is not None
         off = 0
         for sub_id, chunk in enumerate(chunks):
             sub_payload = None
+            slot = -1
             if payload is not None:
                 from deeprecsys_tpu.models.base import Batch
 
-                sub_payload = Batch(
+                sub = Batch(
                     dense=(None if payload.dense is None
                            else payload.dense[off:off + chunk]),
-                    indices=payload.indices[off:off + chunk])
+                    indices=payload.indices[off:off + chunk],
+                    mask=(None if payload.mask is None
+                          else payload.mask[off:off + chunk]))
                 off += chunk
+                if use_arena:
+                    # cpu-mp: features travel through the blob arena; the
+                    # POD request carries only the slot id. Arena
+                    # exhaustion (too many payload queries in flight)
+                    # fails THIS query loudly; sub-requests already sent
+                    # resolve as stragglers and the router frees their
+                    # slots.
+                    try:
+                        slot = self._arena.alloc()
+                    except RuntimeError:
+                        with self._lock:
+                            self._pending.pop(key, None)
+                        raise
+                    self._arena.write_batch(slot, sub.indices, sub.dense)
+                    with self._lock:
+                        self._slot_owners[(0, batch_id, sub_id)] = slot
+                else:
+                    sub_payload = sub
             target_q.put(ServiceRequest(
                 batch_id=batch_id, epoch=0, arrival_time=arrival, batch_size=chunk,
                 sub_id=sub_id, total_sub_batches=len(chunks), exp_packet=exp,
-                deadline=deadline, payload=sub_payload))
+                deadline=deadline, payload=sub_payload, payload_slot=slot))
         if not pend.event.wait(timeout):
             with self._lock:
                 # Re-check under the lock: the router may have delivered
@@ -366,6 +439,29 @@ class ServingServer:
                             f"(its stderr has the exception)")
                     h.event.set()
                 continue
+            if getattr(self, "_slot_owners", None):
+                # cpu-mp payload response: the scores came back through
+                # the request's arena slot (written before the ring push —
+                # release/acquire orders the bytes). Hydrate r.scores and
+                # return the slot, whether this response is a success, an
+                # engine error, or a straggler of a timed-out query.
+                with self._lock:
+                    slot = self._slot_owners.pop(
+                        (r.epoch, r.batch_id, r.sub_id), None)
+                if slot is not None:
+                    if not r.error_code:
+                        try:
+                            r.scores = self._arena.read_scores(slot)
+                        except Exception as e:
+                            from deeprecsys_tpu.serving.packets import (
+                                ERR_READBACK,
+                            )
+
+                            print(f"[deeprecsys_tpu] WARNING: arena slot "
+                                  f"{slot} readback failed ({e!r})",
+                                  flush=True)
+                            r.error_code = ERR_READBACK
+                    self._arena.free(slot)
             key = (r.epoch, r.batch_id, r.exp_packet)
             with self._lock:
                 pend = self._pending.get(key)
@@ -790,12 +886,16 @@ def _make_handler(registry: dict[str, ServingServer], default: str,
                 if payload is None:
                     return
                 try:
-                    if "indices" not in payload:
-                        raise ValueError("'indices' ((B, T, L) ids) is required")
+                    if "indices" not in payload and "values" not in payload:
+                        raise ValueError(
+                            "'indices' ((B, T, L) ids) or the ragged form "
+                            "('lengths' (B, T) + flat 'values') is required")
                     deadline_ms = self._parse_deadline(payload)
-                    result = server.predict(payload["indices"],
+                    result = server.predict(payload.get("indices"),
                                             dense=payload.get("dense"),
-                                            deadline_ms=deadline_ms)
+                                            deadline_ms=deadline_ms,
+                                            lengths=payload.get("lengths"),
+                                            values=payload.get("values"))
                     self._json(200, result)
                 except (ValueError, TypeError) as e:
                     self._json(400, {"error": f"bad request: {e}"})

@@ -86,7 +86,7 @@ def run_serving(
         from deeprecsys_tpu.serving.process_engine import spawn_process_engines
 
         (request_q, response_q, ready_q, procs, cleanup,
-         _controls) = spawn_process_engines(
+         _controls, _arena) = spawn_process_engines(
              model_cfg, cfg, checkpoint_path=checkpoint_path)
     else:
         request_q = queue.Queue(maxsize=1024)

@@ -26,6 +26,7 @@ ERR_READBACK = 1        # device readback failed after dispatch
 ERR_OVER_LADDER = 2     # request exceeds the engine's compiled bucket ladder
 ERR_DEADLINE = 3        # deadline expired before dispatch (never executed)
 ERR_RELOAD = 4          # checkpoint reload failed (old params keep serving)
+ERR_PAYLOAD = 5         # payload shape mismatch vs the engine's model
 
 ERROR_MESSAGES = {
     ERR_OK: None,
@@ -33,6 +34,7 @@ ERROR_MESSAGES = {
     ERR_OVER_LADDER: "request exceeds the engine's compiled bucket ladder",
     ERR_DEADLINE: "deadline expired before dispatch",
     ERR_RELOAD: "checkpoint reload failed; previous params keep serving",
+    ERR_PAYLOAD: "payload shape does not match the engine's model",
 }
 
 # batch_id marker of a cpu-mp reload ACK response (never a real batch id:
@@ -61,6 +63,11 @@ class ServiceRequest:
     # pre-generated data sliced to batch_size, inferenceEngine.py:200-206).
     # In-process queues only — the 64-byte POD ring raises on payloads.
     payload: object = None
+    # cpu-mp transport for the same features: the BlobArena slot holding
+    # them (runtime/blob_arena.py). -1 = none. Crosses the POD ring in the
+    # request's otherwise-unused consumer_id field; the engine hydrates
+    # ``payload`` from the slot and writes the scores back into it.
+    payload_slot: int = -1
 
 
 @dataclasses.dataclass(slots=True)

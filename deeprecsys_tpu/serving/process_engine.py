@@ -22,7 +22,8 @@ from deeprecsys_tpu.config import ModelConfig, ServingConfig
 def _engine_child(engine_id: int, model_cfg: ModelConfig, serving_cfg: ServingConfig,
                   req_name: str, resp_name: str, ready_name: str, capacity: int,
                   ctl_name: str | None = None,
-                  checkpoint_path: str | None = None):
+                  checkpoint_path: str | None = None,
+                  arena_spec: "tuple[str, int, int] | None" = None):
     import jax
 
     try:
@@ -58,12 +59,22 @@ def _engine_child(engine_id: int, model_cfg: ModelConfig, serving_cfg: ServingCo
             from deeprecsys_tpu.utils.checkpoint import load_model_params
 
             params = load_model_params(model_cfg, checkpoint_path)
+        # Real-inference payload transport (runtime/blob_arena.py): the
+        # child attaches the parent's arena; requests whose consumer slot
+        # carries a payload_slot hydrate from it.
+        arena = None
+        if arena_spec is not None:
+            from deeprecsys_tpu.runtime.blob_arena import BlobArena
+
+            name, n_slots, slot_b = arena_spec
+            arena = BlobArena(name, n_slots, slot_b, create=False)
         engine = ComputeEngine(
             engine_id, model_cfg, serving_cfg, request_q, response_q, ready_q,
             device=jax.devices("cpu")[0], params=params,
             seed=serving_cfg.seed + engine_id,
             strict_buckets=False,  # serving path: clamp + count, never reject
             control_q=control_q,
+            arena=arena,
         )
     except Exception as e:
         print(f"[deeprecsys_tpu] engine child {engine_id} failed before "
@@ -119,13 +130,18 @@ class _ReadyReceiver:
 
 
 def spawn_process_engines(model_cfg: ModelConfig, cfg: ServingConfig, capacity: int = 1024,
-                          checkpoint_path: str | None = None):
-    """Create shm rings + N engine processes. Returns
+                          checkpoint_path: str | None = None,
+                          arena_slots: int = 256):
+    """Create shm rings + blob arena + N engine processes. Returns
     (request_q, response_q, ready_receiver, processes, cleanup_fn,
-    control_rings) — control_rings[i] is engine i's reload side channel
-    (feed it ``reload_fragments(path)``; the engine ACKs on the response
-    ring with batch_id = RELOAD_ACK_BATCH_ID). ``checkpoint_path``: each
-    child starts from these trained weights (loaded in-child)."""
+    control_rings, arena) — control_rings[i] is engine i's reload side
+    channel (feed it ``reload_fragments(path)``; the engine ACKs on the
+    response ring with batch_id = RELOAD_ACK_BATCH_ID). ``arena`` is the
+    parent-side BlobArena for real-inference payloads
+    (``ServiceRequest.payload_slot``); slots are sized for the largest
+    sub-request the config can produce. ``checkpoint_path``: each child
+    starts from these trained weights (loaded in-child)."""
+    from deeprecsys_tpu.runtime.blob_arena import BlobArena, slot_bytes_for
     from deeprecsys_tpu.runtime.shm_queue import ShmRingQueue
 
     tag = f"drs{time.time_ns() % 1_000_000_000}"
@@ -136,6 +152,12 @@ def spawn_process_engines(model_cfg: ModelConfig, cfg: ServingConfig, capacity: 
     ready = _ReadyReceiver(ready_ring)
     ctl_names = [f"{tag}_ctl{i}" for i in range(cfg.inference_engines)]
     control_rings = [ShmRingQueue(64, shm_name=n, create=True) for n in ctl_names]
+    slot_rows = max(1, min(cfg.sub_task_batch_size, cfg.max_mini_batch_size))
+    slot_b = slot_bytes_for(slot_rows, model_cfg.num_tables,
+                            model_cfg.num_indices_per_lookup,
+                            model_cfg.dense_dim, model_cfg.out_dim)
+    arena = BlobArena(f"{tag}_blob", arena_slots, slot_b, create=True)
+    arena_spec = (arena.name, arena.n_slots, arena.slot_bytes)
 
     ctx = mp.get_context("spawn")
     procs = []
@@ -143,7 +165,7 @@ def spawn_process_engines(model_cfg: ModelConfig, cfg: ServingConfig, capacity: 
         p = ctx.Process(
             target=_engine_child,
             args=(i, model_cfg, cfg, req_name, resp_name, ready_name,
-                  capacity, ctl_names[i], checkpoint_path),
+                  capacity, ctl_names[i], checkpoint_path, arena_spec),
             daemon=True,
         )
         p.start()
@@ -157,5 +179,7 @@ def spawn_process_engines(model_cfg: ModelConfig, cfg: ServingConfig, capacity: 
         for q in (request_q, response_q, ready_ring, *control_rings):
             q.close()
             q.unlink()
+        arena.close()
+        arena.unlink()
 
-    return request_q, response_q, ready, procs, cleanup, control_rings
+    return request_q, response_q, ready, procs, cleanup, control_rings, arena

@@ -71,7 +71,9 @@ def test_plots_render(tmp_path):
 
 def test_skew_bench_auto_matches_engine_rule():
     """experiments/skew_bench replays the serving engines' auto decision:
-    full coverage -> hotcold; guard-excluded config -> xla, unsampled."""
+    coverage >= hotcold_min_hit -> hotcold (including din-class PACKED
+    configs — the round 2-3 guard fell with the layout mechanism, see
+    config.hotcold_auto_excluded), below threshold -> xla."""
     import jax
 
     from deeprecsys_tpu import zoo
@@ -86,11 +88,13 @@ def test_skew_bench_auto_matches_engine_rule():
     x = measure_skewed("rm1", cpu, impl="xla", batch=16,
                        table_scale=50000, iters=8)
     assert x["impl"] == "xla" and x["hot_coverage"] is None
-    # din-class guard: auto resolves to xla WITHOUT sampling a hot set.
+    # din-class PACKED config: auto now samples and composes hotcold
+    # with the packed tables (the retired guard used to force xla here).
     cfg = zoo.get_config("din", table_scale=50000,
                          param_dtype="bfloat16", table_pack=0)
     impl, hot, cov = resolve_auto_impl(cfg, zipf_stream(cfg, 8))
-    assert impl == "xla" and hot is None and cov is None
+    assert impl == "hotcold" and hot is not None
+    assert cov is not None and cov >= cfg.hotcold_min_hit
 
 
 def test_drifted_stream_moves_the_head():

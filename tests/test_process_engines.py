@@ -49,7 +49,7 @@ def test_one_engine_crash_completes_degraded(monkeypatch):
     def spawn_and_kill_one(model_cfg, cfg, capacity=1024,
                            checkpoint_path=None):
         (request_q, response_q, ready, procs, cleanup,
-         controls) = real_spawn(model_cfg, cfg, capacity)
+         controls, arena) = real_spawn(model_cfg, cfg, capacity)
 
         def killer():
             # Kill only after BOTH engines finished warm-up (a kill before
@@ -61,7 +61,7 @@ def test_one_engine_crash_completes_degraded(monkeypatch):
             procs[0].terminate()
 
         threading.Thread(target=killer, daemon=True).start()
-        return request_q, response_q, ready, procs, cleanup, controls
+        return request_q, response_q, ready, procs, cleanup, controls, arena
 
     monkeypatch.setattr(
         "deeprecsys_tpu.serving.process_engine.spawn_process_engines",

@@ -256,3 +256,54 @@ def test_packet_is_exactly_slot_sized():
     from deeprecsys_tpu.runtime.shm_queue import pack_packet
 
     assert len(pack_packet(None)) == 64
+
+
+def test_blob_arena_roundtrip_and_exhaustion():
+    """runtime/blob_arena.py: payload batch in, scores out of the same
+    slot, self-describing headers, allocator exhaustion is a loud error,
+    and freed slots recycle."""
+    import numpy as np
+
+    from deeprecsys_tpu.runtime.blob_arena import BlobArena, slot_bytes_for
+
+    n_rows, T, L, dd, od = 8, 4, 3, 5, 2
+    sb = slot_bytes_for(n_rows, T, L, dd, od)
+    assert sb % 64 == 0
+    parent = BlobArena("drs_test_arena", n_slots=2, slot_bytes=sb, create=True)
+    child = BlobArena("drs_test_arena", n_slots=2, slot_bytes=sb, create=False)
+    try:
+        rng = np.random.default_rng(0)
+        idx = rng.integers(0, 100, size=(n_rows, T, L)).astype(np.int32)
+        dense = rng.normal(size=(n_rows, dd)).astype(np.float32)
+        s1 = parent.alloc()
+        s2 = parent.alloc()
+        assert parent.in_flight() == 2
+        with pytest.raises(RuntimeError, match="exhausted"):
+            parent.alloc()
+        parent.write_batch(s1, idx, dense)
+        got_idx, got_dense = child.read_batch(s1)
+        np.testing.assert_array_equal(got_idx, idx)
+        np.testing.assert_array_equal(got_dense, dense)
+        # Reading a batch slot as scores is a loud protocol error.
+        with pytest.raises(ValueError, match="does not hold scores"):
+            parent.read_scores(s1)
+        scores = rng.normal(size=(n_rows, od)).astype(np.float32)
+        child.write_scores(s1, scores)
+        np.testing.assert_array_equal(parent.read_scores(s1), scores)
+        # Dense-less payload round-trips too (ncf-class models).
+        parent.write_batch(s2, idx, None)
+        got_idx2, got_dense2 = child.read_batch(s2)
+        np.testing.assert_array_equal(got_idx2, idx)
+        assert got_dense2 is None
+        # An over-size payload is rejected before corrupting neighbors.
+        big = rng.integers(0, 9, size=(n_rows * 3, T, L)).astype(np.int32)
+        with pytest.raises(ValueError, match="exceeds"):
+            parent.write_batch(s2, big, None)
+        parent.free(s1)
+        parent.free(s2)
+        assert parent.in_flight() == 0
+        assert parent.alloc() in (s1, s2)  # recycled
+    finally:
+        child.close()
+        parent.close()
+        parent.unlink()

@@ -740,7 +740,12 @@ def test_hotcold_adaptive_refresh_recovers_from_drift():
                         sub_task_batch_size=8,
                         hotcold_refresh_interval=4,
                         hotcold_refresh_window=8,
-                        hotcold_refresh_margin=0.05)
+                        hotcold_refresh_margin=0.05,
+                        # Tiny scan budget: forces the row-stride subsample
+                        # (ncf per-row lookups = 4, so 64 buffered rows
+                        # exceed 200/4) — the drift recovery must survive
+                        # the capped scan (benchmarks/refresh_scan_cost).
+                        hotcold_scan_budget=200)
     server = ServingServer(model_cfg, cfg)
     server.start()
     try:
@@ -1516,38 +1521,34 @@ def test_idle_engine_applies_reload(tmp_path):
     assert h2.event.wait(timeout=5) is True or h2.error is not None
 
 
-def test_hotcold_auto_excluded_config_rule():
-    """The measured din regression rule (VERDICT r2 #2): auto must not
-    compose hotcold with packed tables on many-table models."""
-    from deeprecsys_tpu.config import ModelConfig
-
-    many = ModelConfig(model_type="dlrm", embedding_rows=(8,) * 70,
-                       sparse_feature_size=32, mlp_bot=(4, 32),
-                       mlp_top=(8, 1), num_indices_per_lookup=2,
-                       param_dtype="bfloat16", compute_dtype="bfloat16",
-                       table_pack=0)
-    assert many.resolved_table_pack > 1
-    assert many.hotcold_auto_excluded
-    # Unpacked: the pair never forms, so no exclusion.
-    assert not many.replace(table_pack=1).hotcold_auto_excluded
-    # Few tables (rm1-class): packing composes POSITIVELY with hotcold.
-    few = many.replace(embedding_rows=(8,) * 8)
-    assert not few.hotcold_auto_excluded
-    # The real din config at auto pack is the motivating case.
+def test_hotcold_auto_excluded_retired():
+    """The round 2-3 packed x hotcold guard is RETIRED (round 4): the
+    din regression it encoded was a measurement-layout artifact (a
+    2.95 GB relayout copy that the engines' negotiated layouts remove —
+    packed hotcold measured 3.34 ms vs 5.54 packed direct,
+    model_hotcold_negpack:din). The property stays one release as an
+    API courtesy and must never exclude anything."""
     din = zoo.get_config("din", table_pack=0, param_dtype="bfloat16")
-    assert din.hotcold_auto_excluded
-    assert not zoo.get_config("din", table_pack=1).hotcold_auto_excluded
+    assert din.resolved_table_pack > 1
+    assert not din.hotcold_auto_excluded
 
 
-def test_engine_auto_never_picks_measured_negative_pair():
-    """embedding_impl='auto' on a din-class (many-table, packed) config
-    must serve the direct gather even when the sampled coverage is 1.0 —
-    and the identical config with table_pack=1 must pick hotcold,
-    proving the guard (not low coverage) made the call."""
+def test_engine_auto_composes_hotcold_with_packed_tables():
+    """embedding_impl='auto' on a din-class (many-table, PACKED) config
+    now picks hotcold when coverage clears the threshold — the round-3
+    guard that forced these to the direct gather fell with the layout
+    mechanism (see test_hotcold_auto_excluded_retired). Scores through
+    the packed hotcold engine must match the plain packed forward."""
+    import time
+
     import jax
+    import numpy as np
 
     from deeprecsys_tpu.config import ModelConfig
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
     from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
 
     base = ModelConfig(model_type="dlrm", embedding_rows=(6,) * 70,
                        sparse_feature_size=32, mlp_bot=(4, 32),
@@ -1564,17 +1565,29 @@ def test_engine_auto_never_picks_measured_negative_pair():
         eng.start()
         got = ready_q.get(timeout=300)
         assert not isinstance(got, Exception), got
+        return eng, req_q, resp_q
+
+    for pack in (0, 1):
+        eng, req_q, resp_q = start(base.replace(table_pack=pack))
+        assert eng._hotcold is not None, f"pack={pack}: auto must pick hotcold"
+        assert eng.hot_coverage == 1.0   # 420-row table: full coverage
+        rng = np.random.default_rng(7)
+        idx = rng.integers(0, 6, size=(4, 70, 2)).astype(np.int32)
+        dense = rng.standard_normal((4, 4)).astype(np.float32)
+        req_q.put(ServiceRequest(batch_id=0, arrival_time=time.time(),
+                                 batch_size=4,
+                                 payload=Batch(dense=dense, indices=idx)))
+        r = resp_q.get(timeout=120)
+        assert r.error_code == 0 and r.scores is not None
+        direct = get_model(base.replace(table_pack=pack,
+                                        embedding_impl="xla"))
+        want = np.asarray(direct.apply(
+            direct.init(jax.random.PRNGKey(0)),  # engine default seed
+            Batch(dense=jax.numpy.asarray(dense),
+                  indices=jax.numpy.asarray(idx))), np.float32)
+        np.testing.assert_allclose(r.scores, want, rtol=2e-4, atol=1e-5)
         req_q.put(None)
         eng.join(timeout=60)
-        return eng
-
-    packed = start(base.replace(table_pack=0))
-    assert packed._hotcold is None          # guard forced direct
-    assert packed.hot_coverage is None      # never even sampled
-
-    unpacked = start(base.replace(table_pack=1))
-    assert unpacked._hotcold is not None    # 420-row table: full coverage
-    assert unpacked.hot_coverage == 1.0
 
 
 def test_engine_negotiates_param_layouts():
@@ -1656,6 +1669,89 @@ def test_payload_request_coalesced_with_synthetic_traffic():
         eng.params, Batch(dense=None, indices=jax.numpy.asarray(idx))),
         dtype=np.float32)
     np.testing.assert_allclose(got[1].scores, want, rtol=1e-5, atol=1e-6)
+    req_q.put(None)
+    eng.join(timeout=30)
+
+
+def test_bad_arena_slot_answered_and_engine_still_shuts_down():
+    """A request whose BlobArena slot is unreadable is answered with
+    ERR_READBACK and — the regression — the shutdown sentinel (None) must
+    still terminate the serve loop afterwards: _hydrate's skip marker
+    once collided with the sentinel, making every orchestrated run hang
+    at shutdown (engine spinning in _next_request forever)."""
+    import time
+
+    import jax
+
+    from deeprecsys_tpu.runtime.blob_arena import BlobArena, slot_bytes_for
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ERR_READBACK, ServiceRequest
+
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8)
+    sb = slot_bytes_for(8, model_cfg.num_tables,
+                        model_cfg.num_indices_per_lookup,
+                        model_cfg.dense_dim, model_cfg.out_dim)
+    arena = BlobArena("drs_test_badslot", n_slots=2, slot_bytes=sb,
+                      create=True)
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q,
+                        device=jax.devices("cpu")[0], arena=arena)
+    eng.start()
+    try:
+        assert not isinstance(ready_q.get(timeout=300), Exception)
+        # Slot 0 was never written: read_batch raises (kind-0 header).
+        req_q.put(ServiceRequest(batch_id=0, arrival_time=time.time(),
+                                 batch_size=8, payload_slot=0))
+        r = resp_q.get(timeout=60)
+        assert r.error_code == ERR_READBACK and r.scores is None
+        req_q.put(None)
+        eng.join(timeout=60)
+        assert not eng.is_alive(), "sentinel swallowed after a dropped slot"
+    finally:
+        arena.close()
+        arena.unlink()
+
+
+def test_malformed_payload_gets_typed_error():
+    """A shape-mismatched payload (wrong (T, L), or dense missing when the
+    model takes dense features) is answered with ERR_PAYLOAD instead of
+    crashing the engine; the engine keeps serving afterwards. Ingress
+    validates too — this covers direct queue producers."""
+    import time
+
+    import jax
+
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ERR_OK, ERR_PAYLOAD, ServiceRequest
+
+    model_cfg = zoo.get_config("ncf", table_scale=SCALE)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8)
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q,
+                        device=jax.devices("cpu")[0])
+    eng.start()
+    assert not isinstance(ready_q.get(timeout=300), Exception)
+
+    T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+    rng = np.random.default_rng(3)
+    bad = rng.integers(0, 4, size=(8, T + 1, L)).astype(np.int32)  # wrong T
+    req_q.put(ServiceRequest(batch_id=0, arrival_time=time.time(),
+                             batch_size=8,
+                             payload=Batch(dense=None, indices=bad)))
+    r = resp_q.get(timeout=60)
+    assert r.error_code == ERR_PAYLOAD and r.scores is None
+    assert eng.rejected_requests == 1
+
+    good = rng.integers(0, 4, size=(8, T, L)).astype(np.int32)
+    req_q.put(ServiceRequest(batch_id=1, arrival_time=time.time(),
+                             batch_size=8,
+                             payload=Batch(dense=None, indices=good)))
+    r = resp_q.get(timeout=60)
+    assert r.error_code == ERR_OK and r.scores is not None  # still serving
     req_q.put(None)
     eng.join(timeout=30)
 
