@@ -1,0 +1,68 @@
+"""Training-to-quality lifecycle, asserted (VERDICT r3 #1).
+
+The production-scale evidence lives in benchmarks/train_quality.json
+(train_quality:rm1 on the chip: 32M-row tables, AUC 0.878 of a 0.938
+Bayes ceiling, served int8 AUC delta 0.0000). This test pins the SAME
+claim at CPU scale so it can never silently regress: the sparse
+touched-rows trainer learns a planted table-only signal, and the
+trained quality survives checkpoint -> int8_rowwise export -> the real
+serving fabric (partition -> coalesce -> bucket-pad -> rejoin).
+
+Reference contrast: inference-only with random weights
+(dlrm_s_caffe2.py:243-252, utils/utils.py:40) — no reference analog.
+"""
+
+import jax
+import numpy as np
+
+from deeprecsys_tpu import zoo
+from deeprecsys_tpu.config import ServingConfig
+from deeprecsys_tpu.experiments.train_quality import (
+    make_holdout,
+    planted_weights,
+    train_planted,
+)
+from deeprecsys_tpu.serving.ingress import ServingServer
+from deeprecsys_tpu.train import export_serving_params
+from deeprecsys_tpu.utils.checkpoint import save_params
+from deeprecsys_tpu.utils.metrics_ml import auc
+
+
+def test_training_to_quality_lifecycle(tmp_path):
+    cfg = zoo.get_config("rm1", table_scale=2000)  # 16k rows: CPU-sized
+
+    # 1. The sparse trainer LEARNS: the planted signal lives only in the
+    #    embedding rows (dense features are uninformative), so AUC above
+    #    0.5 is attributable to the touched-rows table updates.
+    #    Calibration: 300 steps reach 0.749 of a 0.885 Bayes ceiling.
+    tr, rep = train_planted(cfg, steps=300, batch=128, eval_every=300,
+                            holdout_batches=4, log=lambda *a: None)
+    assert rep["loss_last8"] < rep["loss_first8"] - 0.05, rep
+    assert rep["final_auc"] >= 0.70, rep
+    assert rep["final_auc"] >= 0.78 * rep["bayes_auc"], rep
+
+    # 2. Lifecycle: checkpoint the int8_rowwise export and serve it
+    #    through a REAL engine + the full query fabric; the served AUC
+    #    on the SAME holdout must match the trained AUC (quantization
+    #    error and the serving path both sit in between).
+    params = jax.tree_util.tree_map(np.asarray, tr.params)
+    sp, qcfg = export_serving_params(params, tr.cfg)
+    save_params(tmp_path / "ck", sp)
+    # make_holdout is seed-pure: regenerating with train_planted's args
+    # yields the exact evaluation set the trained AUC was computed on.
+    holdout = make_holdout(cfg, planted_weights(cfg), n_batches=4, batch=128)
+    scfg = ServingConfig(engine_backend="cpu", inference_engines=1,
+                         batch_buckets=(128,), max_mini_batch_size=128,
+                         sub_task_batch_size=128)
+    server = ServingServer(qcfg, scfg, checkpoint_path=str(tmp_path / "ck"))
+    server.start(timeout=600)
+    try:
+        ss, ys = [], []
+        for idx, dense, _logits, y in holdout:
+            out = server.predict(idx, dense=dense, timeout=120)
+            ss.append(np.asarray(out["scores"], np.float32)[:, 0])
+            ys.append(y)
+    finally:
+        server.stop()
+    served = auc(np.concatenate(ss), np.concatenate(ys).astype(int))
+    assert abs(served - rep["final_auc"]) <= 0.02, (served, rep["final_auc"])

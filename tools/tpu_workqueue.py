@@ -2260,6 +2260,13 @@ JOBS = [
     ("zipf_bench2:ncf", lambda: job_zipf_bench("ncf", iters=1024)),
     # #3a: round-stamped skew artifact (runs AFTER the zipf_bench jobs).
     ("zipf_r4:snapshot", lambda: job_zipf_snapshot(4)),
+    # Guard retirement follow-up: the first zipf_bench:din ran BEFORE
+    # hotcold_auto_excluded fell (auto resolved to xla, 1.002x) and the
+    # first snapshot baked that in. Re-measure din's auto decision with
+    # the pair composable (negotiated-layout packed hotcold, the 3.34 ms
+    # program model_hotcold_negpack:din already compiled), then re-stamp.
+    ("zipf_bench_r4g:din", lambda: job_zipf_bench("din")),
+    ("zipf_r4b:snapshot", lambda: job_zipf_snapshot(4)),
 ]
 
 
