@@ -422,8 +422,9 @@ class ServingConfig:
     # compile each), and /v1/predict takes "lengths" (+ optional flat
     # "values"). Off by default: all 8 shipped configs are fixed-length
     # (num_indices_per_lookup_fixed: true) and the masked twin would be
-    # dead compile weight. Thread engines (tpu/cpu) only; the hot/cold
-    # splitter and the cpu-mp payload arena carry no mask.
+    # dead compile weight. Compute backends (tpu/cpu/cpu-mp — the blob
+    # arena slots size up for the mask bytes); the hot/cold splitter
+    # carries no mask, so auto resolves to the direct gather.
     accept_ragged: bool = False
 
     seed: int = 123

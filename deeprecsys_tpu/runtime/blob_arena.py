@@ -35,16 +35,24 @@ import threading
 
 import numpy as np
 
-# Slot header: kind, n_rows, T, L, dense_dim, out_dim (int32 each).
+# Slot header: kind, n_rows, T, L, dense_dim, out_dim|has_mask (int32
+# each). The last word is out_dim for score slots and the ragged-mask
+# flag for batch slots (a batch never needs out_dim; scores never carry
+# a mask).
 _HDR_WORDS = 6
 _HDR_BYTES = _HDR_WORDS * 4
 _K_BATCH, _K_SCORES = 1, 2
 
 
 def slot_bytes_for(n_rows: int, num_tables: int, lookups: int,
-                   dense_dim: int, out_dim: int) -> int:
-    """Slot size holding either a payload batch or its scores, 64-aligned."""
+                   dense_dim: int, out_dim: int,
+                   with_mask: bool = False) -> int:
+    """Slot size holding either a payload batch or its scores, 64-aligned.
+    ``with_mask``: reserve room for the ragged slot mask (1 byte per
+    lookup slot — only when the serving config accepts ragged input)."""
     payload = n_rows * (num_tables * lookups * 4 + dense_dim * 4)
+    if with_mask:
+        payload += n_rows * num_tables * lookups
     scores = n_rows * out_dim * 4
     n = _HDR_BYTES + max(payload, scores)
     return -(-n // 64) * 64
@@ -102,38 +110,53 @@ class BlobArena:
         return self._shm.buf[off: off + self.slot_bytes]
 
     def write_batch(self, slot: int, indices: np.ndarray,
-                    dense: "np.ndarray | None"):
-        """Parent: stage one sub-request's features into ``slot``."""
+                    dense: "np.ndarray | None",
+                    mask: "np.ndarray | None" = None):
+        """Parent: stage one sub-request's features into ``slot``.
+        ``mask``: optional (n, T, L) bool ragged slot mask (1 byte each,
+        after dense — needs a ``with_mask``-sized arena)."""
         n, T, L = indices.shape
         dd = 0 if dense is None else int(dense.shape[1])
         body = indices.astype(np.int32, copy=False).tobytes()
         if dense is not None:
             body += dense.astype(np.float32, copy=False).tobytes()
+        if mask is not None:
+            body += mask.astype(np.bool_, copy=False).tobytes()
         if _HDR_BYTES + len(body) > self.slot_bytes:
             raise ValueError(
                 f"payload ({_HDR_BYTES + len(body)} B) exceeds the arena "
                 f"slot size ({self.slot_bytes} B)")
         view = self._view(slot)
         view[:_HDR_BYTES] = np.asarray(
-            [_K_BATCH, n, T, L, dd, 0], dtype=np.int32).tobytes()
+            [_K_BATCH, n, T, L, dd, 0 if mask is None else 1],
+            dtype=np.int32).tobytes()
         view[_HDR_BYTES:_HDR_BYTES + len(body)] = body
 
     def read_batch(self, slot: int):
-        """Child: (indices (n,T,L) i32, dense (n,dd) f32 | None) — COPIES,
-        because the child will overwrite the slot with scores."""
+        """Child: (indices (n,T,L) i32, dense (n,dd) f32 | None,
+        mask (n,T,L) bool | None) — COPIES, because the child will
+        overwrite the slot with scores."""
         view = self._view(slot)
-        kind, n, T, L, dd, _ = np.frombuffer(view[:_HDR_BYTES], np.int32)
+        kind, n, T, L, dd, has_mask = np.frombuffer(view[:_HDR_BYTES],
+                                                    np.int32)
         if kind != _K_BATCH:
             raise ValueError(f"slot {slot} does not hold a batch (kind {kind})")
         ib = int(n) * int(T) * int(L) * 4
         idx = np.frombuffer(view[_HDR_BYTES:_HDR_BYTES + ib],
                             np.int32).reshape(n, T, L).copy()
+        off = _HDR_BYTES + ib
         dense = None
         if dd:
             db = int(n) * int(dd) * 4
-            dense = np.frombuffer(view[_HDR_BYTES + ib:_HDR_BYTES + ib + db],
+            dense = np.frombuffer(view[off:off + db],
                                   np.float32).reshape(n, dd).copy()
-        return idx, dense
+            off += db
+        mask = None
+        if has_mask:
+            mb = int(n) * int(T) * int(L)
+            mask = np.frombuffer(view[off:off + mb],
+                                 np.bool_).reshape(n, T, L).copy()
+        return idx, dense, mask
 
     def write_scores(self, slot: int, scores: np.ndarray):
         """Child: overwrite the slot with this request's (n, out_dim) f32

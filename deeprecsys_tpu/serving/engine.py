@@ -1084,14 +1084,14 @@ class ComputeEngine(threading.Thread):
         from deeprecsys_tpu.models.base import Batch
 
         try:
-            idx, dense = self.arena.read_batch(request.payload_slot)
+            idx, dense, mask = self.arena.read_batch(request.payload_slot)
         except Exception as e:
             print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id} "
                   f"failed to read payload slot {request.payload_slot} "
                   f"({e!r}); answering ERR_READBACK", flush=True)
             self._emit_error(request, ERR_READBACK, time.time())
             return _DROPPED
-        request.payload = Batch(dense=dense, indices=idx)
+        request.payload = Batch(dense=dense, indices=idx, mask=mask)
         return request
 
     def _serve_loop(self):

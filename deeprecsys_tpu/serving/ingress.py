@@ -239,11 +239,6 @@ class ServingServer:
                     "ragged requests need accept_ragged=True on the "
                     "serving config (engines then pre-warm the masked "
                     "programs)")
-            if self.cfg.engine_backend == "cpu-mp":
-                raise NotImplementedError(
-                    "ragged requests are not supported on the cpu-mp "
-                    "backend (the payload arena carries no mask); use "
-                    "thread engines (tpu/cpu)")
             from deeprecsys_tpu.data.ragged import lengths_to_mask, pad_csr
 
             if values is not None:
@@ -365,7 +360,8 @@ class ServingServer:
                         with self._lock:
                             self._pending.pop(key, None)
                         raise
-                    self._arena.write_batch(slot, sub.indices, sub.dense)
+                    self._arena.write_batch(slot, sub.indices, sub.dense,
+                                            mask=sub.mask)
                     with self._lock:
                         self._slot_owners[(0, batch_id, sub_id)] = slot
                 else:

@@ -155,7 +155,8 @@ def spawn_process_engines(model_cfg: ModelConfig, cfg: ServingConfig, capacity: 
     slot_rows = max(1, min(cfg.sub_task_batch_size, cfg.max_mini_batch_size))
     slot_b = slot_bytes_for(slot_rows, model_cfg.num_tables,
                             model_cfg.num_indices_per_lookup,
-                            model_cfg.dense_dim, model_cfg.out_dim)
+                            model_cfg.dense_dim, model_cfg.out_dim,
+                            with_mask=cfg.accept_ragged)
     arena = BlobArena(f"{tag}_blob", arena_slots, slot_b, create=True)
     arena_spec = (arena.name, arena.n_slots, arena.slot_bytes)
 

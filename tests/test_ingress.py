@@ -206,6 +206,62 @@ def test_predict_over_process_engines():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_predict_ragged_over_process_engines():
+    """Ragged (lengths+values CSR) real inference on the cpu-mp backend:
+    the blob arena carries the slot mask alongside indices/dense (1 byte
+    per lookup slot, sized in at arena creation when accept_ragged), so
+    the process topology serves variable-length requests too. Scores
+    must equal the direct masked forward at the child engine's seed."""
+    import jax
+    import numpy as np
+
+    pytest.importorskip("deeprecsys_tpu.runtime.shm_queue")
+    from deeprecsys_tpu.runtime.native import native_available
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+
+    from deeprecsys_tpu.data.ragged import pad_csr
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+
+    model_cfg = zoo.get_config("rm1", table_scale=50_000)
+    T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+    rows = np.asarray(model_cfg.scaled_rows, dtype=np.int64)
+    cfg = ServingConfig(engine_backend="cpu-mp", inference_engines=1,
+                        sub_task_batch_size=4, max_mini_batch_size=8,
+                        batch_buckets=(4, 8), accept_ragged=True)
+    server = ServingServer(model_cfg, cfg)
+    server.start(timeout=300)
+    ing = HttpIngress(server)
+    ing.start()
+    base = "http://%s:%s" % ing.address
+    rng = np.random.default_rng(9)
+    B = 6  # two sub-requests: mask slicing across arena slots
+    lengths = rng.integers(0, L + 1, size=(B, T))
+    values = np.concatenate(
+        [rng.integers(0, rows[t], size=int(lengths[b, t]))
+         for b in range(B) for t in range(T)]).astype(np.int64)
+    dense = rng.random((B, model_cfg.dense_dim)).astype(np.float32)
+    try:
+        status, out = _post(f"{base}/v1/predict", {
+            "lengths": lengths.tolist(), "values": values.tolist(),
+            "dense": dense.tolist()})
+        assert status == 200 and out["sub_batches"] == 2
+        got = np.asarray(out["scores"], np.float32)
+        assert server._arena.in_flight() == 0, "leaked arena slots"
+        idx, mask = pad_csr(lengths, values, L)
+        model = get_model(model_cfg)
+        want = np.asarray(model.apply(
+            model.init(jax.random.PRNGKey(cfg.seed)),  # child seed 123+0
+            Batch(dense=jax.numpy.asarray(dense),
+                  indices=jax.numpy.asarray(idx.astype(np.int32)),
+                  mask=jax.numpy.asarray(mask))), np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    finally:
+        ing.stop()
+
+
 def test_multi_model_registry():
     """Two model families behind one ingress; per-model routing + listing."""
     servers = {}

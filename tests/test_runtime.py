@@ -281,9 +281,26 @@ def test_blob_arena_roundtrip_and_exhaustion():
         with pytest.raises(RuntimeError, match="exhausted"):
             parent.alloc()
         parent.write_batch(s1, idx, dense)
-        got_idx, got_dense = child.read_batch(s1)
+        got_idx, got_dense, got_mask = child.read_batch(s1)
         np.testing.assert_array_equal(got_idx, idx)
         np.testing.assert_array_equal(got_dense, dense)
+        assert got_mask is None
+        # Ragged: the mask rides after dense (needs a with_mask-sized
+        # arena; this slot fits because n_rows is small vs the 64-align).
+        m_sb = slot_bytes_for(n_rows, T, L, dd, od, with_mask=True)
+        assert m_sb >= sb
+        marena = BlobArena("drs_test_arena_m", n_slots=1, slot_bytes=m_sb,
+                           create=True)
+        try:
+            mask = rng.random((n_rows, T, L)) < 0.5
+            marena.write_batch(0, idx, dense, mask=mask)
+            mi, mdn, mm = marena.read_batch(0)
+            np.testing.assert_array_equal(mi, idx)
+            np.testing.assert_array_equal(mdn, dense)
+            np.testing.assert_array_equal(mm, mask)
+        finally:
+            marena.close()
+            marena.unlink()
         # Reading a batch slot as scores is a loud protocol error.
         with pytest.raises(ValueError, match="does not hold scores"):
             parent.read_scores(s1)
@@ -292,9 +309,9 @@ def test_blob_arena_roundtrip_and_exhaustion():
         np.testing.assert_array_equal(parent.read_scores(s1), scores)
         # Dense-less payload round-trips too (ncf-class models).
         parent.write_batch(s2, idx, None)
-        got_idx2, got_dense2 = child.read_batch(s2)
+        got_idx2, got_dense2, got_mask2 = child.read_batch(s2)
         np.testing.assert_array_equal(got_idx2, idx)
-        assert got_dense2 is None
+        assert got_dense2 is None and got_mask2 is None
         # An over-size payload is rejected before corrupting neighbors.
         big = rng.integers(0, 9, size=(n_rows * 3, T, L)).astype(np.int32)
         with pytest.raises(ValueError, match="exceeds"):
