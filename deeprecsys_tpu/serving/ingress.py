@@ -644,6 +644,14 @@ def _health(server: ServingServer) -> dict:
     rejected = sum(getattr(e, "rejected_requests", 0) for e in server.engines)
     if rejected:
         out["rejected_requests"] = rejected  # strict over-ladder rejections
+    arena = getattr(server, "_arena", None)
+    if arena is not None:
+        # cpu-mp payload transport health: slots currently staged for
+        # in-flight /v1/predict sub-requests. A value stuck at n_slots
+        # means exhaustion (clients see 500s); one that creeps without
+        # traffic means leaked slots (an engine died mid-payload).
+        out["payload_slots_in_flight"] = arena.in_flight()
+        out["payload_slots_total"] = arena.n_slots
     # Which lookup implementation each compute engine actually chose
     # (embedding_impl="auto" decides per engine from its sampled stream) —
     # an operator diagnosing latency needs to see the decision, not just
@@ -752,6 +760,14 @@ def _prometheus(registry: dict[str, ServingServer]) -> str:
     if bucket_samples:
         metric("drs_bucket_executions_total", "counter",
                "device executions per compiled batch bucket", bucket_samples)
+    arena_samples = [({"model": n}, h["payload_slots_in_flight"])
+                     for n, (h, _) in per_model.items()
+                     if "payload_slots_in_flight" in h]
+    if arena_samples:
+        metric("drs_payload_slots_in_flight", "gauge",
+               "cpu-mp blob-arena slots staged for in-flight predict "
+               "sub-requests (stuck at total = exhaustion; creeping "
+               "without traffic = leak)", arena_samples)
     return "\n".join(lines) + "\n"
 
 

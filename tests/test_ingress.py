@@ -194,6 +194,12 @@ def test_predict_over_process_engines():
                     np.asarray(out2["scores"], np.float32), scores,
                     rtol=1e-6, atol=1e-7)
                 assert server._arena.in_flight() == 0
+                # Arena health is an operator surface (exhaustion/leak
+                # detection), not just an internal counter.
+                status, h = _get(f"{base}/v1/healthz")
+                assert status == 200
+                assert h["payload_slots_in_flight"] == 0
+                assert h["payload_slots_total"] == server._arena.n_slots
             return scores
         finally:
             ing.stop()
