@@ -165,11 +165,18 @@ class ShmRingQueue:
 
     # -- queue.Queue subset -------------------------------------------
 
+    def _live_mem(self):
+        # close() nulls _mem; the native side would dereference NULL and
+        # SEGFAULT the process — raise the queue-like Python error instead.
+        if self._mem is None:
+            raise ValueError("ring is closed")
+        return self._mem
+
     def put(self, obj, timeout: float | None = None):
         data = pack_packet(obj)
         deadline = None if timeout is None else time.monotonic() + timeout
         while True:
-            if self._lib.drs_ring_push(self._mem, data) == 0:
+            if self._lib.drs_ring_push(self._live_mem(), data) == 0:
                 return
             if deadline is not None and time.monotonic() > deadline:
                 raise TimeoutError("ring full")
@@ -178,19 +185,19 @@ class ShmRingQueue:
     def get(self, timeout: float | None = None):
         out = ctypes.create_string_buffer(64)
         t_ns = -1 if timeout is None else int(timeout * 1e9)
-        rc = self._lib.drs_ring_pop_wait(self._mem, out, t_ns)
+        rc = self._lib.drs_ring_pop_wait(self._live_mem(), out, t_ns)
         if rc != 0:
             raise Empty()
         return unpack_packet(out.raw)
 
     def get_nowait(self):
         out = ctypes.create_string_buffer(64)
-        if self._lib.drs_ring_pop(self._mem, out) != 0:
+        if self._lib.drs_ring_pop(self._live_mem(), out) != 0:
             raise Empty()
         return unpack_packet(out.raw)
 
     def qsize(self) -> int:
-        return int(self._lib.drs_ring_approx_size(self._mem))
+        return int(self._lib.drs_ring_approx_size(self._live_mem()))
 
     def close(self):
         if self._shm is not None:

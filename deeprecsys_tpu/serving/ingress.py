@@ -167,6 +167,14 @@ class ServingServer:
         self._t_start = time.time()
 
     def stop(self):
+        # Idempotent: HttpIngress.stop() stops its registry's servers, and
+        # callers commonly stop their server again right after — on the
+        # cpu-mp backend a second stop would push the shutdown sentinel
+        # into an already-unmapped native shm ring (a segfault, not an
+        # exception; found by tools/cpu_mp_soak.py's shutdown).
+        if getattr(self, "_stopped", False):
+            return
+        self._stopped = True
         for e in self.engines:
             q = self.accel_request_q if getattr(e, "request_q", None) is self.accel_request_q \
                 else self.request_q
@@ -360,8 +368,17 @@ class ServingServer:
                         with self._lock:
                             self._pending.pop(key, None)
                         raise
-                    self._arena.write_batch(slot, sub.indices, sub.dense,
-                                            mask=sub.mask)
+                    try:
+                        self._arena.write_batch(slot, sub.indices, sub.dense,
+                                                mask=sub.mask)
+                    except Exception:
+                        # Staging failed (e.g. a payload outgrowing the
+                        # slot): return the slot — an unfreed slot here
+                        # leaks capacity for the server's lifetime.
+                        self._arena.free(slot)
+                        with self._lock:
+                            self._pending.pop(key, None)
+                        raise
                     with self._lock:
                         self._slot_owners[(0, batch_id, sub_id)] = slot
                 else:

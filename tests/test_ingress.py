@@ -203,6 +203,11 @@ def test_predict_over_process_engines():
             return scores
         finally:
             ing.stop()
+            # Double stop must be a no-op: ing.stop() already stopped the
+            # server; a second stop on cpu-mp used to push the sentinel
+            # into the unmapped native ring — a SEGFAULT, not an error
+            # (found by tools/cpu_mp_soak.py's shutdown).
+            server.stop()
 
     want = serve_predict("cpu")
     got = serve_predict("cpu-mp")
@@ -397,7 +402,11 @@ def test_healthz_reports_embedding_impl_decision(tmp_path):
     # ~20% of a uniform stream -> auto must pick direct. (At small table
     # scales the whole table fits the budget and hotcold is correct —
     # the budget-scaled warm-up sample now resolves that case properly.)
-    model_cfg = zoo.get_config("ncf").replace(embedding_impl="auto")
+    # hotcold_min_table_mb=0: ncf's 21.5 MB table sits under the
+    # production size floor, which would decline before sampling — this
+    # test is about the COVERAGE-based decision being visible over HTTP.
+    model_cfg = zoo.get_config("ncf").replace(embedding_impl="auto",
+                                              hotcold_min_table_mb=0)
     cfg = ServingConfig(engine_backend="cpu", inference_engines=1,
                         batch_buckets=(8,), max_mini_batch_size=8)
     server = ServingServer(model_cfg, cfg)

@@ -250,6 +250,28 @@ def test_trace_short_call_mode_matches_long_stream():
             (name, got, ref)
 
 
+def test_closed_ring_raises_instead_of_segfaulting():
+    """put/get on a closed ShmRingQueue must raise ValueError — close()
+    nulls the mapped pointer and the native side would dereference NULL
+    (a SEGFAULT, found by tools/cpu_mp_soak.py's double server.stop())."""
+    from deeprecsys_tpu.runtime.native import native_available
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+    from deeprecsys_tpu.runtime.shm_queue import ShmRingQueue
+
+    q = ShmRingQueue(8, shm_name="drs_test_closed_ring", create=True)
+    q.put(None)
+    q.close()
+    with pytest.raises(ValueError, match="closed"):
+        q.put(None)
+    with pytest.raises(ValueError, match="closed"):
+        q.get_nowait()
+    with pytest.raises(ValueError, match="closed"):
+        q.qsize()
+    q.unlink()
+
+
 def test_packet_is_exactly_slot_sized():
     """The native ring memcpy's exactly 64 bytes per slot; a shorter bytes
     object would be over-read past its allocation (C++ drs_ring_push)."""

@@ -1,0 +1,150 @@
+"""cpu-mp payload soak: sustained /v1/predict traffic over the blob arena.
+
+The short socket tests prove correctness; this proves the transport
+under PRODUCTION-shaped load: OS-process engines, fixed + ragged client
+payloads crossing the shared-memory arena for `--minutes`, sampling
+every 30 s: completed queries, tails, parent RSS, and — the soak's
+point — the arena's in-flight slot count, which must return to zero
+whenever traffic pauses (a creep = leaked slots; a plateau at the slot
+count = exhaustion; both now also visible on /v1/healthz). CPU-only by
+construction (first-line platform pin), so it can run beside TPU jobs.
+
+Usage: python tools/cpu_mp_soak.py [--minutes 30] [--rate 8]
+Writes benchmarks/cpu_mp_soak.json.
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # never touch the TPU relay
+
+import argparse
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def rss_mb():
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * 4096 / 1e6
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=30.0)
+    ap.add_argument("--rate", type=float, default=8.0, help="per-client QPS")
+    ap.add_argument("--model", default="ncf")
+    args = ap.parse_args()
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.serving.ingress import HttpIngress, ServingServer
+
+    model_cfg = zoo.get_config(args.model, table_scale=2000)
+    cfg = ServingConfig(engine_backend="cpu-mp", inference_engines=2,
+                        batch_buckets=(8, 16), max_mini_batch_size=16,
+                        sub_task_batch_size=8, accept_ragged=True)
+    server = ServingServer(model_cfg, cfg)
+    server.start(timeout=600)
+    ing = HttpIngress(server)
+    ing.start()
+    base = "http://%s:%s" % ing.address
+    rows = np.asarray(model_cfg.scaled_rows, dtype=np.int64)
+    T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+    stop = threading.Event()
+    errors, ok = [], [0]
+
+    def client(seed):
+        import urllib.request
+
+        rng = np.random.default_rng(seed)
+        while not stop.is_set():
+            b = int(rng.integers(1, 13))
+            idx = rng.integers(0, rows[None, :, None],
+                               size=(b, T, L)).astype(np.int32)
+            payload = {"indices": idx.tolist()}
+            if rng.random() < 0.3:  # ~30% ragged traffic over the arena
+                payload["lengths"] = rng.integers(
+                    0, L + 1, size=(b, T)).tolist()
+            try:
+                req = urllib.request.Request(
+                    base + "/v1/predict",
+                    data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"})
+                out = json.loads(urllib.request.urlopen(
+                    req, timeout=120).read())
+                assert len(out["scores"]) == b
+                ok[0] += 1
+            except Exception as e:
+                errors.append(repr(e))
+                if len(errors) > 50:
+                    return
+            stop.wait(rng.exponential(1.0 / args.rate))
+
+    threads = [threading.Thread(target=client, daemon=True, args=(s,))
+               for s in range(3)]
+    for t in threads:
+        t.start()
+    samples = []
+    t0 = time.time()
+    t_end = t0 + args.minutes * 60
+    try:
+        while time.time() < t_end:
+            time.sleep(30)
+            import urllib.request
+
+            st = json.loads(urllib.request.urlopen(
+                base + "/v1/stats", timeout=60).read())
+            h = json.loads(urllib.request.urlopen(
+                base + "/v1/healthz", timeout=60).read())
+            samples.append({
+                "t_s": round(time.time() - t0),
+                "predict_ok": ok[0],
+                "p50_ms": st.get("p50_ms"),
+                "p95_ms": st.get("p95_ms"),
+                "slots_in_flight": h.get("payload_slots_in_flight"),
+                "rss_mb": round(rss_mb(), 1)})
+            print(f"[cpu_mp_soak] {samples[-1]}", flush=True)
+            # Incremental artifact: a kill between samples still leaves
+            # the evidence on disk (status flips to "done" at the end).
+            out = Path(__file__).parent.parent / "benchmarks" / "cpu_mp_soak.json"
+            out.write_text(json.dumps({
+                "status": "running", "model": args.model,
+                "minutes": args.minutes, "predict_ok": ok[0],
+                "n_errors": len(errors), "samples": samples}, indent=2))
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+        # Quiesced: every staged slot must have come back.
+        leaked = server._arena.in_flight()
+        ing.stop()
+        server.stop()
+    rss = [s["rss_mb"] for s in samples] or [float(rss_mb())]
+    half = max(len(rss) // 2, 1)
+    rec = {
+        "status": "done", "model": args.model, "minutes": args.minutes,
+        "engines": cfg.inference_engines, "clients": len(threads),
+        "predict_ok": ok[0], "n_errors": len(errors),
+        "errors": errors[:10],
+        "slots_leaked_at_quiesce": leaked,
+        "max_slots_in_flight": max((s["slots_in_flight"] or 0)
+                                   for s in samples) if samples else 0,
+        "rss_first_half_mb": round(float(np.mean(rss[:half])), 1),
+        "rss_second_half_mb": round(float(np.mean(rss[half:])), 1),
+        "samples": samples,
+    }
+    out = Path(__file__).parent.parent / "benchmarks" / "cpu_mp_soak.json"
+    out.write_text(json.dumps(rec, indent=2))
+    print(f"[cpu_mp_soak] DONE: {ok[0]} predicts, {len(errors)} errors, "
+          f"{leaked} slots leaked, RSS {rec['rss_first_half_mb']} -> "
+          f"{rec['rss_second_half_mb']} MB -> {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
