@@ -89,6 +89,14 @@ class ModelConfig:
     # below ~75% the padded cold stream plus the hot pass cost more than
     # they save. 0.75 sits on the safe side of the measured crossover.
     hotcold_min_hit: float = 0.75
+    # Minimum FUSED-TABLE size (MB) for embedding_impl="auto" to consider
+    # the hot/cold split at all: the split pays when the cold gather is
+    # descriptor-wall-bound, which a small table never is. Measured
+    # (trace-based zipf, round 4): every >=1 GB model wins with hotcold
+    # (1.06-1.97x) while ncf's 21.5 MB table LOSES (0.86x — the splitter
+    # combine overhead exceeds the already-cheap direct gather).
+    # Explicit embedding_impl="hotcold" bypasses this floor.
+    hotcold_min_table_mb: float = 128.0
     # Embedding table quantization: "none" | "int8" (symmetric per-table
     # scale; 4x HBM capacity vs f32 — gather speed is row-rate-bound so
     # int8 costs nothing in latency) | "int8_rowwise" (per-ROW scale
@@ -146,6 +154,14 @@ class ModelConfig:
     @property
     def total_rows(self) -> int:
         return int(np.sum(self.scaled_rows))
+
+    @property
+    def fused_table_mb(self) -> float:
+        """Fused embedding-table size in MB at the serving layout (the
+        quantity the hotcold_min_table_mb auto floor compares against)."""
+        itemsize = (1 if self.table_quant in ("int8", "int8_rowwise")
+                    else 2 if self.param_dtype == "bfloat16" else 4)
+        return self.total_rows * self.sparse_feature_size * itemsize / 1e6
 
     @property
     def resolved_table_pack(self) -> int:

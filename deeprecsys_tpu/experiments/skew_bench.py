@@ -15,22 +15,33 @@ under two lookup implementations:
   sample the stream's hot coverage, and choose hotcold iff coverage >=
   cfg.hotcold_min_hit. Below threshold, auto == xla by design.
 
-Methodology note (round 4): the hotcold measurement feeds CONVERTED
-params as negotiated-layout ARGUMENTS — the serving engines' exact
-treatment (engine._commit_param_layouts). Rounds 2-3 built params
-in-program, which let the jitted producer pick a column-major packed
-table that the 128-byte-row gather rejects, baking a 2.95 GB relayout
-copy into din's packed-hotcold program (the artifact behind the retired
-config.hotcold_auto_excluded guard — see its docstring and
-benchmarks/profile_hlo/summary_hotcold_din_*). The direct (xla) branch
-stays in-program for comparability with the uniform judged bench; its
-single-program layouts are producer/consumer-consistent.
+Methodology (round 4, two revisions that both chased the same truth —
+what a SERVING ENGINE pays per request):
 
-Timing: utils/timing.py chained-readback discipline — param init inside
-ONE compiled program, runtime trip count, two-point slope. Streams and
-hot sets reproduce tools/tpu_workqueue.py's job_model_hotcold points
-(zipf 1.2, rng seed 2, batch 512) so existing recorded measurements
-cross-check new runs.
+1. Params are converted EAGERLY, negotiated into the layouts the
+   compiled apply prefers, and fed as ARGUMENTS — the engines' exact
+   treatment (engine._commit_param_layouts). Rounds 2-3 built params
+   in-program, which let the jitted producer pick a column-major packed
+   table that the 128-byte-row gather rejects, baking a 2.95 GB
+   relayout copy into din's packed-hotcold program (the artifact behind
+   the retired config.hotcold_auto_excluded guard;
+   benchmarks/profile_hlo/summary_hotcold_din_*).
+
+2. Timing is PER-CALL DEVICE TIME from profiler traces
+   (utils/profiling.py), not a chained fori_loop slope. The chain — the
+   wall-clock workaround for the relay's ~35 ms dispatch floor —
+   compiles a DIFFERENT program than the engines run, and its loop body
+   can de-optimize in either direction: rm1's arg-fed chain read
+   4.30 ms/iter where the engine's single call is 1.81 ms, din's
+   in-program packed chain read 6.78 where the single call is 3.23
+   (chain_hotcold_* vs hotcold_* traces). Where chain and single call
+   agree the trace estimator matches within ~3% (rm1 in-program 1.83 vs
+   1.81; din arg-fed 3.34 vs 3.23). ``method="chain"`` keeps the old
+   estimator for cross-validation.
+
+Streams and hot sets reproduce tools/tpu_workqueue.py's
+job_model_hotcold points (zipf 1.2, rng seed 2, batch 512) so recorded
+measurements cross-check new runs.
 """
 
 from __future__ import annotations
@@ -102,24 +113,37 @@ def resolve_auto_impl(cfg, idx: np.ndarray):
     """Replay the engine's embedding_impl="auto" decision on this stream.
 
     Returns (impl, hot_ids, coverage): impl is "hotcold" or "xla";
-    hot_ids/coverage are the sampled hot set and its stream coverage."""
+    hot_ids/coverage are the sampled hot set and its stream coverage
+    (None/None when the size floor declined without sampling — the
+    engine does the same)."""
+    if cfg.fused_table_mb < cfg.hotcold_min_table_mb:
+        # Size floor (config.hotcold_min_table_mb): small tables' direct
+        # gathers are never descriptor-bound; the split measured 0.86x on
+        # ncf's 21.5 MB table (trace-based zipf, round 4).
+        return "xla", None, None
     hot_ids, coverage = _hot_set(cfg, idx)
     if coverage < cfg.hotcold_min_hit:
         return "xla", hot_ids, coverage
     return "hotcold", hot_ids, coverage
 
 
+
 def measure_skewed(model_name: str, device, impl: str = "auto",
                    batch: int = 512, table_scale: int = 1,
                    alpha: float = 1.2, iters: int = 32,
-                   trials: int = 2, stream: np.ndarray | None = None,
-                   hot_ids_override: np.ndarray | None = None) -> dict:
-    """One self-contained chained measurement of the full model forward on
-    the zipf stream. ``impl``: "xla" | "hotcold" | "auto" (engine rule).
+                   trials: int = 2, stream: "np.ndarray | None" = None,
+                   hot_ids_override: "np.ndarray | None" = None,
+                   method: str = "trace",
+                   cfg_overrides: "dict | None" = None) -> dict:
+    """One self-contained measurement of the full model forward on the
+    zipf stream. ``impl``: "xla" | "hotcold" | "auto" (engine rule).
     ``stream`` substitutes the measured id stream (drift experiments);
     ``hot_ids_override`` forces a SPECIFIC hot set with impl="hotcold" —
     e.g. a STALE set selected on a different stream, the decayed state
-    adaptive refresh recovers from."""
+    adaptive refresh recovers from. ``method``: "trace" (default — the
+    engines' single-call device time, see the module docstring) or
+    "chain" (the round-3 fori_loop two-point slope, kept for
+    cross-validation)."""
     import time as _time
 
     import jax
@@ -131,15 +155,26 @@ def measure_skewed(model_name: str, device, impl: str = "auto",
     from deeprecsys_tpu.models import get_model
     from deeprecsys_tpu.models.base import Batch
     from deeprecsys_tpu.utils.devices import jit_pinned
+    from deeprecsys_tpu.utils.layouts import (
+        negotiated_param_formats,
+        shape_tree,
+    )
     from deeprecsys_tpu.utils.timing import two_point_slope_ms
 
     cfg = zoo.get_config(model_name, table_scale=table_scale,
                          param_dtype="bfloat16", compute_dtype="bfloat16",
-                         table_pack=0)
+                         table_pack=0, **(cfg_overrides or {}))
     model = get_model(cfg)
     idx = stream if stream is not None else zipf_stream(cfg, batch, alpha=alpha)
     host = RecDataGenerator(cfg, seed=0).generate_batch(batch)
     dense_host = host.dense
+    dense_dev = (None if dense_host is None
+                 else jax.device_put(dense_host, device))
+    idx_dev = jax.device_put(idx, device)
+    batch_sds = Batch(
+        dense=None if dense_host is None else jax.ShapeDtypeStruct(
+            dense_host.shape, dense_host.dtype),
+        indices=jax.ShapeDtypeStruct(idx.shape, idx.dtype))
 
     chosen, hot_ids, coverage = impl, None, None
     if impl == "auto":
@@ -147,15 +182,11 @@ def measure_skewed(model_name: str, device, impl: str = "auto",
     elif impl == "hotcold" and hot_ids_override is not None:
         hot_ids = np.asarray(hot_ids_override)
         coverage = stream_coverage(cfg, idx, hot_ids)
-    elif impl == "hotcold":  # forced (bypasses guard + threshold)
+    elif impl == "hotcold":  # forced (bypasses the coverage threshold)
         hot_ids, coverage = _hot_set(cfg, idx)
 
     if chosen == "hotcold":
         from deeprecsys_tpu.models.hotcold import make_hotcold_model
-        from deeprecsys_tpu.utils.layouts import (
-            negotiated_param_formats,
-            shape_tree,
-        )
 
         hc = make_hotcold_model(model, hot_ids)
         split = hc.prepare(Batch(dense=dense_host, indices=idx))
@@ -169,61 +200,96 @@ def measure_skewed(model_name: str, device, impl: str = "auto",
                 lambda: hc.convert_params(model.init(jax.random.PRNGKey(0))))()
         split_sds = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
                      for k, v in sp.items()}
-        batch_sds = Batch(
-            dense=None if dense_host is None else jax.ShapeDtypeStruct(
-                dense_host.shape, dense_host.dtype),
-            indices=jax.ShapeDtypeStruct(idx.shape, idx.dtype))
         fmts = negotiated_param_formats(hc.apply, device, shape_tree(params),
                                         batch_sds, split_sds)
         if fmts is not None:
             params = jax.device_put(params, fmts)
 
-        def program(n, hcp, dense, indices, hs, hm, ci, cseg):
+        def call(prm, dense, indices, hs, hm, ci, cseg):
+            out = hc.apply(prm, Batch(dense=dense, indices=indices),
+                           {"hot_sel": hs, "hot_mask": hm,
+                            "cold_ids": ci, "cold_seg": cseg})
+            return jnp.sum(out.astype(jnp.float32))
+
+        def chain(n, prm, dense, indices, hs, hm, ci, cseg):
             def body(i, c):
                 s = {"hot_sel": jnp.roll(hs, i, axis=0),
                      "hot_mask": jnp.roll(hm, i, axis=0),
                      "cold_ids": jnp.roll(ci, i, axis=0), "cold_seg": cseg}
                 d = None if dense is None else dense
-                out = hc.apply(hcp, Batch(dense=d, indices=indices), s)
+                out = hc.apply(prm, Batch(dense=d, indices=indices), s)
                 return c + jnp.sum(out.astype(jnp.float32))
 
             return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
-        args = (params,
-                None if dense_host is None else jnp.asarray(dense_host),
-                jnp.asarray(idx), sp["hot_sel"], sp["hot_mask"],
+        args = (params, dense_dev, idx_dev, sp["hot_sel"], sp["hot_mask"],
                 sp["cold_ids"], sp["cold_seg"])
     else:
+        # Direct gather, the engines' way too: eager init, negotiated
+        # layouts (the path where rm1's unpacked narrow-row relayout
+        # copy was found and fixed round 3), params as args.
+        with jax.default_device(device):
+            params = jax.jit(lambda: model.init(jax.random.PRNGKey(0)))()
+        fmts = negotiated_param_formats(model.apply, device,
+                                        shape_tree(params), batch_sds)
+        if fmts is not None:
+            params = jax.device_put(params, fmts)
         rows_np = np.asarray(cfg.scaled_rows, dtype=np.int32)
 
-        def program(n, dense, indices):
-            params = model.init(jax.random.PRNGKey(0))
+        def call(prm, dense, indices):
+            out = model.apply(prm, Batch(dense=dense, indices=indices))
+            return jnp.sum(out.astype(jnp.float32))
+
+        def chain(n, prm, dense, indices):
             rows = jnp.asarray(rows_np)[None, :, None]
 
             def body(i, c):
                 ii = (indices + i) % rows
                 d = None if dense is None else dense
-                out = model.apply(params, Batch(dense=d, indices=ii))
+                out = model.apply(prm, Batch(dense=d, indices=ii))
                 return c + jnp.sum(out.astype(jnp.float32))
 
             return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
-        args = (None if dense_host is None else jnp.asarray(dense_host),
-                jnp.asarray(idx))
+        args = (params, dense_dev, idx_dev)
 
-    fn = jit_pinned(program, device)
-    t0 = _time.perf_counter()
-    float(fn(iters, *args))
-    compile_s = _time.perf_counter() - t0
-    ms = two_point_slope_ms(lambda n: float(fn(n, *args)),
-                            max(iters // 8, 1), iters, trials)
-    if ms <= 0:
-        raise RuntimeError(
-            f"{model_name}/{impl}: two-point slope non-positive "
-            f"({ms:.3g} ms/iter) — backend jitter exceeded the signal")
+    if method == "trace":
+        from deeprecsys_tpu.utils.profiling import traced_call_ms
+
+        fn = jit_pinned(call, device)
+        t0 = _time.perf_counter()
+        float(fn(*args))
+        compile_s = _time.perf_counter() - t0
+        ms = traced_call_ms(lambda: float(fn(*args)), calls=8)
+        if ms <= 0:
+            raise RuntimeError(
+                f"{model_name}/{impl}: empty device trace — profiler "
+                f"unsupported on this backend? use method='chain'")
+    else:
+        fn = jit_pinned(chain, device)
+        t0 = _time.perf_counter()
+        float(fn(iters, *args))
+        compile_s = _time.perf_counter() - t0
+
+        def slope(n_hi):
+            return two_point_slope_ms(lambda n: float(fn(n, *args)),
+                                      max(n_hi // 8, 1), n_hi, trials)
+
+        ms = slope(iters)
+        # Adaptive chain lengthening (bench.py's rule): sub-0.1 ms models
+        # need >= ~50 ms of chained signal to rise above relay jitter.
+        while ms * iters < 50.0 and iters < 16384:
+            iters = min(iters * 8, 16384)
+            ms = slope(iters)
+        if ms <= 0:
+            raise RuntimeError(
+                f"{model_name}/{impl}: two-point slope non-positive "
+                f"({ms:.3g} ms/iter) at {iters} chained iterations — "
+                f"backend jitter exceeded the signal")
     return {
         "model": model_name, "impl_requested": impl, "impl": chosen,
         "alpha": alpha, "batch": batch, "table_scale": table_scale,
+        "method": method,
         "hot_coverage": None if coverage is None else round(float(coverage), 4),
         "hot_rows": None if hot_ids is None else int(len(hot_ids)),
         "latency_ms": ms, "samples_per_s": batch / (ms / 1000.0),

@@ -334,6 +334,15 @@ class ComputeEngine(threading.Thread):
             make_hotcold_model,
         )
 
+        if (not require and self.model_cfg.fused_table_mb
+                < self.model_cfg.hotcold_min_table_mb):
+            # Size floor (config.hotcold_min_table_mb): a small table's
+            # direct gather is never descriptor-wall-bound, so the split
+            # is pure overhead there — measured 0.86x on ncf's 21.5 MB
+            # table vs 1.06-1.97x wins on every >=1 GB model (trace-based
+            # zipf, round 4). Skip without sampling.
+            return False
+
         hot_rows = self.model_cfg.hot_set_rows
         if hot_rows <= 0:  # auto: size the hot set to the VMEM budget
             from deeprecsys_tpu.utils.memory import suggest_hot_rows

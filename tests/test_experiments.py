@@ -81,17 +81,27 @@ def test_skew_bench_auto_matches_engine_rule():
         measure_skewed, resolve_auto_impl, zipf_stream)
 
     cpu = jax.devices("cpu")[0]
+    # hotcold_min_table_mb=0: test-scale tables sit under the production
+    # size floor (its own stanza below).
     r = measure_skewed("rm1", cpu, impl="auto", batch=16,
-                       table_scale=50000, iters=8)
+                       table_scale=50000, iters=8,
+                       cfg_overrides={"hotcold_min_table_mb": 0})
     assert r["impl"] == "hotcold" and r["hot_coverage"] == 1.0
     assert r["latency_ms"] > 0 and r["samples_per_s"] > 0
     x = measure_skewed("rm1", cpu, impl="xla", batch=16,
                        table_scale=50000, iters=8)
     assert x["impl"] == "xla" and x["hot_coverage"] is None
+    # The size floor: without the override the scaled-down table is far
+    # below hotcold_min_table_mb, so auto declines WITHOUT sampling —
+    # measured 0.86x on ncf's real 21.5 MB table (trace zipf, round 4).
+    f = measure_skewed("rm1", cpu, impl="auto", batch=16,
+                       table_scale=50000, iters=8)
+    assert f["impl"] == "xla" and f["hot_coverage"] is None
     # din-class PACKED config: auto now samples and composes hotcold
     # with the packed tables (the retired guard used to force xla here).
     cfg = zoo.get_config("din", table_scale=50000,
-                         param_dtype="bfloat16", table_pack=0)
+                         param_dtype="bfloat16", table_pack=0,
+                         hotcold_min_table_mb=0)
     impl, hot, cov = resolve_auto_impl(cfg, zipf_stream(cfg, 8))
     assert impl == "hotcold" and hot is not None
     assert cov is not None and cov >= cfg.hotcold_min_hit

@@ -608,14 +608,23 @@ def test_engine_auto_embedding_impl_picks_by_coverage():
         return eng
 
     # 16k-row total, budgeted hot set covers everything -> hotcold.
+    # (hotcold_min_table_mb=0: test-scale tables sit under the production
+    # size floor that keeps auto off small-table models like ncf.)
     hot_cfg = zoo.get_config("rm1", table_scale=2000).replace(
-        embedding_impl="auto")
+        embedding_impl="auto", hotcold_min_table_mb=0)
     eng = run_engine(hot_cfg)
     assert eng._hotcold is not None and eng.hot_coverage > 0.9
 
+    # Same config WITHOUT the floor override: the 1 MB test-scale table
+    # is below the 128 MB production floor -> auto declines unsampled.
+    floor_cfg = zoo.get_config("rm1", table_scale=2000).replace(
+        embedding_impl="auto")
+    eng = run_engine(floor_cfg)
+    assert eng._hotcold is None and eng.hot_coverage is None
+
     # Same stream, hot set capped at 64 of 16k uniform rows -> direct.
     cold_cfg = zoo.get_config("rm1", table_scale=2000).replace(
-        embedding_impl="auto", hot_set_rows=64)
+        embedding_impl="auto", hot_set_rows=64, hotcold_min_table_mb=0)
     eng = run_engine(cold_cfg)
     assert eng._hotcold is None and eng.hot_coverage < 0.5
 
@@ -1554,7 +1563,8 @@ def test_engine_auto_composes_hotcold_with_packed_tables():
                        sparse_feature_size=32, mlp_bot=(4, 32),
                        mlp_top=(8, 1), num_indices_per_lookup=2,
                        param_dtype="bfloat16", compute_dtype="bfloat16",
-                       embedding_impl="auto", hot_set_rows=512)
+                       embedding_impl="auto", hot_set_rows=512,
+                       hotcold_min_table_mb=0)  # test-scale tables
     cfg = ServingConfig(engine_backend="cpu", batch_buckets=(4,),
                         max_mini_batch_size=4)
 

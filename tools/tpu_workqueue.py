@@ -1664,7 +1664,7 @@ def job_hlo_hotcold(model="din", pack=0, batch=512, negotiate=False):
     return summary
 
 
-def job_model_hotcold_neg(model="din", pack=0, iters=32):
+def job_model_hotcold_neg(model="din", pack=0, iters=32, layout="auto"):
     """Chained packed-vs-unpacked hotcold at the SERVING engines' layout
     treatment: params converted eagerly, negotiated into the layouts the
     compiled apply prefers (engine._commit_param_layouts), and fed as
@@ -1723,6 +1723,14 @@ def job_model_hotcold_neg(model="din", pack=0, iters=32):
     fmts = negotiated_param_formats(hc.apply, device, shape_tree(params),
                                     batch_sds, split_sds)
     negotiated = fmts is not None
+    if negotiated and layout == "rowmajor":
+        # Hypothesis probe (rm1 regression under negotiated args): AUTO
+        # layout assignment picked COLUMN-major for the >=128-byte packed
+        # rows, contradicting the gather-preferred row-major rule
+        # (utils/layouts.py). Override just the wide 2-D table leaves.
+        from deeprecsys_tpu.utils.layouts import force_row_major_tables
+
+        fmts = force_row_major_tables(fmts, params)
     if negotiated:
         params = jax.device_put(params, fmts)
 
@@ -1746,10 +1754,126 @@ def job_model_hotcold_neg(model="din", pack=0, iters=32):
     out = {"variant": "hotcold_neg", "pack": pack, "ms": ms,
            "samples_per_s": B / (ms / 1000.0), "hit_rate": hit,
            "hot_rows": int(len(hot_ids)), "negotiated": negotiated,
-           "compile_s": compile_s}
-    log(f"model_hotcold_neg {model} pack={pack}: {ms:.2f} ms/iter "
-        f"({out['samples_per_s']:.0f} samples/s), negotiated={negotiated}")
+           "layout": layout, "compile_s": compile_s}
+    log(f"model_hotcold_neg {model} pack={pack} layout={layout}: "
+        f"{ms:.2f} ms/iter ({out['samples_per_s']:.0f} samples/s), "
+        f"negotiated={negotiated}")
     return out
+
+
+def job_hlo_chain_hotcold(model="rm1", source="neg", pack=0, n=8, batch=512):
+    """Per-HLO trace of the CHAINED hotcold measurement program — not the
+    bare apply. Motivation: rm1's arg-fed negotiated chain reads 4.30
+    ms/iter while (a) the in-program chain reads 1.83 and (b) a single
+    arg-fed apply's device total is 1.81 (hlo_hotcold_negpack:rm1) — the
+    regression exists only inside the arg-fed LOOP, so only a loop trace
+    can name it. ``source``: "neg" = params negotiated + fed as args
+    (the engines' treatment); "inprog" = params built in-program before
+    the loop (the round-3 measurement methodology)."""
+    import json as _json
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.models.hotcold import make_hotcold_model
+    from deeprecsys_tpu.ops.embedding import select_hot_ids
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+    from deeprecsys_tpu.utils.memory import suggest_hot_rows
+
+    device = pick_accel_device()
+    cfg = zoo.get_config(model, table_scale=1, param_dtype="bfloat16",
+                         compute_dtype="bfloat16", table_pack=pack)
+    model_fns = get_model(cfg)
+    host = RecDataGenerator(cfg, seed=0).generate_batch(batch)
+    rows_np = np.asarray(cfg.scaled_rows, dtype=np.int64)
+    rng = np.random.default_rng(2)
+    T, L = host.indices.shape[1], host.indices.shape[2]
+    idx = (rng.zipf(1.2, size=(batch, T, L)) % rows_np[None, :, None]).astype(np.int32)
+    offs = np.asarray(cfg.table_offsets, dtype=np.int64)
+    hot_ids = select_hot_ids(idx, offs, suggest_hot_rows(cfg))
+    hc = make_hotcold_model(model_fns, hot_ids)
+    split = hc.prepare(Batch(dense=host.dense, indices=idx))
+    sp = {k: jax.device_put(np.asarray(v), device)
+          for k, v in split.items() if k != "n_cold"}
+    dense_dev = (None if host.dense is None
+                 else jax.device_put(host.dense, device))
+    idx_dev = jax.device_put(idx, device)
+
+    def body_of(prm):
+        def body(i, c):
+            s = {"hot_sel": jnp.roll(sp_args[0], i, axis=0),
+                 "hot_mask": jnp.roll(sp_args[1], i, axis=0),
+                 "cold_ids": jnp.roll(sp_args[2], i, axis=0),
+                 "cold_seg": sp_args[3]}
+            out = hc.apply(prm, Batch(dense=dense_arg, indices=idx_arg), s)
+            return c + jnp.sum(out.astype(jnp.float32))
+        return body
+
+    if source == "neg":
+        from deeprecsys_tpu.utils.layouts import (
+            negotiated_param_formats,
+            shape_tree,
+        )
+
+        with jax.default_device(device):
+            params = jax.jit(lambda: hc.convert_params(
+                model_fns.init(jax.random.PRNGKey(0))))()
+        split_sds = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                     for k, v in sp.items()}
+        batch_sds = Batch(
+            dense=None if host.dense is None else jax.ShapeDtypeStruct(
+                host.dense.shape, host.dense.dtype),
+            indices=jax.ShapeDtypeStruct(idx.shape, idx.dtype))
+        fmts = negotiated_param_formats(hc.apply, device, shape_tree(params),
+                                        batch_sds, split_sds)
+        if fmts is not None:
+            params = jax.device_put(params, fmts)
+
+        def program(n, prm, dense, indices, hs, hm, ci, cseg):
+            global sp_args, dense_arg, idx_arg
+            sp_args, dense_arg, idx_arg = (hs, hm, ci, cseg), dense, indices
+            return lax.fori_loop(0, n, body_of(prm),
+                                 jnp.zeros((), jnp.float32))
+
+        args = (params, dense_dev, idx_dev, sp["hot_sel"], sp["hot_mask"],
+                sp["cold_ids"], sp["cold_seg"])
+    else:
+        def program(n, dense, indices, hs, hm, ci, cseg):
+            global sp_args, dense_arg, idx_arg
+            sp_args, dense_arg, idx_arg = (hs, hm, ci, cseg), dense, indices
+            prm = hc.convert_params(model_fns.init(jax.random.PRNGKey(0)))
+            return lax.fori_loop(0, n, body_of(prm),
+                                 jnp.zeros((), jnp.float32))
+
+        args = (dense_dev, idx_dev, sp["hot_sel"], sp["hot_mask"],
+                sp["cold_ids"], sp["cold_seg"])
+
+    fn = jax.jit(program)
+    float(fn(n, *args))  # compile + warm
+    out_dir = Path(__file__).parent.parent / "benchmarks" / "profile_hlo"
+    out_dir.mkdir(exist_ok=True)
+    tag = f"chain_hotcold_{model}_p{pack}_{source}"
+    trace_dir = out_dir / f"trace_{tag}"
+    if trace_dir.exists():
+        shutil.rmtree(trace_dir)
+    with jax.profiler.trace(str(trace_dir)):
+        float(fn(n, *args))
+    parsed = _parse_hlo_trace(trace_dir, n * batch * T * L)
+    summary = {"model": model, "source": source, "pack": pack,
+               "chain_n": n, "batch": batch,
+               "per_iter_us": parsed["total_device_us"] / n, **parsed}
+    (out_dir / f"summary_{tag}.json").write_text(_json.dumps(summary, indent=2))
+    log(f"hlo_chain {model} {source}: {parsed['total_device_us'] / n:.0f} "
+        f"us/iter over n={n}, top: "
+        f"{[(t['hlo'], round(t['us'] / n, 1)) for t in parsed['top_hlos_us'][:5]]}")
+    return summary
 
 
 _TRAIN_QUALITY_DIR = Path.home() / ".cache" / "deeprecsys_tpu" / "train_quality"
@@ -2267,6 +2391,33 @@ JOBS = [
     # program model_hotcold_negpack:din already compiled), then re-stamp.
     ("zipf_bench_r4g:din", lambda: job_zipf_bench("din")),
     ("zipf_r4b:snapshot", lambda: job_zipf_snapshot(4)),
+    # rm1 regression under the engine-representative methodology: the
+    # full negotiated-args zipf run read rm1 hotcold at 4.24 ms where the
+    # round-3 in-program measurement read 1.80 (bench_zipf_r4b.log). The
+    # negotiated AUTO layout for rm1's 128-byte packed rows came back
+    # COLUMN-major — against the gather rule. Same-session triplet:
+    # negotiated (as the engines do), forced row-major tables, and the
+    # in-program control; plus per-HLO traces of the negotiated program.
+    ("mhn_auto:rm1", lambda: job_model_hotcold_neg("rm1", pack=0)),
+    ("mhn_rowmajor:rm1", lambda: job_model_hotcold_neg("rm1", pack=0,
+                                                       layout="rowmajor")),
+    ("mh_inprog:rm1", lambda: job_model_hotcold("rm1", "hotcold", pack=0)),
+    ("hlo_hotcold_negpack:rm1", lambda: job_hlo_hotcold("rm1", pack=0,
+                                                        negotiate=True)),
+    ("mhn_auto:rm3", lambda: job_model_hotcold_neg("rm3", pack=0)),
+    ("mhn_rowmajor:rm3", lambda: job_model_hotcold_neg("rm3", pack=0,
+                                                       layout="rowmajor")),
+    # Chain-level HLO traces: rm1's arg-fed regression exists only inside
+    # the measurement loop (single apply = 1.81 ms device, arg-fed chain
+    # = 4.30 ms/iter, in-program chain = 1.83). Diff the two loop bodies.
+    ("hlo_chain_neg:rm1", lambda: job_hlo_chain_hotcold("rm1", "neg")),
+    ("hlo_chain_inprog:rm1", lambda: job_hlo_chain_hotcold("rm1", "inprog")),
+    # Trace-based zipf artifact (methodology rev 2): the full 8-model
+    # run landed via bench.py --stream zipf; re-measure ncf under the new
+    # hotcold_min_table_mb floor (auto now correctly declines its 21.5 MB
+    # table — the split measured 0.86x there) and re-stamp the snapshot.
+    ("zipf_bench_r4h:ncf", lambda: job_zipf_bench("ncf")),
+    ("zipf_r4c:snapshot", lambda: job_zipf_snapshot(4)),
 ]
 
 
