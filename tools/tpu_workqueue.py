@@ -1876,6 +1876,208 @@ def job_hlo_chain_hotcold(model="rm1", source="neg", pack=0, n=8, batch=512):
     return summary
 
 
+def job_uniform_trace(model, batch=512):
+    """Engine-faithful UNIFORM-stream cross-check: per-call device time of
+    the direct apply (eager init, negotiated layouts, params as args —
+    the engines' exact treatment) via utils/profiling.traced_call_ms.
+    Purpose: (a) validate the judged chained bench's per-model numbers
+    against the estimator that has no loop body to de-optimize, and
+    (b) pin models whose sub-ms chains show session spread (dien read
+    0.121 vs 0.249 ms across same-day full runs — device-busy time is
+    immune to chip-load luck). Merges into benchmarks/uniform_trace.json."""
+    import json as _json
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.utils.devices import jit_pinned, pick_accel_device
+    from deeprecsys_tpu.utils.layouts import (
+        negotiated_param_formats,
+        shape_tree,
+    )
+    from deeprecsys_tpu.utils.profiling import traced_call_ms
+
+    device = pick_accel_device()
+    cfg = zoo.get_config(model, table_scale=1, param_dtype="bfloat16",
+                         compute_dtype="bfloat16", table_pack=0)
+    m = get_model(cfg)
+    host = RecDataGenerator(cfg, seed=0).generate_batch(batch)
+    with jax.default_device(device):
+        params = jax.jit(lambda: m.init(jax.random.PRNGKey(0)))()
+    batch_sds = Batch(
+        dense=None if host.dense is None else jax.ShapeDtypeStruct(
+            host.dense.shape, host.dense.dtype),
+        indices=jax.ShapeDtypeStruct(host.indices.shape, host.indices.dtype))
+    fmts = negotiated_param_formats(m.apply, device, shape_tree(params),
+                                    batch_sds)
+    if fmts is not None:
+        params = jax.device_put(params, fmts)
+    dev_batch = Batch(
+        dense=None if host.dense is None else jax.device_put(host.dense, device),
+        indices=jax.device_put(host.indices, device))
+
+    def call(prm, dense, indices):
+        out = m.apply(prm, Batch(dense=dense, indices=indices))
+        return jnp.sum(out.astype(jnp.float32))
+
+    fn = jit_pinned(call, device)
+    t0 = _time.perf_counter()
+    float(fn(params, dev_batch.dense, dev_batch.indices))
+    compile_s = _time.perf_counter() - t0
+    ms = traced_call_ms(
+        lambda: float(fn(params, dev_batch.dense, dev_batch.indices)),
+        calls=8)
+    out = {"model": model, "batch": batch, "device_ms_per_call": ms,
+           "samples_per_s": batch / (ms / 1000.0), "compile_s": compile_s}
+    path = Path(__file__).parent.parent / "benchmarks" / "uniform_trace.json"
+    rec = _json.loads(path.read_text()) if path.exists() else {"results": {}}
+    rec["results"][model] = out
+    rec["models"] = sorted(rec["results"])
+    path.write_text(_json.dumps(rec, indent=2))
+    log(f"uniform_trace {model}: {ms:.3f} ms/call device "
+        f"({out['samples_per_s']:.0f} samples/s)")
+    return out
+
+
+def job_chain_hlo_text(model="rm1", pack=0, n=8, batch=512):
+    """Dump + diff the OPTIMIZED HLO text of the two rm1 hotcold chain
+    programs (arg-fed negotiated vs in-program params) to name what the
+    arg-fed while body spends its extra 2.5 ms/iter on (the chain traces
+    localize it to the loop; the trace's per-op lanes lump the while).
+    Writes gzipped HLO to benchmarks/profile_hlo/ and logs per-while-body
+    op-kind histograms + their diff."""
+    import gzip
+    import json as _json
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.models.hotcold import make_hotcold_model
+    from deeprecsys_tpu.ops.embedding import select_hot_ids
+    from deeprecsys_tpu.utils.devices import pick_accel_device
+    from deeprecsys_tpu.utils.memory import suggest_hot_rows
+
+    device = pick_accel_device()
+    cfg = zoo.get_config(model, table_scale=1, param_dtype="bfloat16",
+                         compute_dtype="bfloat16", table_pack=pack)
+    model_fns = get_model(cfg)
+    host = RecDataGenerator(cfg, seed=0).generate_batch(batch)
+    rows_np = np.asarray(cfg.scaled_rows, dtype=np.int64)
+    rng = np.random.default_rng(2)
+    T, L = host.indices.shape[1], host.indices.shape[2]
+    idx = (rng.zipf(1.2, size=(batch, T, L)) % rows_np[None, :, None]).astype(np.int32)
+    offs = np.asarray(cfg.table_offsets, dtype=np.int64)
+    hot_ids = select_hot_ids(idx, offs, suggest_hot_rows(cfg))
+    hc = make_hotcold_model(model_fns, hot_ids)
+    split = hc.prepare(Batch(dense=host.dense, indices=idx))
+    sp = {k: jnp.asarray(np.asarray(v)) for k, v in split.items()
+          if k != "n_cold"}
+    dense_sds = (None if host.dense is None
+                 else jax.ShapeDtypeStruct(host.dense.shape, host.dense.dtype))
+    idx_sds = jax.ShapeDtypeStruct(idx.shape, idx.dtype)
+    sp_sds = {k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in sp.items()}
+    n_sds = jax.ShapeDtypeStruct((), jnp.int32)
+
+    def body_with(prm, dense, indices, hs, hm, ci, cseg):
+        def body(i, c):
+            s = {"hot_sel": jnp.roll(hs, i, axis=0),
+                 "hot_mask": jnp.roll(hm, i, axis=0),
+                 "cold_ids": jnp.roll(ci, i, axis=0), "cold_seg": cseg}
+            d = None if dense is None else dense
+            out = hc.apply(prm, Batch(dense=d, indices=indices), s)
+            return c + jnp.sum(out.astype(jnp.float32))
+        return lax.fori_loop(0, jnp.int32(n), body, jnp.zeros((), jnp.float32))
+
+    from deeprecsys_tpu.utils.layouts import (
+        negotiated_param_formats,
+        shape_tree,
+    )
+
+    with jax.default_device(device):
+        params = jax.jit(lambda: hc.convert_params(
+            model_fns.init(jax.random.PRNGKey(0))))()
+    batch_sds = Batch(dense=dense_sds, indices=idx_sds)
+    fmts = negotiated_param_formats(hc.apply, device, shape_tree(params),
+                                    batch_sds, sp_sds)
+    prm_sds = shape_tree(params)
+    del params
+
+    def neg_program(prm, dense, indices, hs, hm, ci, cseg):
+        return body_with(prm, dense, indices, hs, hm, ci, cseg)
+
+    def inprog_program(dense, indices, hs, hm, ci, cseg):
+        prm = hc.convert_params(model_fns.init(jax.random.PRNGKey(0)))
+        return body_with(prm, dense, indices, hs, hm, ci, cseg)
+
+    with jax.default_device(device):
+        neg_txt = jax.jit(neg_program).lower(
+            prm_sds, dense_sds, idx_sds, sp_sds["hot_sel"], sp_sds["hot_mask"],
+            sp_sds["cold_ids"], sp_sds["cold_seg"]).compile().as_text()
+        inp_txt = jax.jit(inprog_program).lower(
+            dense_sds, idx_sds, sp_sds["hot_sel"], sp_sds["hot_mask"],
+            sp_sds["cold_ids"], sp_sds["cold_seg"]).compile().as_text()
+
+    out_dir = Path(__file__).parent.parent / "benchmarks" / "profile_hlo"
+    out_dir.mkdir(exist_ok=True)
+    for tag, txt in (("neg", neg_txt), ("inprog", inp_txt)):
+        (out_dir / f"hlo_chain_{model}_p{pack}_{tag}.txt.gz").write_bytes(
+            gzip.compress(txt.encode()))
+
+    def while_body_ops(txt):
+        """Op-kind histogram of the fori_loop's while-BODY computation
+        (found via the while instruction's body= attribute — jax names
+        loop regions region_N.M, not 'body')."""
+        comps, cur, name = {}, None, None
+        for line in txt.splitlines():
+            s = line.strip()
+            m = re.match(r"(?:ENTRY\s+)?%?([\w.\-]+)\s*\(.*\)\s*->\s*.*\{$", s)
+            if m and (s.startswith("%") or s.startswith("ENTRY")):
+                name = m.group(1)
+                cur = comps.setdefault(name, [])
+                continue
+            if s == "}":
+                cur = None
+                continue
+            if cur is not None and "=" in s:
+                cur.append(s)
+        (wl,) = [l for ls in comps.values() for l in ls if " while(" in l]
+        body = re.search(r"body=%?([\w.\-]+)", wl).group(1)
+        hist: dict = {}
+        for l in comps[body]:
+            m2 = re.search(r"=\s*(?:\([^)]*\)|[\w\[\],{}():/*\s.]*?)\s*"
+                           r"([a-z][a-z\-]+)\(", l)
+            if m2:
+                hist[m2.group(1)] = hist.get(m2.group(1), 0) + 1
+        return body, hist
+
+    bn, hn = while_body_ops(neg_txt)
+    bi, hi = while_body_ops(inp_txt)
+    diff = {k: hn.get(k, 0) - hi.get(k, 0)
+            for k in set(hn) | set(hi) if hn.get(k, 0) != hi.get(k, 0)}
+    summary = {"model": model, "pack": pack,
+               "neg_negotiated": fmts is not None,
+               "neg_body": bn, "neg_ops": hn,
+               "inprog_body": bi, "inprog_ops": hi,
+               "neg_minus_inprog": diff}
+    (out_dir / f"summary_hlo_chain_text_{model}_p{pack}.json").write_text(
+        _json.dumps(summary, indent=2))
+    log(f"chain_hlo_text {model}: neg-extra ops vs inprog body: {diff}")
+    return summary
+
+
 _TRAIN_QUALITY_DIR = Path.home() / ".cache" / "deeprecsys_tpu" / "train_quality"
 
 
@@ -2418,6 +2620,23 @@ JOBS = [
     # table — the split measured 0.86x there) and re-stamp the snapshot.
     ("zipf_bench_r4h:ncf", lambda: job_zipf_bench("ncf")),
     ("zipf_r4c:snapshot", lambda: job_zipf_snapshot(4)),
+    # Engine-faithful UNIFORM cross-check (validates the judged chained
+    # bench per model; pins dien's session-spread ambiguity to a
+    # device-busy number).
+    ("uniform_trace:rm1", lambda: job_uniform_trace("rm1")),
+    ("uniform_trace:rm2", lambda: job_uniform_trace("rm2")),
+    ("uniform_trace:rm3", lambda: job_uniform_trace("rm3")),
+    ("uniform_trace:wnd", lambda: job_uniform_trace("wnd")),
+    ("uniform_trace:mtwnd", lambda: job_uniform_trace("mtwnd")),
+    ("uniform_trace:ncf", lambda: job_uniform_trace("ncf")),
+    ("uniform_trace:din", lambda: job_uniform_trace("din")),
+    ("uniform_trace:dien", lambda: job_uniform_trace("dien")),
+    # Name the arg-fed chain de-optimization: optimized-HLO text diff of
+    # the two rm1 chain programs' while bodies.
+    ("chain_hlo_text:rm1", lambda: job_chain_hlo_text("rm1")),
+    # Re-run with the fixed body finder (jax names loop regions
+    # region_N.M; the first parser keyed on 'body' and logged {}).
+    ("chain_hlo_text2:rm1", lambda: job_chain_hlo_text("rm1")),
 ]
 
 
