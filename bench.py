@@ -5,13 +5,26 @@ is self-measured: the same models, same synthetic data, run on the host CPU
 backend in float32 (the reference's engines are f32 CPU Caffe2). The TPU
 path runs bfloat16 params/compute.
 
-Timing methodology: the ``utils/timing.py`` chained-readback discipline
-(self-contained variant: param init lives INSIDE the program so the whole
-measurement is one remote dispatch) — K data-dependent iterations inside
-one compiled fori_loop ended by a scalar readback. This
-is required for honesty on relayed PJRT backends where block_until_ready
-is not a true fence (see utils/timing.py), and it also removes per-call
-dispatch overhead on any backend.
+Timing methodology — two estimators, deliberately different per stream:
+
+- UNIFORM (the default judged metric): the ``utils/timing.py``
+  chained-readback discipline (self-contained variant: param init lives
+  INSIDE the program so the whole measurement is one remote dispatch) —
+  K data-dependent iterations inside one compiled fori_loop ended by a
+  scalar readback. Required for wall-clock honesty on relayed PJRT
+  backends where block_until_ready is not a true fence, and kept for
+  round-over-round comparability of BENCH_r0N. Its per-model honesty
+  bound is the trace cross-check in benchmarks/uniform_trace.json.
+
+- ZIPF (--stream zipf, the hot/cold subsystem's artifact): per-call
+  DEVICE time from profiler traces (``utils/profiling.py``,
+  measure_skewed method="trace") with params negotiated and fed as
+  arguments — the serving engines' exact single-call treatment. The
+  chained loop was shown to compile a DIFFERENT program than the
+  engines run and de-optimize its own body (rm1 arg-fed chain
+  4.30 ms/iter vs the engine's 1.81 ms single call — a per-iteration
+  HBM->VMEM weight re-staging the single-call program never pays;
+  benchmarks/README.md "methodology rev 2").
 
 Prints ONE JSON line:
   metric      : inference throughput, geometric mean over the 8 models

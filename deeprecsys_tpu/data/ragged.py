@@ -19,17 +19,33 @@ from __future__ import annotations
 import numpy as np
 
 
+def _exact_int64(arr: np.ndarray, what: str) -> np.ndarray:
+    """Cast to int64, REJECTING non-integral floats: JSON serializers
+    commonly emit ids/lengths as floats (1.0 is fine), but a silent
+    1.9 -> 1 truncation would serve scores for the WRONG embedding rows
+    (the same never-truncate rule ingress.predict applies to padded
+    indices — this keeps the CSR path equally strict)."""
+    arr = np.asarray(arr)
+    if arr.dtype.kind == "f":
+        as_int = arr.astype(np.int64)
+        if not np.array_equal(as_int, arr):
+            raise ValueError(
+                f"{what} must be integral; got non-integer float values "
+                f"(refusing to truncate)")
+        return as_int
+    return arr.astype(np.int64)
+
+
 def lengths_to_mask(lengths: np.ndarray, max_len: int) -> np.ndarray:
     """(B, T) group lengths -> (B, T, L) bool slot mask."""
-    lengths = np.asarray(lengths)
+    lengths = _exact_int64(lengths, "lengths")
     if lengths.ndim != 2:
         raise ValueError(f"lengths must be (B, T); got shape {lengths.shape}")
     if (lengths < 0).any() or (lengths > max_len).any():
         raise ValueError(
             f"each group length must satisfy 0 <= len <= {max_len} "
             f"(the model's num_indices_per_lookup)")
-    return (np.arange(max_len)[None, None, :]
-            < np.asarray(lengths, np.int64)[:, :, None])
+    return np.arange(max_len)[None, None, :] < lengths[:, :, None]
 
 
 def pad_csr(lengths: np.ndarray, values: np.ndarray, max_len: int):
@@ -40,8 +56,8 @@ def pad_csr(lengths: np.ndarray, values: np.ndarray, max_len: int):
     of all groups' ids in row-major (b, t) order — exactly the reference's
     lengths/indices queue contents for one batch, fused across tables.
     """
-    lengths = np.asarray(lengths, dtype=np.int64)
-    values = np.asarray(values).reshape(-1)
+    lengths = _exact_int64(lengths, "lengths")
+    values = _exact_int64(values, "values").reshape(-1)
     mask = lengths_to_mask(lengths, max_len)
     if int(lengths.sum()) != values.size:
         raise ValueError(

@@ -55,6 +55,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="recent request batches buffered for hot-set "
                         "re-derivation (and its out-of-sample coverage "
                         "estimate)")
+    p.add_argument("--hotcold_scan_budget", type=int, default=2_000_000,
+                   help="cap on lookups the refresh/upgrade candidate "
+                        "scan reads from the buffered window (0 = "
+                        "unlimited; the uncapped scan measured 6.1 s of "
+                        "dispatch-thread stall at rm2's window)")
+    p.add_argument("--accept_ragged", action="store_true",
+                   help="serve RAGGED real-inference requests: engines "
+                        "pre-warm a masked program per bucket and "
+                        "/v1/predict takes 'lengths' (+ flat 'values' "
+                        "CSR or padded indices); thread + cpu-mp "
+                        "backends")
     p.add_argument("--table_pack", type=int, default=0,
                    help="pack N logical rows per physical table row "
                         "(0 = auto to 128-byte rows — the measured 2x fix "
@@ -224,6 +235,8 @@ def serving_config_from_args(args) -> ServingConfig:
         hotcold_refresh_interval=args.hotcold_refresh_interval,
         hotcold_refresh_margin=args.hotcold_refresh_margin,
         hotcold_refresh_window=args.hotcold_refresh_window,
+        hotcold_scan_budget=args.hotcold_scan_budget,
+        accept_ragged=args.accept_ragged,
         seed=args.numpy_rand_seed,
         log_file=args.log_file,
         debug_mode=args.debug_mode,

@@ -559,6 +559,26 @@ def hot_coverage_of(indices: np.ndarray, offsets: np.ndarray,
     return float((hot_ids[pos] == flat).mean())
 
 
+def scan_budget_subsample(arr: np.ndarray, budget: int) -> np.ndarray:
+    """Uniform ROW-stride subsample of a (B, T, L) index window so the
+    select_hot_ids sort-unique scan reads at most ``budget`` lookups
+    (0 = unlimited). The gate the serving engines' refresh/upgrade scan
+    applies (ServingConfig.hotcold_scan_budget): the scan runs on the
+    DISPATCH thread and measured 6.1 s uncapped at rm2's 23.6M-id window
+    vs ~0.2 s capped (benchmarks/refresh_scan_cost.json — the tool
+    imports THIS function, so it always benchmarks the shipped gate).
+    Whole-row striding preserves head frequencies, so selection quality
+    degrades gracefully."""
+    if not budget:
+        return arr
+    per_row = arr.shape[1] * arr.shape[2]
+    max_rows = max(budget // per_row, 2)
+    if arr.shape[0] <= max_rows:
+        return arr
+    stride = -(-arr.shape[0] // max_rows)
+    return arr[::stride]
+
+
 def select_hot_ids(indices_sample: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
     """Pick the hot set for ``split_hot_cold``: the k most frequent fused
     row ids in a representative index sample (production streams are

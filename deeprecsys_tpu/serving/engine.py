@@ -556,8 +556,17 @@ class ComputeEngine(threading.Thread):
         if p.dense is not None and p.dense.shape != (r.batch_size,
                                                      base.dense.shape[1]):
             return False
-        if p.mask is not None and p.mask.shape != (r.batch_size, T, L):
-            return False
+        if p.mask is not None:
+            if not self.serving_cfg.accept_ragged:
+                # Only ragged-enabled engines can honor a mask: they
+                # pre-warmed the masked program twin (a mask on a plain
+                # engine would trigger a serve-loop compile — minutes on
+                # a relayed backend) and setup already refused the
+                # hotcold/mesh configurations that would silently IGNORE
+                # the mask and return wrong scores.
+                return False
+            if p.mask.shape != (r.batch_size, T, L):
+                return False
         return True
 
     def _assemble_host(self, group, bucket: int) -> Batch:
@@ -864,26 +873,15 @@ class ComputeEngine(threading.Thread):
         k = len(self._hotcold.hot_ids)
         offsets = np.asarray(self.model_cfg.table_offsets)
         n_hold = max(1, len(batches) // 4)
+        from deeprecsys_tpu.ops.embedding import scan_budget_subsample
+
+        # Scan-budget gate (ops/embedding.py docstring has the numbers):
+        # the sort-unique selection runs on the DISPATCH thread.
         budget = self.serving_cfg.hotcold_scan_budget
-
-        def cap(arr):
-            # Scan-budget gate: this runs on the DISPATCH thread, and the
-            # sort-unique selection is O(N log N) in the scanned lookups
-            # (measured 6.7 s uncapped at rm2's 23.6M-id window,
-            # benchmarks/refresh_scan_cost.json). A uniform ROW stride
-            # preserves head frequencies, so selection quality degrades
-            # gracefully while the stall stays bounded (~0.1-0.2 s).
-            if not budget:
-                return arr
-            per_row = arr.shape[1] * arr.shape[2]
-            max_rows = max(budget // per_row, 2)
-            if arr.shape[0] <= max_rows:
-                return arr
-            stride = -(-arr.shape[0] // max_rows)
-            return arr[::stride]
-
-        select = cap(np.concatenate(batches[:-n_hold], axis=0))
-        holdout = cap(np.concatenate(batches[-n_hold:], axis=0))
+        select = scan_budget_subsample(
+            np.concatenate(batches[:-n_hold], axis=0), budget)
+        holdout = scan_budget_subsample(
+            np.concatenate(batches[-n_hold:], axis=0), budget)
         new_hot = select_hot_ids(select, offsets, k)
         if len(new_hot) < k:
             extra = np.setdiff1d(self._hotcold.hot_ids, new_hot)

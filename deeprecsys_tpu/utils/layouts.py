@@ -55,33 +55,3 @@ def shape_tree(tree):
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
 
 
-def force_row_major_tables(fmts, params, min_row_bytes: int = 128):
-    """Override a negotiated Format tree: 2-D leaves whose rows are at
-    least ``min_row_bytes`` wide get major_to_minor=(1, 0) (row-major).
-
-    Rationale: the TPU gather emitter reads >=128-byte rows fastest
-    row-major (one table row per contiguous tile stripe — the same rule
-    this module's docstring states), but XLA's AUTO layout assignment
-    sometimes picks column-major for them anyway — measured on rm1's
-    packed hotcold apply, where the negotiated column-major cold table
-    served at 4.24 ms vs 1.79 with the layout the in-program build chose
-    (model_hotcold_neg rm1 jobs, benchmarks/README.md "Negotiation vs
-    the gather rule"). Narrow (<128-byte-row) leaves keep the negotiated
-    layout: column-major IS the measured-right choice for those."""
-    import jax
-
-    try:
-        from jax.experimental.layout import Format, Layout
-    except Exception:  # pragma: no cover
-        return fmts
-
-    def fix(fmt, arr):
-        if (fmt is None or arr is None or getattr(arr, "ndim", 0) != 2
-                or arr.shape[1] * arr.dtype.itemsize < min_row_bytes):
-            return fmt
-        try:
-            return Format(Layout(major_to_minor=(1, 0)), fmt.sharding)
-        except Exception:  # pragma: no cover — Layout API churn
-            return fmt
-
-    return jax.tree_util.tree_map(fix, fmts, params)

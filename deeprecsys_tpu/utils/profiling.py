@@ -28,19 +28,25 @@ from pathlib import Path
 _HLO_NAME = re.compile(r"^(?!jit)[a-z][a-z0-9._\-]*$")
 
 
-def trace_device_us(trace_dir) -> float:
-    """Sum of HLO op durations (us) across a jax.profiler Chrome trace."""
+def iter_hlo_events(trace_dir):
+    """Yield (name, dur_us, args) for every HLO op event in a
+    jax.profiler Chrome trace — the one place the event filter lives
+    (tools/tpu_workqueue._parse_hlo_trace builds its per-op attribution
+    on this same iterator)."""
     import glob
     import gzip
     import json
 
     (tj,) = glob.glob(str(Path(trace_dir) / "**" / "*.trace.json.gz"),
                       recursive=True)
-    total = 0.0
     for e in json.loads(gzip.open(tj).read()).get("traceEvents", []):
         if e.get("ph") == "X" and _HLO_NAME.match(e.get("name", "")):
-            total += float(e.get("dur", 0.0))
-    return total
+            yield e.get("name", ""), float(e.get("dur", 0.0)), e.get("args", {})
+
+
+def trace_device_us(trace_dir) -> float:
+    """Sum of HLO op durations (us) across a jax.profiler Chrome trace."""
+    return sum(dur for _, dur, _ in iter_hlo_events(trace_dir))
 
 
 def traced_call_ms(run_once, calls: int = 8) -> float:

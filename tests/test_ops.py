@@ -357,3 +357,14 @@ def test_pad_csr_roundtrip():
         pad_csr(lengths, values[:-1], max_len=3)
     with pytest.raises(ValueError, match="0 <= len"):
         pad_csr(np.array([[4]]), np.arange(4), max_len=3)
+    # Never-truncate: JSON clients send float ids; 1.9 -> 1 would
+    # silently serve scores for the WRONG rows (same rule as the padded
+    # path's ingress check). Exact floats (1.0) stay accepted.
+    with pytest.raises(ValueError, match="refusing to truncate"):
+        pad_csr(lengths, values.astype(float) + 0.9, max_len=3)
+    with pytest.raises(ValueError, match="refusing to truncate"):
+        lengths_to_mask(np.array([[1.5, 0.0]]), 3)
+    idx_f, mask_f = pad_csr(lengths.astype(float), values.astype(float),
+                            max_len=3)
+    np.testing.assert_array_equal(idx_f, idx)
+    np.testing.assert_array_equal(mask_f, mask)

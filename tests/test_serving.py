@@ -1756,8 +1756,19 @@ def test_malformed_payload_gets_typed_error():
     assert r.error_code == ERR_PAYLOAD and r.scores is None
     assert eng.rejected_requests == 1
 
+    # A MASKED payload on a non-ragged engine is also a typed rejection:
+    # honoring it would trigger a serve-loop compile (the masked program
+    # twin is only pre-warmed under accept_ragged) — and hotcold/mesh
+    # engines would silently IGNORE the mask (wrong scores).
     good = rng.integers(0, 4, size=(8, T, L)).astype(np.int32)
     req_q.put(ServiceRequest(batch_id=1, arrival_time=time.time(),
+                             batch_size=8,
+                             payload=Batch(dense=None, indices=good,
+                                           mask=np.ones((8, T, L), bool))))
+    r = resp_q.get(timeout=60)
+    assert r.error_code == ERR_PAYLOAD and r.scores is None
+
+    req_q.put(ServiceRequest(batch_id=2, arrival_time=time.time(),
                              batch_size=8,
                              payload=Batch(dense=None, indices=good)))
     r = resp_q.get(timeout=60)

@@ -31,22 +31,15 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 from deeprecsys_tpu import zoo  # noqa: E402
-from deeprecsys_tpu.ops.embedding import hot_coverage_of, select_hot_ids  # noqa: E402
+from deeprecsys_tpu.ops.embedding import (  # noqa: E402
+    hot_coverage_of,
+    scan_budget_subsample,
+    select_hot_ids,
+)
 from deeprecsys_tpu.utils.memory import suggest_hot_rows  # noqa: E402
 
 WINDOW, BATCH = 16, 512
 BUDGET = 2_000_000  # the ServingConfig.hotcold_scan_budget default
-
-
-def cap(arr, budget):
-    if not budget:
-        return arr
-    per_row = arr.shape[1] * arr.shape[2]
-    max_rows = max(budget // per_row, 2)
-    if arr.shape[0] <= max_rows:
-        return arr
-    stride = -(-arr.shape[0] // max_rows)
-    return arr[::stride]
 
 
 def measure(model):
@@ -71,8 +64,9 @@ def measure(model):
         return hot, cov, (t1 - t0) * 1000, (t2 - t1) * 1000
 
     hot_u, cov_u, sel_u_ms, cov_u_ms = scan(sel_full, hold_full)
-    hot_c, cov_c_capped, sel_c_ms, cov_c_ms = scan(cap(sel_full, BUDGET),
-                                                   cap(hold_full, BUDGET))
+    hot_c, cov_c_capped, sel_c_ms, cov_c_ms = scan(
+        scan_budget_subsample(sel_full, BUDGET),
+        scan_budget_subsample(hold_full, BUDGET))
     # Quality: both sets scored on the SAME full holdout.
     cov_c_full = hot_coverage_of(hold_full, offs, hot_c)
     out = {

@@ -671,36 +671,23 @@ def job_sim_validation3(model):
 def _parse_hlo_trace(trace_dir, n_lookups: int) -> dict:
     """Aggregate per-HLO durations from a jax.profiler Chrome trace.
 
-    HLO op/fusion events are bare lowercase names (gather.12, fusion.3)
-    and carry hlo_category + the full HLO text in args.long_name; python
-    frames ($file:line), runtime internals (Foo::Bar), and executable
-    wrappers (jit_*, PjitFunction) are host-side lanes and excluded.
+    Event filtering (which lanes are HLO ops vs host-side noise) lives in
+    deeprecsys_tpu.utils.profiling.iter_hlo_events — the SAME iterator
+    the judged zipf artifact's device-time estimator sums, so the two can
+    never silently disagree about what counts as device time.
     ``n_lookups`` attributes the table gather: an explicit gather HLO, or
     the custom fusion whose RESULT is the flattened (n_lookups, d) row
     fetch."""
-    import glob
-    import gzip
-    import json as _json
     import re
 
-    (tj,) = glob.glob(str(Path(trace_dir) / "**" / "*.trace.json.gz"),
-                      recursive=True)
-    trace = _json.loads(gzip.open(tj).read())
-    events = trace.get("traceEvents", [])
-    hlo_name = re.compile(r"^(?!jit)[a-z][a-z0-9._\-]*$")
+    from deeprecsys_tpu.utils.profiling import iter_hlo_events
+
     durs: dict = {}
     gather_us = 0.0
     categories: dict = {}
     long_names: dict = {}
-    for e in events:
-        if e.get("ph") != "X":
-            continue
-        name = e.get("name", "")
-        if not hlo_name.match(name):
-            continue
-        dur = float(e.get("dur", 0.0))
+    for name, dur, args in iter_hlo_events(trace_dir):
         durs[name] = durs.get(name, 0.0) + dur
-        args = e.get("args", {})
         cat = args.get("hlo_category", "?")
         categories[cat] = categories.get(cat, 0.0) + dur
         long = args.get("long_name", "")
@@ -1724,13 +1711,20 @@ def job_model_hotcold_neg(model="din", pack=0, iters=32, layout="auto"):
                                     batch_sds, split_sds)
     negotiated = fmts is not None
     if negotiated and layout == "rowmajor":
-        # Hypothesis probe (rm1 regression under negotiated args): AUTO
-        # layout assignment picked COLUMN-major for the >=128-byte packed
-        # rows, contradicting the gather-preferred row-major rule
-        # (utils/layouts.py). Override just the wide 2-D table leaves.
-        from deeprecsys_tpu.utils.layouts import force_row_major_tables
+        # Hypothesis probe, FALSIFIED (mhn_rowmajor:rm1 4.26 vs auto
+        # 4.30): the rm1 arg-fed chain regression was NOT a table-layout
+        # miss but per-iteration HBM->VMEM weight re-staging
+        # (chain_hlo_text:rm1). Kept runnable for future layout
+        # experiments; the serving path never overrides negotiation.
+        from jax.experimental.layout import Format, Layout
 
-        fmts = force_row_major_tables(fmts, params)
+        def _rowmajor(fmt, arr):
+            if (fmt is None or arr is None or getattr(arr, "ndim", 0) != 2
+                    or arr.shape[1] * arr.dtype.itemsize < 128):
+                return fmt
+            return Format(Layout(major_to_minor=(1, 0)), fmt.sharding)
+
+        fmts = jax.tree_util.tree_map(_rowmajor, fmts, params)
     if negotiated:
         params = jax.device_put(params, fmts)
 
@@ -2637,6 +2631,12 @@ JOBS = [
     # Re-run with the fixed body finder (jax names loop regions
     # region_N.M; the first parser keyed on 'body' and logged {}).
     ("chain_hlo_text2:rm1", lambda: job_chain_hlo_text("rm1")),
+    # Second training-to-quality family: rm3 (20M rows, 2.6 GB f32
+    # tables) — the planted-signal convergence + int8 serve lifecycle is
+    # model-agnostic; a second family shows the trainer's quality story
+    # is not an rm1 artifact.
+    ("train_quality:rm3", lambda: job_train_quality("rm3")),
+    ("train_quality_serve:rm3", lambda: job_train_quality_serve("rm3")),
 ]
 
 
