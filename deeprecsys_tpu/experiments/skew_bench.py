@@ -260,7 +260,11 @@ def measure_skewed(model_name: str, device, impl: str = "auto",
         t0 = _time.perf_counter()
         float(fn(*args))
         compile_s = _time.perf_counter() - t0
-        ms = traced_call_ms(lambda: float(fn(*args)), calls=8)
+        # ``iters`` maps to traced DISPATCHES here (clamped: each costs a
+        # relay round trip, and 8+ calls already average profiler noise —
+        # device-busy time has no chip-load spread to average away).
+        ms = traced_call_ms(lambda: float(fn(*args)),
+                            calls=int(np.clip(iters, 4, 32)))
         if ms <= 0:
             raise RuntimeError(
                 f"{model_name}/{impl}: empty device trace — profiler "

@@ -57,9 +57,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "estimate)")
     p.add_argument("--hotcold_scan_budget", type=int, default=2_000_000,
                    help="cap on lookups the refresh/upgrade candidate "
-                        "scan reads from the buffered window (0 = "
+                        "scan reads from the buffered window (<= 0 = "
                         "unlimited; the uncapped scan measured 6.1 s of "
                         "dispatch-thread stall at rm2's window)")
+    p.add_argument("--hotcold_min_table_mb", type=float, default=128.0,
+                   help="embedding_impl=auto considers the hot/cold "
+                        "split only for fused tables at least this big "
+                        "(small tables' direct gathers are never "
+                        "descriptor-bound — ncf's 21.5 MB table measured "
+                        "0.86x under the split); explicit "
+                        "--embedding_impl hotcold bypasses the floor")
     p.add_argument("--accept_ragged", action="store_true",
                    help="serve RAGGED real-inference requests: engines "
                         "pre-warm a masked program per bucket and "
@@ -174,6 +181,8 @@ def _model_overrides(args) -> dict:
         overrides["hot_set_rows"] = args.hot_set_rows
     if args.hotcold_min_hit is not None:
         overrides["hotcold_min_hit"] = args.hotcold_min_hit
+    if args.hotcold_min_table_mb != 128.0:
+        overrides["hotcold_min_table_mb"] = args.hotcold_min_table_mb
     if args.table_quant != "none":
         overrides["table_quant"] = args.table_quant
     overrides["table_pack"] = args.table_pack

@@ -569,8 +569,8 @@ def scan_budget_subsample(arr: np.ndarray, budget: int) -> np.ndarray:
     imports THIS function, so it always benchmarks the shipped gate).
     Whole-row striding preserves head frequencies, so selection quality
     degrades gracefully."""
-    if not budget:
-        return arr
+    if budget <= 0:  # 0 (and any negative, the common 'unlimited'
+        return arr   # convention) = no cap — never 'scan almost nothing'
     per_row = arr.shape[1] * arr.shape[2]
     max_rows = max(budget // per_row, 2)
     if arr.shape[0] <= max_rows:

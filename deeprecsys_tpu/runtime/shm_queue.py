@@ -132,7 +132,10 @@ class ShmRingQueue:
     """queue.Queue-compatible subset backed by the native MPMC ring."""
 
     def __init__(self, capacity: int = 1024, shm_name: str | None = None, create: bool = True):
+        import threading
+
         self._lib = native.get_lib()
+        self._op_lock = threading.Lock()
         cap = 1
         while cap < capacity:
             cap *= 2
@@ -165,9 +168,18 @@ class ShmRingQueue:
 
     # -- queue.Queue subset -------------------------------------------
 
-    def _live_mem(self):
-        # close() nulls _mem; the native side would dereference NULL and
-        # SEGFAULT the process — raise the queue-like Python error instead.
+    # Close-vs-in-flight safety: close() unmaps the shm, so any native
+    # call racing it would dereference freed memory (SIGSEGV, not an
+    # exception). _op_lock serializes THIS PROCESS's native calls against
+    # close(); it is held only across one bounded native call at a time
+    # (the put retry loop re-takes it per attempt), and cross-process
+    # concurrency is untouched (the native ring is MPMC; other processes
+    # hold their own mappings). Blocking get() waits are chunked so a
+    # pending close() is observed within ~50 ms.
+    _WAIT_CHUNK_NS = 50_000_000
+
+    def _checked_mem(self):
+        # Caller must hold _op_lock. close() nulls _mem under the lock.
         if self._mem is None:
             raise ValueError("ring is closed")
         return self._mem
@@ -176,33 +188,47 @@ class ShmRingQueue:
         data = pack_packet(obj)
         deadline = None if timeout is None else time.monotonic() + timeout
         while True:
-            if self._lib.drs_ring_push(self._live_mem(), data) == 0:
-                return
+            with self._op_lock:
+                if self._lib.drs_ring_push(self._checked_mem(), data) == 0:
+                    return
             if deadline is not None and time.monotonic() > deadline:
                 raise TimeoutError("ring full")
             time.sleep(0.00005)
 
     def get(self, timeout: float | None = None):
         out = ctypes.create_string_buffer(64)
-        t_ns = -1 if timeout is None else int(timeout * 1e9)
-        rc = self._lib.drs_ring_pop_wait(self._live_mem(), out, t_ns)
-        if rc != 0:
-            raise Empty()
-        return unpack_packet(out.raw)
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            if deadline is None:
+                t_ns = self._WAIT_CHUNK_NS
+            else:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    raise Empty()
+                t_ns = min(int(left * 1e9), self._WAIT_CHUNK_NS)
+            with self._op_lock:
+                rc = self._lib.drs_ring_pop_wait(self._checked_mem(), out, t_ns)
+            if rc == 0:
+                return unpack_packet(out.raw)
+            if deadline is not None and time.monotonic() >= deadline:
+                raise Empty()
 
     def get_nowait(self):
         out = ctypes.create_string_buffer(64)
-        if self._lib.drs_ring_pop(self._live_mem(), out) != 0:
-            raise Empty()
+        with self._op_lock:
+            if self._lib.drs_ring_pop(self._checked_mem(), out) != 0:
+                raise Empty()
         return unpack_packet(out.raw)
 
     def qsize(self) -> int:
-        return int(self._lib.drs_ring_approx_size(self._live_mem()))
+        with self._op_lock:
+            return int(self._lib.drs_ring_approx_size(self._checked_mem()))
 
     def close(self):
         if self._shm is not None:
-            self._mem = None
-            self._shm.close()
+            with self._op_lock:
+                self._mem = None
+                self._shm.close()
 
     def unlink(self):
         if self._shm is not None:

@@ -170,11 +170,14 @@ class ServingServer:
         # Idempotent: HttpIngress.stop() stops its registry's servers, and
         # callers commonly stop their server again right after — on the
         # cpu-mp backend a second stop would push the shutdown sentinel
-        # into an already-unmapped native shm ring (a segfault, not an
-        # exception; found by tools/cpu_mp_soak.py's shutdown).
-        if getattr(self, "_stopped", False):
-            return
-        self._stopped = True
+        # into an already-unmapped native shm ring (historically a
+        # segfault; the ring now raises, found by tools/cpu_mp_soak.py).
+        # CAS under the lock: two CONCURRENT stops must not both proceed
+        # (double sentinels + cleanup racing the other's engine joins).
+        with self._lock:
+            if getattr(self, "_stopped", False):
+                return
+            self._stopped = True
         for e in self.engines:
             q = self.accel_request_q if getattr(e, "request_q", None) is self.accel_request_q \
                 else self.request_q

@@ -120,7 +120,10 @@ def main():
     finally:
         stop.set()
         for t in threads:
-            t.join(timeout=60)
+            # Outwait the clients' 120 s urlopen: a join that returns with
+            # a request legitimately in flight would read its slot as a
+            # "leak" in the headline metric below.
+            t.join(timeout=150)
         # Quiesced: every staged slot must have come back.
         leaked = server._arena.in_flight()
         ing.stop()

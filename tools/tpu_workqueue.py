@@ -578,9 +578,11 @@ def job_zipf_bench(model, iters=32):
     production-representative stream the uniform bench can't see.
     Merges into benchmarks/zipf_bench.json (the same artifact
     `python bench.py --stream zipf` writes) and warms the server-side
-    compile cache for the driver's run. ``iters``: raise for sub-0.1 ms
-    models (ncf ~0.06 ms/iter: a 32-iter chain is ~2 ms of signal under
-    ~ms relay jitter — the slope comes out negative)."""
+    compile cache for the driver's run. Methodology rev 2: measure_skewed
+    defaults to per-call DEVICE time from profiler traces; ``iters`` maps
+    to traced dispatches (clamped to [4, 32] — device-busy time has no
+    chip-load spread, so long chains buy nothing; the old chain-mode
+    sub-0.1 ms jitter note is history, see benchmarks/README.md)."""
     import json as _json
 
     from deeprecsys_tpu.experiments.skew_bench import measure_skewed
@@ -1800,15 +1802,15 @@ def job_hlo_chain_hotcold(model="rm1", source="neg", pack=0, n=8, batch=512):
                  else jax.device_put(host.dense, device))
     idx_dev = jax.device_put(idx, device)
 
-    def body_of(prm):
+    def loop_over(prm, dense, indices, hs, hm, ci, cseg):
         def body(i, c):
-            s = {"hot_sel": jnp.roll(sp_args[0], i, axis=0),
-                 "hot_mask": jnp.roll(sp_args[1], i, axis=0),
-                 "cold_ids": jnp.roll(sp_args[2], i, axis=0),
-                 "cold_seg": sp_args[3]}
-            out = hc.apply(prm, Batch(dense=dense_arg, indices=idx_arg), s)
+            s = {"hot_sel": jnp.roll(hs, i, axis=0),
+                 "hot_mask": jnp.roll(hm, i, axis=0),
+                 "cold_ids": jnp.roll(ci, i, axis=0), "cold_seg": cseg}
+            d = None if dense is None else dense
+            out = hc.apply(prm, Batch(dense=d, indices=indices), s)
             return c + jnp.sum(out.astype(jnp.float32))
-        return body
+        return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
     if source == "neg":
         from deeprecsys_tpu.utils.layouts import (
@@ -1830,21 +1832,15 @@ def job_hlo_chain_hotcold(model="rm1", source="neg", pack=0, n=8, batch=512):
         if fmts is not None:
             params = jax.device_put(params, fmts)
 
-        def program(n, prm, dense, indices, hs, hm, ci, cseg):
-            global sp_args, dense_arg, idx_arg
-            sp_args, dense_arg, idx_arg = (hs, hm, ci, cseg), dense, indices
-            return lax.fori_loop(0, n, body_of(prm),
-                                 jnp.zeros((), jnp.float32))
+        def program(nn, prm, dense, indices, hs, hm, ci, cseg):
+            return loop_over(prm, dense, indices, hs, hm, ci, cseg)
 
         args = (params, dense_dev, idx_dev, sp["hot_sel"], sp["hot_mask"],
                 sp["cold_ids"], sp["cold_seg"])
     else:
-        def program(n, dense, indices, hs, hm, ci, cseg):
-            global sp_args, dense_arg, idx_arg
-            sp_args, dense_arg, idx_arg = (hs, hm, ci, cseg), dense, indices
+        def program(nn, dense, indices, hs, hm, ci, cseg):
             prm = hc.convert_params(model_fns.init(jax.random.PRNGKey(0)))
-            return lax.fori_loop(0, n, body_of(prm),
-                                 jnp.zeros((), jnp.float32))
+            return loop_over(prm, dense, indices, hs, hm, ci, cseg)
 
         args = (dense_dev, idx_dev, sp["hot_sel"], sp["hot_mask"],
                 sp["cold_ids"], sp["cold_seg"])
