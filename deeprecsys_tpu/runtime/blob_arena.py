@@ -80,6 +80,7 @@ class BlobArena:
         else:
             self._shm = shared_memory.SharedMemory(name=name)
         self._free = list(range(self.n_slots)) if create else None
+        self._free_set = set(self._free) if create else None
         self._lock = threading.Lock() if create else None
 
     # -- parent-side allocation ----------------------------------------
@@ -91,11 +92,24 @@ class BlobArena:
                     f"payload arena exhausted ({self.n_slots} slots in "
                     f"flight); raise the slot count or apply client-side "
                     f"backpressure")
-            return self._free.pop()
+            slot = self._free.pop()
+            self._free_set.discard(slot)
+            return slot
 
     def free(self, slot: int):
+        # Double-free guard: a slot returned twice would be handed to two
+        # concurrent queries, which then alias one slot's bytes across
+        # processes — silent payload/score corruption. Fail loudly instead
+        # (the router's pop-from-_slot_owners makes this unreachable today;
+        # the guard keeps it that way).
         with self._lock:
+            if not 0 <= slot < self.n_slots:
+                raise ValueError(
+                    f"free of slot {slot} outside [0, {self.n_slots})")
+            if slot in self._free_set:
+                raise RuntimeError(f"double free of arena slot {slot}")
             self._free.append(slot)
+            self._free_set.add(slot)
 
     def in_flight(self) -> int:
         with self._lock:

@@ -339,6 +339,12 @@ def test_blob_arena_roundtrip_and_exhaustion():
         with pytest.raises(ValueError, match="exceeds"):
             parent.write_batch(s2, big, None)
         parent.free(s1)
+        # Double free is a loud error (two owners would alias one slot's
+        # bytes across processes), as is freeing outside the slot range.
+        with pytest.raises(RuntimeError, match="double free"):
+            parent.free(s1)
+        with pytest.raises(ValueError, match="outside"):
+            parent.free(parent.n_slots)
         parent.free(s2)
         assert parent.in_flight() == 0
         assert parent.alloc() in (s1, s2)  # recycled
