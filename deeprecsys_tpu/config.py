@@ -443,6 +443,12 @@ class ServingConfig:
     # carries no mask, so auto resolves to the direct gather.
     accept_ragged: bool = False
 
+    # cpu-mp payload transport capacity: BlobArena slots (one per
+    # in-flight /v1/predict SUB-request — a query holds
+    # ceil(batch/sub_task_batch_size) slots until its scores return).
+    # Arena exhaustion fails the query loudly with a pointer here.
+    payload_arena_slots: int = 256
+
     seed: int = 123
     debug_mode: bool = False
     log_file: str | None = None
@@ -457,3 +463,7 @@ class ServingConfig:
             raise ValueError(
                 f"hotcold_refresh_window must be >= 2 when refresh tracking "
                 f"is on; got {self.hotcold_refresh_window}")
+        if self.payload_arena_slots < 1:
+            raise ValueError(
+                f"payload_arena_slots must be >= 1; got "
+                f"{self.payload_arena_slots}")

@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "/v1/predict takes 'lengths' (+ flat 'values' "
                         "CSR or padded indices); thread + cpu-mp "
                         "backends")
+    p.add_argument("--payload_arena_slots", type=int, default=256,
+                   help="cpu-mp payload transport capacity: blob-arena "
+                        "slots, one per in-flight /v1/predict "
+                        "sub-request; exhaustion fails the query loudly")
     p.add_argument("--table_pack", type=int, default=0,
                    help="pack N logical rows per physical table row "
                         "(0 = auto to 128-byte rows — the measured 2x fix "
@@ -246,6 +250,7 @@ def serving_config_from_args(args) -> ServingConfig:
         hotcold_refresh_window=args.hotcold_refresh_window,
         hotcold_scan_budget=args.hotcold_scan_budget,
         accept_ragged=args.accept_ragged,
+        payload_arena_slots=args.payload_arena_slots,
         seed=args.numpy_rand_seed,
         log_file=args.log_file,
         debug_mode=args.debug_mode,

@@ -131,7 +131,7 @@ class _ReadyReceiver:
 
 def spawn_process_engines(model_cfg: ModelConfig, cfg: ServingConfig, capacity: int = 1024,
                           checkpoint_path: str | None = None,
-                          arena_slots: int = 256):
+                          arena_slots: int | None = None):
     """Create shm rings + blob arena + N engine processes. Returns
     (request_q, response_q, ready_receiver, processes, cleanup_fn,
     control_rings, arena) — control_rings[i] is engine i's reload side
@@ -157,6 +157,8 @@ def spawn_process_engines(model_cfg: ModelConfig, cfg: ServingConfig, capacity: 
                             model_cfg.num_indices_per_lookup,
                             model_cfg.dense_dim, model_cfg.out_dim,
                             with_mask=cfg.accept_ragged)
+    if arena_slots is None:
+        arena_slots = cfg.payload_arena_slots
     arena = BlobArena(f"{tag}_blob", arena_slots, slot_b, create=True)
     arena_spec = (arena.name, arena.n_slots, arena.slot_bytes)
 

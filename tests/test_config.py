@@ -1,7 +1,9 @@
 import numpy as np
 import pytest
 
-from deeprecsys_tpu.config import ModelConfig, model_config_from_dict, _expand_din_tables
+from deeprecsys_tpu.config import (ModelConfig, ServingConfig,
+                                   model_config_from_dict,
+                                   _expand_din_tables)
 from deeprecsys_tpu import zoo
 
 
@@ -85,6 +87,8 @@ def test_validation():
         ModelConfig(model_type="ncf", embedding_rows=(1, 2, 3))
     with pytest.raises(ValueError):
         ModelConfig(interaction_op="cross")
+    with pytest.raises(ValueError, match="payload_arena_slots"):
+        ServingConfig(payload_arena_slots=0)
 
 
 def test_table_scale():

@@ -171,9 +171,12 @@ def test_predict_over_process_engines():
     def serve_predict(backend):
         cfg = ServingConfig(engine_backend=backend, inference_engines=1,
                             sub_task_batch_size=8, max_mini_batch_size=16,
-                            batch_buckets=(8, 16))
+                            batch_buckets=(8, 16), payload_arena_slots=7)
         server = ServingServer(model_cfg, cfg)
         server.start(timeout=300)
+        if backend == "cpu-mp":
+            # The configured transport capacity reaches the arena.
+            assert server._arena.n_slots == 7
         ing = HttpIngress(server)
         ing.start()
         base = "http://%s:%s" % ing.address
