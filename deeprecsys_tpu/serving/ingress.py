@@ -57,6 +57,14 @@ class InferenceError(RuntimeError):
         self.code = code
 
 
+class OverloadedError(RuntimeError):
+    """The query was rejected for lack of transport capacity (blob-arena
+    exhaustion: payload_arena_slots sub-requests already in flight).
+    Retryable by the client — the HTTP layer maps it to 503, not 500
+    (and never to a dropped connection, which a bare RuntimeError
+    escaping the handler would produce)."""
+
+
 class _Pending:
     """One submitted query awaiting its sub-batch responses."""
 
@@ -367,10 +375,10 @@ class ServingServer:
                     # slots.
                     try:
                         slot = self._arena.alloc()
-                    except RuntimeError:
+                    except RuntimeError as e:
                         with self._lock:
                             self._pending.pop(key, None)
-                        raise
+                        raise OverloadedError(str(e)) from e
                     try:
                         self._arena.write_batch(slot, sub.indices, sub.dense,
                                                 mask=sub.mask)
@@ -935,6 +943,10 @@ def _make_handler(registry: dict[str, ServingServer], default: str,
                     self._json(501, {"error": str(e)})
                 except TimeoutError as e:
                     self._json(504, {"error": str(e)})
+                except OverloadedError as e:
+                    # Transport backpressure (arena slots exhausted):
+                    # retryable, the client should back off — 503.
+                    self._json(503, {"error": str(e)})
                 except InferenceError as e:
                     self._json(504 if e.code == ERR_DEADLINE else 500,
                                {"error": str(e)})
