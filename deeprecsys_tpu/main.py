@@ -73,7 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "/v1/predict takes 'lengths' (+ flat 'values' "
                         "CSR or padded indices); thread + cpu-mp "
                         "backends")
-    p.add_argument("--payload_arena_slots", type=int, default=256,
+    p.add_argument("--payload_arena_slots", type=int,
+                   default=ServingConfig.payload_arena_slots,
                    help="cpu-mp payload transport capacity: blob-arena "
                         "slots, one per in-flight /v1/predict "
                         "sub-request; exhaustion fails the query loudly")

@@ -109,6 +109,10 @@ class ServingServer:
         self._stop = threading.Event()
         self.procs: list = []
         self._cleanup = None
+        # Router-thread arena-guard trips (double free / out-of-range):
+        # counted and surfaced in /v1/healthz instead of killing the
+        # router (ADVICE r4).
+        self.arena_faults = 0
         self.accel_request_q: queue.Queue = queue.Queue(maxsize=32)
 
         cfg = serving_cfg
@@ -485,7 +489,23 @@ class ServingServer:
                                   f"{slot} readback failed ({e!r})",
                                   flush=True)
                             r.error_code = ERR_READBACK
-                    self._arena.free(slot)
+                    try:
+                        self._arena.free(slot)
+                    except Exception:
+                        # The arena's double-free / out-of-range guards
+                        # raise on purpose — but this is the daemon router
+                        # thread: an unhandled raise here would kill it
+                        # silently and turn every later query into an
+                        # undiagnosed 504. Keep the failure LOUD and the
+                        # router ALIVE: full traceback + a counter that
+                        # /v1/healthz reports (ADVICE r4).
+                        import traceback
+
+                        self.arena_faults += 1
+                        print(f"[deeprecsys_tpu] ERROR: arena free({slot}) "
+                              f"raised in the router thread (arena_faults="
+                              f"{self.arena_faults}):\n"
+                              f"{traceback.format_exc()}", flush=True)
             key = (r.epoch, r.batch_id, r.exp_packet)
             with self._lock:
                 pend = self._pending.get(key)
@@ -680,6 +700,12 @@ def _health(server: ServingServer) -> dict:
         # traffic means leaked slots (an engine died mid-payload).
         out["payload_slots_in_flight"] = arena.in_flight()
         out["payload_slots_total"] = arena.n_slots
+        if server.arena_faults:
+            # Router-thread arena-guard trips (double free/out-of-range):
+            # the router stays alive, but each trip is a real protocol
+            # bug — any nonzero value deserves a look at the server log.
+            out["status"] = "degraded"
+            out["arena_faults"] = server.arena_faults
     # Which lookup implementation each compute engine actually chose
     # (embedding_impl="auto" decides per engine from its sampled stream) —
     # an operator diagnosing latency needs to see the decision, not just

@@ -276,6 +276,89 @@ def test_predict_ragged_over_process_engines():
         ing.stop()
 
 
+def test_predict_arena_exhaustion_503_then_recovery():
+    """Transport backpressure end-to-end (VERDICT r4 #3): when every
+    blob-arena slot is staged for in-flight payload sub-requests, a new
+    /v1/predict must fail fast with a retryable 503 (OverloadedError ->
+    HTTP 503, ingress.py predict handler), leak nothing, and recover to
+    200 once capacity returns. Then a concurrent burst over a tiny arena:
+    every response is 200 or 503 (never a hang, a 500, or a router
+    death), in-flight drains to zero, and the server still serves."""
+    import numpy as np
+
+    pytest.importorskip("deeprecsys_tpu.runtime.shm_queue")
+    from deeprecsys_tpu.runtime.native import native_available
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    rows = np.asarray(model_cfg.scaled_rows, dtype=np.int64)
+    T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, rows[None, :, None], size=(4, T, L)).astype(np.int32)
+    body = {"indices": idx.tolist()}
+    cfg = ServingConfig(engine_backend="cpu-mp", inference_engines=1,
+                        sub_task_batch_size=8, max_mini_batch_size=16,
+                        batch_buckets=(8, 16), payload_arena_slots=2)
+    server = ServingServer(model_cfg, cfg)
+    server.start(timeout=300)
+    ing = HttpIngress(server)
+    ing.start()
+    base = "http://%s:%s" % ing.address
+    try:
+        # Phase 1 — deterministic exhaustion: stage both slots (as two
+        # in-flight queries would), then a predict must 503 with the
+        # retryable exhaustion message, not queue or 500.
+        held = [server._arena.alloc() for _ in range(2)]
+        assert server._arena.in_flight() == 2
+        try:
+            _post(f"{base}/v1/predict", body)
+            raise AssertionError("expected 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            err = json.loads(e.read())["error"]
+            assert "slot" in err  # points the operator at the knob
+        # The failed query must not leak pending state or slots.
+        assert server._arena.in_flight() == 2
+        assert not server._pending
+        for s in held:
+            server._arena.free(s)
+        status, out = _post(f"{base}/v1/predict", body)  # recovery
+        assert status == 200
+        assert np.asarray(out["scores"]).shape == (4, model_cfg.out_dim)
+        assert server._arena.in_flight() == 0
+
+        # Phase 2 — concurrent burst over the 2-slot arena: 8 parallel
+        # predicts race for slots. Each must resolve as 200 or 503.
+        results = [None] * 8
+
+        def hit(i):
+            try:
+                results[i] = _post(f"{base}/v1/predict", body)[0]
+            except urllib.error.HTTPError as e:
+                results[i] = e.code
+
+        ts = [threading.Thread(target=hit, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert all(r in (200, 503) for r in results), results
+        assert 200 in results  # the burst wasn't a blanket failure
+        # Exhaustion/recovery cycle complete: nothing left in flight,
+        # the router survived (healthz reports zero arena faults), and
+        # the server still answers.
+        assert server._arena.in_flight() == 0
+        status, h = _get(f"{base}/v1/healthz")
+        assert status == 200 and "arena_faults" not in h
+        status, _ = _post(f"{base}/v1/predict", body)
+        assert status == 200
+    finally:
+        ing.stop()
+        server.stop()
+
+
 def test_multi_model_registry():
     """Two model families behind one ingress; per-model routing + listing."""
     servers = {}

@@ -57,9 +57,10 @@ def main():
     rows = np.asarray(model_cfg.scaled_rows, dtype=np.int64)
     T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
     stop = threading.Event()
-    errors, ok = [], [0]
+    errors, ok, backpressured = [], [0], [0]
 
     def client(seed):
+        import urllib.error
         import urllib.request
 
         rng = np.random.default_rng(seed)
@@ -80,22 +81,84 @@ def main():
                     req, timeout=120).read())
                 assert len(out["scores"]) == b
                 ok[0] += 1
+            except urllib.error.HTTPError as e:
+                if e.code == 503:
+                    # Expected during the exhaustion cycles: retryable
+                    # backpressure, not a fault. Counted separately.
+                    backpressured[0] += 1
+                else:
+                    errors.append(repr(e))
+                    if len(errors) > 50:
+                        return
             except Exception as e:
                 errors.append(repr(e))
                 if len(errors) > 50:
                     return
             stop.wait(rng.exponential(1.0 / args.rate))
 
+    samples = []
+    t0 = time.time()
+    t_end = t0 + args.minutes * 60
+
+    def run_exhaustion_cycle():
+        """Backpressure phase (VERDICT r4 #3): stage EVERY arena slot
+        (as in-flight queries would), drive predicts into the wall —
+        each must fail fast with a retryable 503, never hang or 500 —
+        then release and confirm recovery to 200. Recorded in the
+        artifact as proof the exhaustion/recovery path survives a soak,
+        not just a unit test."""
+        import urllib.error
+        import urllib.request
+
+        held = []
+        try:
+            while True:
+                held.append(server._arena.alloc())
+        except RuntimeError:
+            pass  # arena full — exactly the state under test
+        outcome = {"slots_staged": len(held), "n_503": 0, "n_other": 0,
+                   "recovered_200": False}
+        idx = np.zeros((1, T, L), dtype=np.int32)
+        body = json.dumps({"indices": idx.tolist()}).encode()
+        for _ in range(3):
+            try:
+                req = urllib.request.Request(
+                    base + "/v1/predict", data=body,
+                    headers={"Content-Type": "application/json"})
+                urllib.request.urlopen(req, timeout=60)
+                outcome["n_other"] += 1  # a 200 here means no backpressure
+            except urllib.error.HTTPError as e:
+                if e.code == 503:
+                    outcome["n_503"] += 1
+                else:
+                    outcome["n_other"] += 1
+            except Exception:
+                outcome["n_other"] += 1
+        for s in held:
+            server._arena.free(s)
+        try:
+            req = urllib.request.Request(
+                base + "/v1/predict", data=body,
+                headers={"Content-Type": "application/json"})
+            out = json.loads(urllib.request.urlopen(req, timeout=120).read())
+            outcome["recovered_200"] = len(out["scores"]) == 1
+        except Exception as e:
+            outcome["recovery_error"] = repr(e)
+        print(f"[cpu_mp_soak] exhaustion cycle: {outcome}", flush=True)
+        return outcome
+
     threads = [threading.Thread(target=client, daemon=True, args=(s,))
                for s in range(3)]
     for t in threads:
         t.start()
-    samples = []
-    t0 = time.time()
-    t_end = t0 + args.minutes * 60
+    exhaustions = []
+    next_exhaustion = t0 + 120  # first cycle 2 min in, then every 5 min
     try:
         while time.time() < t_end:
             time.sleep(30)
+            if time.time() >= next_exhaustion:
+                exhaustions.append(run_exhaustion_cycle())
+                next_exhaustion = time.time() + 300
             import urllib.request
 
             st = json.loads(urllib.request.urlopen(
@@ -130,11 +193,15 @@ def main():
         server.stop()
     rss = [s["rss_mb"] for s in samples] or [float(rss_mb())]
     half = max(len(rss) // 2, 1)
+    if half == len(rss):  # single sample: avoid a nan second-half mean
+        rss = rss * 2
     rec = {
         "status": "done", "model": args.model, "minutes": args.minutes,
         "engines": cfg.inference_engines, "clients": len(threads),
         "predict_ok": ok[0], "n_errors": len(errors),
         "errors": errors[:10],
+        "client_503s": backpressured[0],
+        "exhaustion_cycles": exhaustions,
         "slots_leaked_at_quiesce": leaked,
         "max_slots_in_flight": max((s["slots_in_flight"] or 0)
                                    for s in samples) if samples else 0,
