@@ -71,8 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve RAGGED real-inference requests: engines "
                         "pre-warm a masked program per bucket and "
                         "/v1/predict takes 'lengths' (+ flat 'values' "
-                        "CSR or padded indices); thread + cpu-mp "
-                        "backends")
+                        "CSR or padded indices); composes with every "
+                        "backend and embedding_impl (hotcold consumes "
+                        "the mask in the host splitter; mesh engines "
+                        "shard it over 'data')")
     p.add_argument("--payload_arena_slots", type=int,
                    default=ServingConfig.payload_arena_slots,
                    help="cpu-mp payload transport capacity: blob-arena "

@@ -147,7 +147,14 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
         return out
 
     def prepare(batch: Batch) -> dict:
+        """Host split. A RAGGED batch (``batch.mask``) composes here: the
+        splitter consumes the slot mask — invalid slots are neither hot
+        hits nor cold descriptors — so the DEVICE program is unchanged
+        (same split-dict shapes; the hot-side mask-pool and the compacted
+        cold stream already carry the ragged semantics). Zero extra
+        compiles for variable-length traffic on every hotcold layout."""
         idx = np.asarray(batch.indices)
+        smask = None if batch.mask is None else np.asarray(batch.mask)
         B, T, L = idx.shape
         buckets = cold_buckets_for(B * T * L, mesh)
         if mesh is not None and n_data > 1:
@@ -155,14 +162,17 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
 
             return split_hot_cold_hybrid(idx, offsets_np, hot_ids, n_data,
                                          n_shards, rows_per_shard,
-                                         cold_buckets=buckets)
+                                         cold_buckets=buckets,
+                                         slot_mask=smask)
         if mesh is not None:
             from deeprecsys_tpu.ops.embedding import split_hot_cold_sharded
 
             return split_hot_cold_sharded(idx, offsets_np, hot_ids, n_shards,
                                           rows_per_shard,
-                                          cold_buckets=buckets)
-        return split_hot_cold(idx, offsets_np, hot_ids, cold_buckets=buckets)
+                                          cold_buckets=buckets,
+                                          slot_mask=smask)
+        return split_hot_cold(idx, offsets_np, hot_ids, cold_buckets=buckets,
+                              slot_mask=smask)
 
     def apply(params, batch: Batch, split: dict) -> jax.Array:
         from deeprecsys_tpu.models.base import compute_dtype_of

@@ -345,10 +345,12 @@ def embedding_bag_dedup(
 
 
 def _split_hot_cold_native(indices: np.ndarray, offsets: np.ndarray,
-                           hot_ids: np.ndarray):
+                           hot_ids: np.ndarray,
+                           slot_mask: "np.ndarray | None" = None):
     """Single-pass parallel C++ splitter (runtime/cpp/drs_runtime.cpp
-    drs_split_hot_cold). Returns the same arrays as the numpy path, unpadded.
-    """
+    drs_split_hot_cold_masked). Returns the same arrays as the numpy
+    path, unpadded. ``slot_mask`` (ragged pooling): invalid slots are
+    neither hot hits nor cold descriptors."""
     import ctypes
 
     from deeprecsys_tpu.runtime.native import get_lib
@@ -363,10 +365,16 @@ def _split_hot_cold_native(indices: np.ndarray, offsets: np.ndarray,
     hot_mask = np.empty(n, dtype=np.uint8)
     cold_ids = np.empty(n, dtype=np.int32)
     cold_seg = np.empty(n, dtype=np.int32)
-    n_cold = lib.drs_split_hot_cold(
+    if slot_mask is None:
+        mask_ptr = None
+    else:
+        smask = np.ascontiguousarray(slot_mask, dtype=np.uint8)
+        mask_ptr = smask.ctypes.data_as(ctypes.c_void_p)
+    n_cold = lib.drs_split_hot_cold_masked(
         idx.ctypes.data_as(ctypes.c_void_p), n,
         offs.ctypes.data_as(ctypes.c_void_p), T, L,
         hot.ctypes.data_as(ctypes.c_void_p), len(hot),
+        mask_ptr,
         hot_sel.ctypes.data_as(ctypes.c_void_p),
         hot_mask.ctypes.data_as(ctypes.c_void_p),
         cold_ids.ctypes.data_as(ctypes.c_void_p),
@@ -377,7 +385,8 @@ def _split_hot_cold_native(indices: np.ndarray, offsets: np.ndarray,
 
 
 def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray,
-                   cold_buckets=None, impl: str = "auto", pad: bool = True):
+                   cold_buckets=None, impl: str = "auto", pad: bool = True,
+                   slot_mask: "np.ndarray | None" = None):
     """Host-side split of a batch's lookups into hot-set hits and a
     COMPACTED cold stream (the refined dedup design, ROADMAP: general
     dedup is VMEM-bound; instead a STATIC hot set sized to VMEM serves
@@ -401,6 +410,12 @@ def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray
     ``pad=False`` returns the compacted stream at its EXACT length
     (C = n_cold) — for the sharded/hybrid splitters, which re-pad per
     partition cell and would otherwise pay a wasted pad+slice per request.
+
+    ``slot_mask`` ((B, T, L) bool, or None = all valid) is the RAGGED
+    pooling mask (reference: variable SparseLengthsSum lengths,
+    dlrm_s_caffe2.py:179-211): an invalid slot contributes NOTHING —
+    it is excluded from the hot mask (the hot-side mask-pool zeros it)
+    and never enters the cold stream (no wasted HBM descriptor).
     """
     B, T, L = indices.shape
 
@@ -412,7 +427,7 @@ def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray
 
     if use_native:
         hot_sel, hot_mask, raw_cold_ids, raw_cold_seg, n_cold = _split_hot_cold_native(
-            indices, offsets, hot_ids
+            indices, offsets, hot_ids, slot_mask=slot_mask
         )
     else:
         flat = (indices.astype(np.int64)
@@ -420,8 +435,14 @@ def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray
         pos = np.searchsorted(hot_ids, flat)
         pos_c = np.clip(pos, 0, len(hot_ids) - 1)
         hot_mask = hot_ids[pos_c] == flat if len(hot_ids) else np.zeros(flat.shape, bool)
+        if slot_mask is not None:
+            valid = np.asarray(slot_mask, dtype=bool).reshape(-1)
+            hot_mask &= valid
+            not_cold = hot_mask | ~valid  # invalid slots are not cold either
+        else:
+            not_cold = hot_mask
         hot_sel = np.where(hot_mask, pos_c, 0).astype(np.int32)
-        cold_positions = np.flatnonzero(~hot_mask)
+        cold_positions = np.flatnonzero(~not_cold)
         n_cold = int(cold_positions.size)
         groups = (np.arange(B * T * L) // L).astype(np.int32)
         raw_cold_ids = flat[cold_positions]
@@ -545,16 +566,23 @@ def quantize_pertable_int8(table: jax.Array, table_rows) -> dict:
 
 
 def hot_coverage_of(indices: np.ndarray, offsets: np.ndarray,
-                    hot_ids: np.ndarray) -> float:
+                    hot_ids: np.ndarray,
+                    mask: "np.ndarray | None" = None) -> float:
     """Fraction of a (B, T, L) lookup stream served by a SORTED fused
     hot-id set — the one definition shared by the serving engines'
     adaptive-refresh estimator and the skew/drift experiments (it used
-    to exist in three near-identical copies)."""
+    to exist in three near-identical copies). ``mask`` (ragged streams):
+    only VALID slots count — padded slots are not lookups and would
+    otherwise bias coverage toward whatever covers row 0."""
     if len(hot_ids) == 0:
         return 0.0
     hot_ids = np.asarray(hot_ids)
     flat = (np.asarray(indices).astype(np.int64)
             + np.asarray(offsets, dtype=np.int64)[None, :, None]).reshape(-1)
+    if mask is not None:
+        flat = flat[np.asarray(mask, dtype=bool).reshape(-1)]
+        if flat.size == 0:
+            return 0.0
     pos = np.clip(np.searchsorted(hot_ids, flat), 0, len(hot_ids) - 1)
     return float((hot_ids[pos] == flat).mean())
 
@@ -579,16 +607,21 @@ def scan_budget_subsample(arr: np.ndarray, budget: int) -> np.ndarray:
     return arr[::stride]
 
 
-def select_hot_ids(indices_sample: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
+def select_hot_ids(indices_sample: np.ndarray, offsets: np.ndarray, k: int,
+                   mask: "np.ndarray | None" = None) -> np.ndarray:
     """Pick the hot set for ``split_hot_cold``: the k most frequent fused
     row ids in a representative index sample (production streams are
     Zipfian — the stack-distance locality the reference's trace machinery
     models, ``data_generator/trace_profile.py``). Returns SORTED fused ids.
+    ``mask`` (ragged streams): padded slots are excluded — their index-0
+    filler would otherwise count as the most popular row of every table.
     """
     if k <= 0:  # "no hot set" — [-0:] would slice EVERYTHING hot
         return np.empty(0, dtype=np.int64)
     flat = (indices_sample.astype(np.int64)
             + np.asarray(offsets, dtype=np.int64)[None, :, None]).reshape(-1)
+    if mask is not None:
+        flat = flat[np.asarray(mask, dtype=bool).reshape(-1)]
     uniq, counts = np.unique(flat, return_counts=True)
     if len(uniq) <= k:
         return np.sort(uniq)
@@ -599,7 +632,8 @@ def select_hot_ids(indices_sample: np.ndarray, offsets: np.ndarray, k: int) -> n
 def split_hot_cold_sharded(indices: np.ndarray, offsets: np.ndarray,
                            hot_ids: np.ndarray, n_shards: int,
                            rows_per_shard: int, cold_buckets=None,
-                           impl: str = "auto"):
+                           impl: str = "auto",
+                           slot_mask: "np.ndarray | None" = None):
     """Hot/cold split with the cold stream PARTITIONED BY OWNING SHARD for
     row-sharded tables (chip k owns fused rows [k*rows_per_shard, ...)).
 
@@ -620,7 +654,7 @@ def split_hot_cold_sharded(indices: np.ndarray, offsets: np.ndarray,
     """
     h = split_hot_cold_hybrid(indices, offsets, hot_ids, 1, n_shards,
                               rows_per_shard, cold_buckets=cold_buckets,
-                              impl=impl)
+                              impl=impl, slot_mask=slot_mask)
     return {"hot_sel": h["hot_sel"], "hot_mask": h["hot_mask"],
             "cold_local": h["cold_local"][0], "cold_seg": h["cold_seg"][0],
             "n_cold": h["n_cold"]}
@@ -629,7 +663,8 @@ def split_hot_cold_sharded(indices: np.ndarray, offsets: np.ndarray,
 def split_hot_cold_hybrid(indices: np.ndarray, offsets: np.ndarray,
                           hot_ids: np.ndarray, n_data: int, n_model: int,
                           rows_per_shard: int, cold_buckets=None,
-                          impl: str = "auto"):
+                          impl: str = "auto",
+                          slot_mask: "np.ndarray | None" = None):
     """Hot/cold split for the HYBRID (data x model) mesh: the cold stream
     is partitioned by (data shard of the query row, owning table shard),
     so each of the D*M chips gathers only the cold rows ITS table shard
@@ -643,7 +678,8 @@ def split_hot_cold_hybrid(indices: np.ndarray, offsets: np.ndarray,
       cold_seg   (D, M, C_pad) int32 — local pooling group (pad -> B/D*T)
       n_cold     int
     """
-    base = split_hot_cold(indices, offsets, hot_ids, impl=impl, pad=False)
+    base = split_hot_cold(indices, offsets, hot_ids, impl=impl, pad=False,
+                          slot_mask=slot_mask)
     B, T, L = indices.shape
     assert B % n_data == 0, (B, n_data)
     b_loc = B // n_data

@@ -79,9 +79,14 @@ def param_shardings(params, mesh: Mesh):
 
 
 def batch_shardings(mesh: Mesh, has_dense: bool):
+    """Batch input shardings: everything row-shards over "data". The
+    ragged slot mask shards exactly like the indices it masks; for a
+    batch whose mask is None the entry is inert (None is an empty
+    subtree — the sharding broadcasts over nothing)."""
     dense = NamedSharding(mesh, P("data", None)) if has_dense else None
     idx = NamedSharding(mesh, P("data", None, None))
-    return Batch(dense=dense, indices=idx)
+    return Batch(dense=dense, indices=idx,
+                 mask=NamedSharding(mesh, P("data", None, None)))
 
 
 def shard_params(params, mesh: Mesh):

@@ -288,11 +288,15 @@ class SplitPool {
 
 }  // namespace
 
-extern "C" int64_t drs_split_hot_cold(
+// `slot_mask` (nullable, n bytes): ragged pooling — a 0 slot is a padded
+// (invalid) lookup that must contribute NOTHING: neither a hot hit nor a
+// cold descriptor (exact variable-length SparseLengthsSum semantics,
+// reference dlrm_s_caffe2.py:179-211 lengths queues).
+extern "C" int64_t drs_split_hot_cold_masked(
     const int32_t* indices, int64_t n, const int64_t* offsets, int64_t T,
-    int64_t L, const int64_t* hot_ids, int64_t K, int32_t* hot_sel,
-    uint8_t* hot_mask, int32_t* cold_ids, int32_t* cold_seg,
-    int32_t n_threads) {
+    int64_t L, const int64_t* hot_ids, int64_t K, const uint8_t* slot_mask,
+    int32_t* hot_sel, uint8_t* hot_mask, int32_t* cold_ids,
+    int32_t* cold_seg, int32_t n_threads) {
   if (n == 0) return 0;
   int nt = n_threads > 0 ? n_threads
                          : (int)std::min<int64_t>(
@@ -311,6 +315,11 @@ extern "C" int64_t drs_split_hot_cold(
     int64_t lo = g_lo * L, hi = g_hi * L;
     int64_t w = lo;  // chunk-local cold write cursor (base = chunk start)
     for (int64_t i = lo; i < hi; ++i) {
+      if (slot_mask && !slot_mask[i]) {
+        hot_sel[i] = 0;
+        hot_mask[i] = 0;  // contributes zero via the hot-side mask-pool
+        continue;         // and never enters the cold stream
+      }
       int64_t g = i / L;
       int64_t t = g % T;
       int64_t fused = (int64_t)indices[i] + offsets[t];
@@ -345,6 +354,16 @@ extern "C" int64_t drs_split_hot_cold(
     total += chunk_cold[c];
   }
   return total;
+}
+
+extern "C" int64_t drs_split_hot_cold(
+    const int32_t* indices, int64_t n, const int64_t* offsets, int64_t T,
+    int64_t L, const int64_t* hot_ids, int64_t K, int32_t* hot_sel,
+    uint8_t* hot_mask, int32_t* cold_ids, int32_t* cold_seg,
+    int32_t n_threads) {
+  return drs_split_hot_cold_masked(indices, n, offsets, T, L, hot_ids, K,
+                                   nullptr, hot_sel, hot_mask, cold_ids,
+                                   cold_seg, n_threads);
 }
 
 // LRU stack-distance trace generator (native path of

@@ -93,6 +93,16 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p,  # cold_ids, cold_seg
         ctypes.c_int32,  # n_threads
     ]
+    lib.drs_split_hot_cold_masked.restype = ctypes.c_int64
+    lib.drs_split_hot_cold_masked.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,  # indices, n
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # offsets, T, L
+        ctypes.c_void_p, ctypes.c_int64,  # hot_ids, K
+        ctypes.c_void_p,  # slot_mask (ragged; NULL = all valid)
+        ctypes.c_void_p, ctypes.c_void_p,  # hot_sel, hot_mask
+        ctypes.c_void_p, ctypes.c_void_p,  # cold_ids, cold_seg
+        ctypes.c_int32,  # n_threads
+    ]
     _lib = lib
     return _lib
 

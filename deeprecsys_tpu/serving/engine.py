@@ -247,21 +247,14 @@ class ComputeEngine(threading.Thread):
     def _setup(self):
         model = get_model(self.model_cfg)
         impl = self.model_cfg.embedding_impl
-        if self.serving_cfg.accept_ragged:
-            if self.mesh is not None:
-                raise ValueError(
-                    "accept_ragged is not supported on mesh engines (the "
-                    "sharded batch layout carries no mask)")
-            if impl == "hotcold":
-                raise ValueError(
-                    "accept_ragged cannot compose with embedding_impl="
-                    "'hotcold' (the host splitter carries no mask); use "
-                    "'xla' or 'auto'")
-            if impl == "auto":
-                # Ragged serving runs the masked direct programs; a
-                # hot/cold split would silently ignore the mask. Resolve
-                # auto to the direct gather up front.
-                impl = "xla"
+        # accept_ragged composes with EVERY engine configuration (round 5;
+        # rounds 1-4 refused mesh and hotcold here): the host splitter
+        # consumes the slot mask (ops/embedding.py split_hot_cold
+        # slot_mask= — invalid slots are neither hot hits nor cold
+        # descriptors, so the hotcold DEVICE program is mask-free and
+        # identical for ragged and fixed-length traffic), and the mesh
+        # direct path shards the mask over "data" exactly like the indices
+        # it masks (parallel/sharding.py batch_shardings).
         # Round 2-3 guarded auto against hotcold x packed tables on
         # din-class models here; round 4's HLO diff showed that
         # regression was a measurement-layout artifact (a 2.95 GB
@@ -448,6 +441,18 @@ class ComputeEngine(threading.Thread):
                 self._direct_fn(
                     base, self._device_batch(self._host_data[b])
                 ).block_until_ready()
+                if self.serving_cfg.accept_ragged:
+                    # The hotcold program is mask-free (the host split
+                    # consumes the mask), but this DIRECT fallback is the
+                    # model's own masked gather — a ragged request after a
+                    # runtime disable would otherwise compile in the serve
+                    # loop.
+                    sliced = self._host_data[b]
+                    ragged = sliced._replace(
+                        mask=np.ones(sliced.indices.shape, dtype=bool))
+                    self._direct_fn(
+                        base, self._device_batch(ragged)
+                    ).block_until_ready()
             if self.mesh is not None:
                 # Mesh hot-set swaps re-derive the replicated hot table
                 # from the SHARDED live tables. Compile that program ONCE
@@ -558,12 +563,13 @@ class ComputeEngine(threading.Thread):
             return False
         if p.mask is not None:
             if not self.serving_cfg.accept_ragged:
-                # Only ragged-enabled engines can honor a mask: they
-                # pre-warmed the masked program twin (a mask on a plain
-                # engine would trigger a serve-loop compile — minutes on
-                # a relayed backend) and setup already refused the
-                # hotcold/mesh configurations that would silently IGNORE
-                # the mask and return wrong scores.
+                # Only ragged-enabled engines can honor a mask: direct
+                # engines pre-warmed the masked program twin (a mask on a
+                # plain engine would trigger a serve-loop compile —
+                # minutes on a relayed backend); hotcold engines consume
+                # the mask in the host splitter (mask-free device
+                # program) but their refusal here keeps the opt-in
+                # contract uniform across impls.
                 return False
             if p.mask.shape != (r.batch_size, T, L):
                 return False
@@ -631,7 +637,11 @@ class ComputeEngine(threading.Thread):
 
             sh = batch_shardings(self.mesh, has_dense=host_batch.dense is not None)
             dense = None if host_batch.dense is None else jax.device_put(host_batch.dense, sh.dense)
-            return Batch(dense=dense, indices=jax.device_put(host_batch.indices, sh.indices))
+            mask = (None if host_batch.mask is None
+                    else jax.device_put(host_batch.mask, sh.mask))
+            return Batch(dense=dense,
+                         indices=jax.device_put(host_batch.indices, sh.indices),
+                         mask=mask)
         dense = None if host_batch.dense is None else jax.device_put(host_batch.dense, self.device)
         mask = None if host_batch.mask is None else jax.device_put(host_batch.mask, self.device)
         return Batch(dense=dense, indices=jax.device_put(host_batch.indices, self.device),
@@ -797,11 +807,19 @@ class ComputeEngine(threading.Thread):
         cfg = self.serving_cfg
         hm = np.asarray(split["hot_mask"])[:real_rows]
         self._live_hot += int(hm.sum())
-        self._live_total += int(hm.size)
+        if host.mask is None:
+            self._live_total += int(hm.size)
+        else:
+            # Ragged batch: the splitter zeroed hot_mask on invalid slots,
+            # so they are non-hits by construction — counting them in the
+            # denominator would read a phantom coverage collapse on
+            # short-group traffic and trigger refreshes that change
+            # nothing. Only VALID slots are lookups.
+            self._live_total += int(np.asarray(host.mask[:real_rows]).sum())
         if self._refresh_buf is None:
             self._refresh_buf = collections.deque(
                 maxlen=max(cfg.hotcold_refresh_window, 1))
-        self._refresh_buf.append(np.asarray(host.indices[:real_rows]))
+        self._refresh_buf.append(self._buffered(host, real_rows))
         self._tracked_since_check += 1
         if self._tracked_since_check < cfg.hotcold_refresh_interval:
             return False
@@ -843,6 +861,17 @@ class ComputeEngine(threading.Thread):
             return True
         return self._refresh_hot_set(cov)
 
+    @staticmethod
+    def _buffered(host, real_rows: int):
+        """Refresh-buffer entry: (indices, mask-or-None) for the REAL
+        request rows. The mask rides along so candidate selection and
+        coverage scoring exclude padded slots (a ragged stream's index-0
+        filler would otherwise be counted as the hottest row of every
+        table)."""
+        return (np.asarray(host.indices[:real_rows]),
+                None if host.mask is None
+                else np.asarray(host.mask[:real_rows]))
+
     def _candidate_hot_ids(self):
         """(new_hot, est_coverage) from the buffered recent stream.
         ``new_hot`` is selected on all buffered batches EXCEPT a held-out
@@ -875,19 +904,39 @@ class ComputeEngine(threading.Thread):
         n_hold = max(1, len(batches) // 4)
         from deeprecsys_tpu.ops.embedding import scan_budget_subsample
 
+        def cat(entries):
+            """(indices, mask) over a buffer slice, ragged-aware: mask is
+            None iff no entry carried one (the common fixed-length case
+            stays zero-overhead); mixed windows fill all-true for the
+            fixed-length members."""
+            idxs = [e[0] for e in entries]
+            idx = np.concatenate(idxs, axis=0)
+            if all(e[1] is None for e in entries):
+                return idx, None
+            mask = np.concatenate(
+                [np.ones(e[0].shape, dtype=bool) if e[1] is None else e[1]
+                 for e in entries], axis=0)
+            return idx, mask
+
         # Scan-budget gate (ops/embedding.py docstring has the numbers):
-        # the sort-unique selection runs on the DISPATCH thread.
+        # the sort-unique selection runs on the DISPATCH thread. The
+        # subsample strides ROWS, so the mask strides identically.
         budget = self.serving_cfg.hotcold_scan_budget
-        select = scan_budget_subsample(
-            np.concatenate(batches[:-n_hold], axis=0), budget)
-        holdout = scan_budget_subsample(
-            np.concatenate(batches[-n_hold:], axis=0), budget)
-        new_hot = select_hot_ids(select, offsets, k)
+        sel_idx, sel_mask = cat(batches[:-n_hold])
+        hold_idx, hold_mask = cat(batches[-n_hold:])
+        select = scan_budget_subsample(sel_idx, budget)
+        holdout = scan_budget_subsample(hold_idx, budget)
+        if sel_mask is not None:
+            sel_mask = scan_budget_subsample(sel_mask, budget)
+        if hold_mask is not None:
+            hold_mask = scan_budget_subsample(hold_mask, budget)
+        new_hot = select_hot_ids(select, offsets, k, mask=sel_mask)
         if len(new_hot) < k:
             extra = np.setdiff1d(self._hotcold.hot_ids, new_hot)
             new_hot = np.sort(np.concatenate(
                 [new_hot, extra[:k - len(new_hot)]]))
-        return new_hot, hot_coverage_of(holdout, offsets, new_hot)
+        return new_hot, hot_coverage_of(holdout, offsets, new_hot,
+                                        mask=hold_mask)
 
     def _refresh_hot_set(self, live_cov: float) -> bool:
         """Live coverage collapsed: re-derive the hot set from the
@@ -985,7 +1034,7 @@ class ComputeEngine(threading.Thread):
         interval, estimate what a re-derived hot set WOULD cover (pure
         host math — no device work) and re-enable the split when a
         popular head returns."""
-        self._refresh_buf.append(np.asarray(host.indices[:real_rows]))
+        self._refresh_buf.append(self._buffered(host, real_rows))
         self._tracked_since_check += 1
         if self._tracked_since_check < self.serving_cfg.hotcold_refresh_interval:
             return
@@ -1218,9 +1267,6 @@ class ComputeEngine(threading.Thread):
                 host = self._assemble_host(group, bucket)
             else:
                 host = self._host_data[bucket]
-            # Fresh host->device transfer each execution: honest serving
-            # cost (the reference re-feeds host blobs through BlobsQueues).
-            dev_batch = self._device_batch(host)
             use_hc = self._hotcold is not None and self._hotcold_active
             # Drift tracking sees only the REAL request rows (the rest of
             # the bucket is warm-up-generator padding that would dilute
@@ -1246,7 +1292,14 @@ class ComputeEngine(threading.Thread):
                             split = self._hotcold.prepare(host)
                         else:
                             use_hc = False
+            # Fresh host->device transfer each execution: honest serving
+            # cost (the reference re-feeds host blobs through BlobsQueues).
+            # The hotcold dispatch strips the ragged mask: the host split
+            # already consumed it, so the device program (and its compiled
+            # executable) is the same for ragged and fixed-length traffic.
             if use_hc:
+                dev_batch = self._device_batch(
+                    host if host.mask is None else host._replace(mask=None))
                 out = self._jitted[bucket](self.params, dev_batch,
                                            self._device_split(split))
             elif self._hotcold is not None:
@@ -1258,9 +1311,10 @@ class ComputeEngine(threading.Thread):
                 if (self.serving_cfg.hotcold_refresh_interval > 0
                         and not ingested):
                     self._track_direct(host, real_rows)
-                out = self._direct_dispatch(dev_batch)
+                out = self._direct_dispatch(self._device_batch(host))
             else:
-                out = self._jitted[bucket](self.params, dev_batch)
+                out = self._jitted[bucket](self.params,
+                                           self._device_batch(host))
             queue_end = time.time()
             self._pending.put((group, out, queue_start, queue_end))
 

@@ -92,6 +92,7 @@ class ServingServer:
         accel_latency_model: LatencyModel | None = None,
         params=None,
         checkpoint_path: str | None = None,
+        mesh=None,
     ):
         import collections
 
@@ -117,6 +118,11 @@ class ServingServer:
 
         cfg = serving_cfg
         self.engines = []
+        if mesh is not None and cfg.engine_backend == "cpu-mp":
+            # Mesh engines are thread engines jitted over the device mesh;
+            # a per-OS-process mesh would shard each child over the SAME
+            # chips, multiplying nothing.
+            raise NotImplementedError("mesh with cpu-mp ingress")
         if cfg.engine_backend == "cpu-mp":
             # Reference-topology OS-process engines over native shm rings
             # (process_engine.py). The accel offload path needs an
@@ -161,7 +167,7 @@ class ServingServer:
         self.engines, self.n_engines = build_engine_pool(
             model_cfg, cfg, self.request_q, self.accel_request_q,
             self.response_q, self.ready_q, latency_model, accel_latency_model,
-            params)
+            params, mesh=mesh)
 
         self._router = threading.Thread(target=self._route_loop, daemon=True,
                                         name="ingress-router")

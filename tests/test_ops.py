@@ -368,3 +368,114 @@ def test_pad_csr_roundtrip():
                             max_len=3)
     np.testing.assert_array_equal(idx_f, idx)
     np.testing.assert_array_equal(mask_f, mask)
+
+
+def test_split_hot_cold_masked_semantics_and_native_parity():
+    """Ragged x hotcold (VERDICT r4 #2): the host splitter with a slot
+    mask — an invalid slot is neither a hot hit (the hot-side mask-pool
+    zeros it) nor a cold descriptor (no wasted HBM gather). The native
+    C++ splitter (drs_split_hot_cold_masked) must agree with the numpy
+    path bit-for-bit, and the sharded/hybrid partitioned splits must
+    conserve the masked cold count."""
+    from deeprecsys_tpu.ops.embedding import (
+        split_hot_cold,
+        split_hot_cold_hybrid,
+        split_hot_cold_sharded,
+    )
+    from deeprecsys_tpu.runtime.native import native_available
+
+    rng = np.random.default_rng(0)
+    B, T, L = 16, 4, 6
+    offsets = np.arange(T, dtype=np.int64) * 100
+    idx = rng.integers(0, 100, size=(B, T, L)).astype(np.int32)
+    hot = np.sort(rng.choice(400, 50, replace=False)).astype(np.int64)
+    mask = rng.random((B, T, L)) < 0.7
+
+    s = split_hot_cold(idx, offsets, hot, impl="numpy", slot_mask=mask)
+    flat = (idx.astype(np.int64) + offsets[None, :, None]).reshape(-1)
+    valid = mask.reshape(-1)
+    in_hot = np.isin(flat, hot)
+    np.testing.assert_array_equal(
+        np.asarray(s["hot_mask"]).reshape(-1).astype(bool), in_hot & valid)
+    assert s["n_cold"] == int((~in_hot & valid).sum())
+    # Compacted stream carries exactly the VALID cold lookups, in order.
+    cold_pos = np.flatnonzero(~in_hot & valid)
+    np.testing.assert_array_equal(
+        np.asarray(s["cold_ids"])[: s["n_cold"]], flat[cold_pos])
+
+    if native_available():
+        nat = split_hot_cold(idx, offsets, hot, impl="native", slot_mask=mask)
+        for k in s:
+            np.testing.assert_array_equal(np.asarray(s[k]), np.asarray(nat[k]))
+
+    sh = split_hot_cold_sharded(idx, offsets, hot, 4, 100, slot_mask=mask)
+    hy = split_hot_cold_hybrid(idx, offsets, hot, 2, 4, 100, slot_mask=mask)
+    assert sh["n_cold"] == s["n_cold"] == hy["n_cold"]
+
+
+def test_select_hot_ids_and_coverage_masked():
+    """Ragged refresh scans: padded slots are excluded from hot-set
+    selection (their index-0 filler would otherwise count as the hottest
+    row of every table) and from coverage (non-lookups are not misses)."""
+    from deeprecsys_tpu.ops.embedding import hot_coverage_of, select_hot_ids
+
+    T, L = 1, 4
+    offsets = np.zeros(T, dtype=np.int64)
+    # Valid slots all hit row 7; padding is the row-0 filler.
+    idx = np.zeros((8, T, L), dtype=np.int32)
+    idx[:, :, 0] = 7
+    mask = np.zeros((8, T, L), dtype=bool)
+    mask[:, :, 0] = True
+    assert list(select_hot_ids(idx, offsets, 1, mask=mask)) == [7]
+    assert list(select_hot_ids(idx, offsets, 1)) == [0]  # unmasked: filler wins
+    assert hot_coverage_of(idx, offsets, np.array([7]), mask=mask) == 1.0
+    assert hot_coverage_of(idx, offsets, np.array([7])) == pytest.approx(0.25)
+    # All-padded stream: no lookups -> coverage 0, not a div-by-zero.
+    assert hot_coverage_of(idx, offsets, np.array([7]),
+                           mask=np.zeros_like(mask)) == 0.0
+
+
+@pytest.mark.parametrize("layout", ["float", "packed", "int8", "q_packed",
+                                    "int8_rowwise"])
+def test_masked_hotcold_matches_masked_direct(layout):
+    """Ragged x hotcold end-to-end across every table layout: the hotcold
+    apply on a masked-split batch (mask consumed on the HOST, device
+    program mask-free) equals the model's own masked direct forward."""
+    from deeprecsys_tpu.config import ModelConfig
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.models.hotcold import make_hotcold_model
+    from deeprecsys_tpu.ops.embedding import select_hot_ids
+
+    quant = {"int8": "int8", "q_packed": "int8",
+             "int8_rowwise": "int8_rowwise"}.get(layout, "none")
+    pack = 2 if layout in ("packed", "q_packed") else 1
+    rng = np.random.default_rng(7)
+    B, T, L = 8, 2, 5
+    cfg = ModelConfig(model_type="dlrm", model_name="m",
+                      mlp_bot=(4, 8), mlp_top=(8, 1),
+                      embedding_rows=(64, 32), sparse_feature_size=8,
+                      num_indices_per_lookup=L, interaction_op="cat",
+                      table_quant=quant, table_pack=pack,
+                      compute_dtype="float32", param_dtype="float32")
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    idx = rng.integers(0, np.asarray(cfg.scaled_rows)[None, :, None],
+                       size=(B, T, L)).astype(np.int32)
+    dense = rng.normal(size=(B, cfg.dense_dim)).astype(np.float32)
+    lengths = rng.integers(0, L + 1, size=(B, T))  # includes empty groups
+    mask = np.arange(L)[None, None, :] < lengths[:, :, None]
+    batch = Batch(dense=jnp.asarray(dense), indices=jnp.asarray(idx),
+                  mask=jnp.asarray(mask))
+    direct = np.asarray(model.apply(params, batch), dtype=np.float32)
+
+    offs = np.asarray(cfg.table_offsets)
+    sample = rng.integers(0, np.asarray(cfg.scaled_rows)[None, :, None],
+                          size=(64, T, L)).astype(np.int32)
+    hot = select_hot_ids(np.concatenate([sample, idx]), offs, 30)
+    hc = make_hotcold_model(model, hot)
+    split = hc.prepare(batch)  # consumes batch.mask
+    got = np.asarray(hc.apply(hc.convert_params(params),
+                              batch._replace(mask=None), split),
+                     dtype=np.float32)
+    np.testing.assert_allclose(got, direct, rtol=1e-4, atol=1e-5)

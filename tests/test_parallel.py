@@ -729,3 +729,61 @@ def test_mesh_hotcold_adaptive_refresh_recovers_from_drift(axes):
     finally:
         req_q.put(None)
         eng.join(timeout=60)
+
+
+@pytest.mark.parametrize("impl,axes", [("xla", (2, 4)), ("hotcold", (1, 4)),
+                                       ("hotcold", (2, 4))])
+def test_ragged_payload_through_mesh_engine(impl, axes):
+    """Ragged real inference on MESH engines (VERDICT r4 #2: the two
+    configurations accept_ragged used to refuse). Direct mesh engines
+    shard the slot mask over "data" like the indices it masks; hotcold
+    mesh engines consume the mask in the host splitter (per-shard cold
+    partitions carry only VALID lookups) and run a mask-free device
+    program. Scores must equal the single-device masked forward."""
+    import queue
+    import time
+
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.serving.engine import ComputeEngine
+    from deeprecsys_tpu.serving.packets import ServiceRequest
+
+    model_cfg = zoo.get_config("rm1", table_scale=SCALE)
+    if impl == "hotcold":
+        model_cfg = model_cfg.replace(embedding_impl="hotcold",
+                                      hot_set_rows=64)
+    cfg = ServingConfig(engine_backend="cpu", batch_buckets=(8,),
+                        max_mini_batch_size=8, accept_ragged=True)
+    mesh = make_mesh(data=axes[0], model=axes[1],
+                     devices=jax.devices()[: axes[0] * axes[1]])
+    rows = np.asarray(model_cfg.scaled_rows, dtype=np.int64)
+    rng = np.random.default_rng(17)
+    T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+    idx = rng.integers(0, rows[None, :, None], size=(8, T, L)).astype(np.int32)
+    dense = rng.normal(size=(8, model_cfg.dense_dim)).astype(np.float32)
+    lengths = rng.integers(0, L + 1, size=(8, T))  # includes empty groups
+    mask = np.arange(L)[None, None, :] < lengths[:, :, None]
+
+    req_q, resp_q, ready_q = queue.Queue(), queue.Queue(), queue.Queue()
+    eng = ComputeEngine(0, model_cfg, cfg, req_q, resp_q, ready_q, mesh=mesh)
+    eng.start()
+    got = ready_q.get(timeout=600)
+    assert not isinstance(got, Exception), got
+    try:
+        if impl == "hotcold":
+            assert eng._hotcold is not None  # the split actually ran
+        req_q.put(ServiceRequest(batch_id=0, arrival_time=time.time(),
+                                 batch_size=8,
+                                 payload=Batch(dense=dense, indices=idx,
+                                               mask=mask)))
+        r = resp_q.get(timeout=300)
+        assert r.error_code == 0 and r.scores is not None
+
+        direct = get_model(model_cfg.replace(embedding_impl="xla"))
+        want = np.asarray(direct.apply(
+            direct.init(jax.random.PRNGKey(0)),
+            Batch(dense=jnp.asarray(dense), indices=jnp.asarray(idx),
+                  mask=jnp.asarray(mask))), dtype=np.float32)
+        np.testing.assert_allclose(r.scores, want, rtol=2e-4, atol=1e-5)
+    finally:
+        req_q.put(None)
+        eng.join(timeout=60)

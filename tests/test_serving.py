@@ -1821,3 +1821,114 @@ def test_payload_scores_through_hotcold_engine():
     np.testing.assert_allclose(r.scores, want, rtol=1e-5, atol=1e-6)
     req_q.put(None)
     eng.join(timeout=30)
+
+
+def test_hotcold_refresh_tracks_ragged_streams_by_valid_slots():
+    """Ragged x adaptive refresh (VERDICT r4 #2): on a masked stream the
+    tracker must count coverage over VALID slots only (a lengths-1 batch
+    on an L=80 model is 79/80 padding — counting pads as misses would
+    read a phantom coverage collapse), and candidate selection must
+    exclude the padded slots' index-0 filler (which would otherwise be
+    the 'hottest' row of every table). Drift in the VALID lookups must
+    still be caught and the refreshed hot set must be the drifted head,
+    not the filler."""
+    import jax
+    import numpy as np
+
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.serving.ingress import ServingServer
+
+    model_cfg = zoo.get_config("rm1", table_scale=500).replace(
+        embedding_impl="hotcold", hot_set_rows=8)
+    cfg = ServingConfig(engine_backend="cpu", inference_engines=1,
+                        batch_buckets=(8,), max_mini_batch_size=8,
+                        sub_task_batch_size=8, accept_ragged=True,
+                        hotcold_refresh_interval=4,
+                        hotcold_refresh_window=8,
+                        hotcold_refresh_margin=0.05)
+    server = ServingServer(model_cfg, cfg)
+    server.start()
+    try:
+        eng = server.engines[0]
+        assert eng._hotcold is not None
+        offsets = np.asarray(model_cfg.table_offsets, dtype=np.int64)
+        rows = np.asarray(model_cfg.scaled_rows)
+        T, L = model_cfg.num_tables, model_cfg.num_indices_per_lookup
+        B = 8
+        hot = np.asarray(eng._hotcold.hot_ids)
+        rng = np.random.default_rng(3)
+        dense = rng.random((B, model_cfg.dense_dim)).astype(np.float32)
+
+        def ragged_predict(per_table_ids):
+            """One valid slot per (b, t) carrying per_table_ids[t] (or a
+            masked-empty group where it is None); slots 1.. are the
+            index-0 filler a buggy tracker would count."""
+            idx = np.zeros((B, T, L), dtype=np.int64)
+            lengths = np.zeros((B, T), dtype=np.int64)
+            for t, i in enumerate(per_table_ids):
+                if i is not None:
+                    idx[:, t, 0] = i
+                    lengths[:, t] = 1
+            return server.predict(indices=idx, lengths=lengths, dense=dense)
+
+        # Phase 1 — valid slots live entirely INSIDE the warm-up hot set:
+        # live coverage must read ~1.0 (valid-only denominator; the
+        # padded slots would drag it to ~1/80) and nothing may refresh.
+        hot_local = [None] * T
+        for h in hot:
+            t = int(np.searchsorted(offsets, h, side="right") - 1)
+            hot_local[t] = int(h - offsets[t])
+        assert any(i is not None for i in hot_local)
+        for _ in range(4):  # one full interval
+            ragged_predict(hot_local)
+        assert eng.live_hot_coverage > 0.9, (
+            "padded slots leaked into the coverage denominator")
+        assert eng.hot_refreshes == 0 and eng._hotcold_active
+
+        # Phase 2 — the VALID head drifts to one cold nonzero row per
+        # table. The refresh must install exactly that head: a tracker
+        # that counted padded slots would select the 8 index-0 fillers
+        # instead (79x more frequent) and serve a useless hot set.
+        hotset = set(int(h) for h in hot)
+        pool = []
+        for t in range(T):
+            cand = next(i for i in range(1, int(rows[t]))
+                        if int(offsets[t]) + i not in hotset)
+            pool.append(cand)
+        fused_pool = {int(offsets[t]) + pool[t] for t in range(T)}
+        for _ in range(24):
+            ragged_predict(pool)
+            if eng.hot_refreshes >= 1:
+                break
+        assert eng.hot_refreshes >= 1, "masked drift never caught"
+        assert eng._hotcold_active, "masked refresh must not disable"
+        new_hot = set(int(h) for h in eng._hotcold.hot_ids)
+        assert len(new_hot & fused_pool) >= 6, (
+            f"refreshed set {sorted(new_hot)} ignored the valid head "
+            f"{sorted(fused_pool)} (filler selection?)")
+        # Steady state on the drifted head: coverage holds, no flapping.
+        n_ref = eng.hot_refreshes
+        for _ in range(4):
+            ragged_predict(pool)
+        assert eng.live_hot_coverage > 0.9
+        assert eng.hot_refreshes == n_ref
+
+        # Scores through the refreshed masked split == direct masked
+        # forward on the live params.
+        out = ragged_predict(pool)
+        idx = np.zeros((B, T, L), dtype=np.int32)
+        mask = np.zeros((B, T, L), dtype=bool)
+        for t, i in enumerate(pool):
+            idx[:, t, 0] = i
+            mask[:, t, 0] = True
+        direct = get_model(model_cfg.replace(embedding_impl="xla"))
+        base = {k: v for k, v in eng.params.items() if k != "hot_table"}
+        want = np.asarray(direct.apply(
+            base, Batch(dense=jax.numpy.asarray(dense),
+                        indices=jax.numpy.asarray(idx),
+                        mask=jax.numpy.asarray(mask))), dtype=np.float32)
+        np.testing.assert_allclose(np.asarray(out["scores"], np.float32),
+                                   want, rtol=1e-5, atol=1e-6)
+    finally:
+        server.stop()
