@@ -125,10 +125,13 @@ class ServingServer:
             raise NotImplementedError("mesh with cpu-mp ingress")
         if cfg.engine_backend == "cpu-mp":
             # Reference-topology OS-process engines over native shm rings
-            # (process_engine.py). The accel offload path needs an
-            # in-parent engine and is not supported in this mode.
-            if cfg.model_accel:
-                raise NotImplementedError("model_accel with cpu-mp ingress")
+            # (process_engine.py). With model_accel this is the
+            # reference's CANONICAL topology — N CPU engine processes
+            # PLUS the accel engine (DeepRecSys.py:62-66): the accel
+            # engine lives in the PARENT process (a SimEngine computes
+            # nothing — no shm payload needed; a real offload engine owns
+            # the parent's device) fed by the in-process accel queue,
+            # with its own response queue drained by a second router.
             if params is not None:
                 # A loaded pytree cannot cross the POD rings; silently
                 # random-initializing the children while the caller
@@ -153,6 +156,49 @@ class ServingServer:
             self._slot_owners: dict[tuple, int] = {}
             self._router = threading.Thread(target=self._route_loop, daemon=True,
                                             name="ingress-router")
+            if cfg.model_accel:
+                from deeprecsys_tpu.serving.engine import (
+                    ComputeEngine,
+                    SimEngine,
+                )
+
+                self._accel_resp_q: queue.Queue = queue.Queue()
+                self._accel_ready_q: queue.Queue = queue.Queue()
+                aid = cfg.inference_engines
+                if accel_latency_model is not None:
+                    accel = SimEngine(aid, model_cfg, cfg,
+                                      self.accel_request_q,
+                                      self._accel_resp_q,
+                                      self._accel_ready_q,
+                                      accel_latency_model)
+                else:
+                    import jax
+
+                    from deeprecsys_tpu.serving.buckets import resolve_buckets
+
+                    accel_params = None
+                    if checkpoint_path:
+                        # Children load the checkpoint in-child; the
+                        # parent-side accel engine must serve the same
+                        # weights.
+                        from deeprecsys_tpu.utils.checkpoint import (
+                            load_model_params,
+                        )
+
+                        accel_params = load_model_params(model_cfg,
+                                                         checkpoint_path)
+                    accel = ComputeEngine(
+                        aid, model_cfg, cfg, self.accel_request_q,
+                        self._accel_resp_q, self._accel_ready_q,
+                        device=jax.devices()[0], params=accel_params,
+                        seed=cfg.seed + aid,
+                        buckets=resolve_buckets(cfg),
+                        strict_buckets=False)
+                self.engines = [accel]
+                self.n_engines = cfg.inference_engines + 1
+                self._accel_router = threading.Thread(
+                    target=self._accel_route_loop, daemon=True,
+                    name="ingress-accel-router")
             return
 
         self.request_q = queue.Queue(maxsize=1024)
@@ -177,10 +223,22 @@ class ServingServer:
     def start(self, timeout: float = 300.0):
         for e in self.engines:
             e.start()
-        for _ in range(self.n_engines):
+        # cpu-mp: the shm ready ring carries the CHILD readiness signals;
+        # the parent-side accel engine (if any) reports separately below.
+        n_wait = len(self.procs) if self.procs else self.n_engines
+        for _ in range(n_wait):
             got = self.ready_q.get(timeout=timeout)
             if isinstance(got, Exception):
                 raise RuntimeError("engine failed during warm-up") from got
+        if getattr(self, "_accel_ready_q", None) is not None:
+            # cpu-mp + model_accel: the parent-side accel engine reports
+            # on its own queue (the shm ready ring belongs to the
+            # children).
+            got = self._accel_ready_q.get(timeout=timeout)
+            if isinstance(got, Exception):
+                raise RuntimeError(
+                    "accel engine failed during warm-up") from got
+            self._accel_router.start()
         self._router.start()
         self._t_start = time.time()
 
@@ -208,6 +266,9 @@ class ServingServer:
         self._stop.set()
         if self._router.is_alive():
             self._router.join(timeout=5)
+        accel_router = getattr(self, "_accel_router", None)
+        if accel_router is not None and accel_router.is_alive():
+            accel_router.join(timeout=5)
         if self._cleanup is not None:
             self._cleanup()
 
@@ -473,55 +534,72 @@ class ServingServer:
                             f"(its stderr has the exception)")
                     h.event.set()
                 continue
-            if getattr(self, "_slot_owners", None):
-                # cpu-mp payload response: the scores came back through
-                # the request's arena slot (written before the ring push —
-                # release/acquire orders the bytes). Hydrate r.scores and
-                # return the slot, whether this response is a success, an
-                # engine error, or a straggler of a timed-out query.
-                with self._lock:
-                    slot = self._slot_owners.pop(
-                        (r.epoch, r.batch_id, r.sub_id), None)
-                if slot is not None:
-                    if not r.error_code:
-                        try:
-                            r.scores = self._arena.read_scores(slot)
-                        except Exception as e:
-                            from deeprecsys_tpu.serving.packets import (
-                                ERR_READBACK,
-                            )
+            self._ingest_response(r)
 
-                            print(f"[deeprecsys_tpu] WARNING: arena slot "
-                                  f"{slot} readback failed ({e!r})",
-                                  flush=True)
-                            r.error_code = ERR_READBACK
-                    try:
-                        self._arena.free(slot)
-                    except Exception:
-                        # The arena's double-free / out-of-range guards
-                        # raise on purpose — but this is the daemon router
-                        # thread: an unhandled raise here would kill it
-                        # silently and turn every later query into an
-                        # undiagnosed 504. Keep the failure LOUD and the
-                        # router ALIVE: full traceback + a counter that
-                        # /v1/healthz reports (ADVICE r4).
-                        import traceback
+    def _accel_route_loop(self):
+        """cpu-mp accel rejoin: the parent-side accel engine answers on a
+        plain in-process queue (its requests never ride the shm rings);
+        same rejoin as the main router. Thread mode needs no twin — there
+        the accel engine shares the pool's response queue."""
+        while not self._stop.is_set():
+            try:
+                r = self._accel_resp_q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            if r is None:
+                continue
+            self._ingest_response(r)
 
-                        self.arena_faults += 1
-                        print(f"[deeprecsys_tpu] ERROR: arena free({slot}) "
-                              f"raised in the router thread (arena_faults="
-                              f"{self.arena_faults}):\n"
-                              f"{traceback.format_exc()}", flush=True)
-            key = (r.epoch, r.batch_id, r.exp_packet)
+    def _ingest_response(self, r):
+        if getattr(self, "_slot_owners", None):
+            # cpu-mp payload response: the scores came back through
+            # the request's arena slot (written before the ring push —
+            # release/acquire orders the bytes). Hydrate r.scores and
+            # return the slot, whether this response is a success, an
+            # engine error, or a straggler of a timed-out query.
             with self._lock:
-                pend = self._pending.get(key)
-                if pend is None:
-                    continue  # timed-out query's stragglers
-                pend.responses.append(r)
-                pend.remaining -= 1
-                if pend.remaining == 0:
-                    del self._pending[key]
-                    pend.event.set()
+                slot = self._slot_owners.pop(
+                    (r.epoch, r.batch_id, r.sub_id), None)
+            if slot is not None:
+                if not r.error_code:
+                    try:
+                        r.scores = self._arena.read_scores(slot)
+                    except Exception as e:
+                        from deeprecsys_tpu.serving.packets import (
+                            ERR_READBACK,
+                        )
+
+                        print(f"[deeprecsys_tpu] WARNING: arena slot "
+                              f"{slot} readback failed ({e!r})",
+                              flush=True)
+                        r.error_code = ERR_READBACK
+                try:
+                    self._arena.free(slot)
+                except Exception:
+                    # The arena's double-free / out-of-range guards
+                    # raise on purpose — but this is the daemon router
+                    # thread: an unhandled raise here would kill it
+                    # silently and turn every later query into an
+                    # undiagnosed 504. Keep the failure LOUD and the
+                    # router ALIVE: full traceback + a counter that
+                    # /v1/healthz reports (ADVICE r4).
+                    import traceback
+
+                    self.arena_faults += 1
+                    print(f"[deeprecsys_tpu] ERROR: arena free({slot}) "
+                          f"raised in the router thread (arena_faults="
+                          f"{self.arena_faults}):\n"
+                          f"{traceback.format_exc()}", flush=True)
+        key = (r.epoch, r.batch_id, r.exp_packet)
+        with self._lock:
+            pend = self._pending.get(key)
+            if pend is None:
+                return  # timed-out query's stragglers
+            pend.responses.append(r)
+            pend.remaining -= 1
+            if pend.remaining == 0:
+                del self._pending[key]
+                pend.event.set()
 
     # -- model management -----------------------------------------------
 
@@ -611,7 +689,18 @@ class ServingServer:
                         f"engine process {eid} control ring full "
                         f"({e}); reload not delivered")
                     h.event.set()
-        return [h for _, _, h in handles]
+        out = [h for _, _, h in handles]
+        # Parent-side accel engine (cpu-mp + model_accel with a REAL
+        # offload engine): reload it through the thread-engine slot so
+        # the accel path serves the same weights as the children. Sim
+        # accel engines have no params and no request_reload.
+        accel_handles = [e.request_reload(path) for e in self.engines
+                         if hasattr(e, "request_reload")]
+        if accel_handles:
+            out = out + accel_handles
+            with self._lock:
+                self._reload_handles = list(self._reload_handles) + accel_handles
+        return out
 
     def reload_status(self) -> dict:
         """{scheduled, applied, failed, errors} for the last reload()."""

@@ -2071,7 +2071,8 @@ def job_chain_hlo_text(model="rm1", pack=0, n=8, batch=512):
 _TRAIN_QUALITY_DIR = Path.home() / ".cache" / "deeprecsys_tpu" / "train_quality"
 
 
-def job_train_quality(model="rm1", steps=1200, batch=512, eval_every=100):
+def job_train_quality(model="rm1", steps=1200, batch=512, eval_every=100,
+                      table_scale=1, table_lr=1e-3):
     """Training-to-quality at FULL production scale (VERDICT r3 #1): the
     sparse touched-rows trainer on a zipf(1.2) stream with a PLANTED
     per-row signal (experiments/train_quality.py) to convergence — the
@@ -2090,10 +2091,12 @@ def job_train_quality(model="rm1", steps=1200, batch=512, eval_every=100):
     from deeprecsys_tpu.utils.devices import pick_accel_device
 
     dev = pick_accel_device()
-    cfg = zoo.get_config(model, table_scale=1, compute_dtype="bfloat16")
+    cfg = zoo.get_config(model, table_scale=table_scale,
+                         compute_dtype="bfloat16")
     with jax.default_device(dev):
         tr, report = train_planted(cfg, steps=steps, batch=batch,
-                                   eval_every=eval_every, log=log)
+                                   eval_every=eval_every,
+                                   table_lr=table_lr, log=log)
     _TRAIN_QUALITY_DIR.mkdir(parents=True, exist_ok=True)
     ck = str(_TRAIN_QUALITY_DIR / f"{model}_f32")
     save_params(ck, tr.params)
@@ -2101,7 +2104,7 @@ def job_train_quality(model="rm1", steps=1200, batch=512, eval_every=100):
                                       table_quant="int8_rowwise")
     ck_q = str(_TRAIN_QUALITY_DIR / f"{model}_int8rw")
     save_params(ck_q, sp)
-    report.update(model=model, table_scale=1, checkpoint=ck,
+    report.update(model=model, table_scale=table_scale, checkpoint=ck,
                   serving_checkpoint=ck_q)
     path = Path(__file__).parent.parent / "benchmarks" / "train_quality.json"
     rec = _json.loads(path.read_text()) if path.exists() else {}
@@ -2145,7 +2148,8 @@ def job_train_quality_serve(model="rm1", n_batches=8, batch=512):
     rec = _json.loads(tq.read_text())
     trained = rec[model]
     ck_q = trained["serving_checkpoint"]
-    scfg = zoo.get_config(model, table_scale=1, param_dtype="bfloat16",
+    scfg = zoo.get_config(model, table_scale=trained.get("table_scale", 1),
+                          param_dtype="bfloat16",
                           compute_dtype="bfloat16",
                           table_quant="int8_rowwise")
     w = planted_weights(scfg)
@@ -2207,6 +2211,178 @@ def job_train_quality_serve(model="rm1", n_batches=8, batch=512):
     return out
 
 
+def job_splitter_host_cost(batch=512, repeats=24):
+    """Bound the host-side hot/cold prepass the zipf trace estimator
+    excludes (VERDICT r4 weak #2 / ask #4): per-call wall time of
+    ``hc.prepare`` (native C++ split + cold-stream compaction + pad) at
+    the EXACT zipf_bench operating point (b=512, zipf(1.2), the auto-
+    resolved hot set) for every model whose auto decision is hotcold.
+    Device-time ratios in ZIPF_r0N stay host-blind by design (the
+    serving pipeline overlaps the prepass with device compute of the
+    previous request); this records the number that claim leans on.
+    Host-only measurement — no TPU contention."""
+    import json as _json
+    import time as _time
+
+    import numpy as np
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.experiments.skew_bench import (
+        ZIPF_MODELS,
+        resolve_auto_impl,
+        zipf_stream,
+    )
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.models.hotcold import make_hotcold_model
+
+    out = {}
+    for model_name in ZIPF_MODELS:
+        cfg = zoo.get_config(model_name, table_scale=1,
+                             param_dtype="bfloat16",
+                             compute_dtype="bfloat16", table_pack=0)
+        idx = zipf_stream(cfg, batch)
+        chosen, hot_ids, coverage = resolve_auto_impl(cfg, idx)
+        if chosen != "hotcold":
+            out[model_name] = {"auto_impl": chosen, "host_split_ms": 0.0}
+            continue
+        hc = make_hotcold_model(get_model(cfg), hot_ids)
+        host = RecDataGenerator(cfg, seed=0).generate_batch(batch)
+        b = Batch(dense=host.dense, indices=idx)
+        hc.prepare(b)  # warm (thread pool spin-up, allocator)
+        ts = []
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            hc.prepare(b)
+            ts.append((_time.perf_counter() - t0) * 1e3)
+        n_lookups = batch * cfg.num_tables * cfg.num_indices_per_lookup
+        out[model_name] = {
+            "auto_impl": "hotcold",
+            "hot_coverage": round(float(coverage), 4),
+            "n_lookups": n_lookups,
+            "host_split_ms": round(float(np.median(ts)), 3),
+            "host_split_ms_p90": round(float(np.percentile(ts, 90)), 3),
+        }
+        log(f"splitter_host {model_name}: median "
+            f"{out[model_name]['host_split_ms']:.2f} ms / {n_lookups} "
+            f"lookups (cov {coverage:.1%})")
+    path = (Path(__file__).parent.parent / "benchmarks"
+            / "splitter_host_cost.json")
+    path.write_text(_json.dumps({"batch": batch, "repeats": repeats,
+                                 "results": out}, indent=2))
+    return out
+
+
+def job_refresh_scan_impact(model="rm2", n_per=48, interval=8, window=16,
+                            batch=512):
+    """Serving-latency impact of the CAPPED refresh scan (VERDICT r4 weak
+    #7): the budget-gated candidate derivation measured ~258 ms at rm2's
+    window (benchmarks/refresh_scan_cost.json) and runs on the DISPATCH
+    thread — a potential p99 spike per refresh window that no serving
+    measurement had quantified. Two server sessions, same stream whose
+    popular head ROTATES every ``interval`` queries (so every interval
+    check sees collapsed coverage and pays the scan): refresh tracking ON
+    vs OFF. Reports per-phase p50/p95/p99/max of the server-side
+    latency_ms. Relay-bound absolutes as always; the DELTA between the
+    phases is the scan's serving cost."""
+    import json as _json
+    import urllib.request
+
+    import numpy as np
+
+    from deeprecsys_tpu import zoo
+    from deeprecsys_tpu.config import ServingConfig
+    from deeprecsys_tpu.experiments.skew_bench import zipf_stream
+    from deeprecsys_tpu.serving.ingress import HttpIngress, ServingServer
+
+    model_cfg = zoo.get_config(model, table_scale=1, param_dtype="bfloat16",
+                               compute_dtype="bfloat16",
+                               embedding_impl="hotcold")
+    rows = np.asarray(model_cfg.scaled_rows, dtype=np.int64)
+
+    def stream(i):
+        """zipf head rotated by a per-phase offset every ``interval``
+        queries: each rotation moves the head to fresh rows, so the
+        windowed coverage collapses at every interval check."""
+        idx = zipf_stream(model_cfg, batch, seed=5000 + i)
+        shift = (1 + i // interval) * 977_231
+        return ((idx.astype(np.int64) + shift) % rows[None, :, None]).astype(
+            np.int32)
+
+    dense_rng = np.random.default_rng(3)
+
+    def run_server(cfg_kw):
+        cfg = ServingConfig(engine_backend="tpu", inference_engines=1,
+                            batch_buckets=(batch,),
+                            max_mini_batch_size=batch,
+                            sub_task_batch_size=batch, **cfg_kw)
+        server = ServingServer(model_cfg, cfg)
+        server.start(timeout=1800)
+        ing = HttpIngress(server)
+        ing.start()
+        base = "http://%s:%s" % ing.address
+        lats, timeouts = [], 0
+        try:
+            for i in range(n_per):
+                body = {"indices": stream(i).tolist()}
+                if model_cfg.dense_dim:
+                    body["dense"] = dense_rng.normal(
+                        size=(batch, model_cfg.dense_dim)
+                    ).astype(np.float32).tolist()
+                req = urllib.request.Request(
+                    base + "/v1/predict", data=_json.dumps(body).encode(),
+                    headers={"Content-Type": "application/json"})
+                try:
+                    with urllib.request.urlopen(req, timeout=600) as r:
+                        out = _json.loads(r.read())
+                    lats.append((i, out["latency_ms"]))
+                except urllib.error.HTTPError as e:
+                    if e.code != 504:
+                        raise
+                    timeouts += 1  # relay compile stall (rebuild program)
+            with urllib.request.urlopen(base + "/v1/healthz",
+                                        timeout=60) as r:
+                (impl,) = _json.loads(r.read())["embedding_impl"]
+        finally:
+            ing.stop()
+            server.stop()
+        vals = [x for _, x in lats]
+        q = lambda p: round(float(np.percentile(vals, p)), 1)
+        return {"n": len(vals), "timeouts": timeouts,
+                "p50_ms": q(50), "p95_ms": q(95), "p99_ms": q(99),
+                "max_ms": round(float(np.max(vals)), 1),
+                "hot_refreshes": impl.get("hot_refreshes"),
+                "latencies_ms": [[i, round(float(x), 1)] for i, x in lats]}
+
+    scan_on = run_server({"hotcold_refresh_interval": interval,
+                          "hotcold_refresh_window": window})
+    scan_off = run_server({})
+    # Within-phase isolation (the clean comparison — across phases the
+    # OFF control also serves a stale hot set whose larger cold stream
+    # confounds): request i with (i+1) % interval == 0 triggers the
+    # interval check, so ITS latency carries the scan.
+    lat = scan_on["latencies_ms"]
+    trig = [x for i, x in lat if (i + 1) % interval == 0]
+    rest = [x for i, x in lat if (i + 1) % interval != 0]
+    scan_on["trigger_mean_ms"] = round(float(np.mean(trig)), 1) if trig else None
+    scan_on["trigger_max_ms"] = round(float(np.max(trig)), 1) if trig else None
+    scan_on["other_mean_ms"] = round(float(np.mean(rest)), 1) if rest else None
+    out = {"model": model, "batch": batch, "interval": interval,
+           "window": window,
+           "scan_budget": ServingConfig.hotcold_scan_budget,
+           "scan_on": scan_on, "scan_off": scan_off}
+    path = (Path(__file__).parent.parent / "benchmarks"
+            / "refresh_scan_impact.json")
+    path.write_text(_json.dumps(out, indent=2))
+    log(f"refresh_scan_impact {model}: ON p95 {scan_on['p95_ms']} / "
+        f"p99 {scan_on['p99_ms']} / max {scan_on['max_ms']} ms "
+        f"({scan_on['hot_refreshes']} refreshes, {scan_on['timeouts']} "
+        f"compile-stall timeouts) vs OFF p95 {scan_off['p95_ms']} / "
+        f"p99 {scan_off['p99_ms']} / max {scan_off['max_ms']} ms")
+    return out
+
+
 def job_zipf_snapshot(round_no: int):
     """Round-stamp the skew-aware artifact (VERDICT r3 #3a): copy the
     current benchmarks/zipf_bench.json — after this round's zipf_bench:*
@@ -2228,6 +2404,12 @@ def job_zipf_snapshot(round_no: int):
     results = rec["results"]
     tputs = [results[m]["auto"]["samples_per_s"] for m in ZIPF_MODELS]
     speeds = [results[m]["auto_vs_xla"] for m in ZIPF_MODELS]
+    # Host-prepass bound (job_splitter_host_cost): the device-time ratios
+    # exclude the hotcold host split; the column states what that is.
+    host_path = (Path(__file__).parent.parent / "benchmarks"
+                 / "splitter_host_cost.json")
+    host = (_json.loads(host_path.read_text())["results"]
+            if host_path.exists() else {})
     snap = {
         "round": round_no,
         "models": list(ZIPF_MODELS),
@@ -2235,12 +2417,18 @@ def job_zipf_snapshot(round_no: int):
             float(np.exp(np.mean(np.log(tputs)))), 1),
         "geomean_auto_vs_xla": round(
             float(np.exp(np.mean(np.log(speeds)))), 3),
+        "note": ("auto/xla ratios are per-call DEVICE time; "
+                 "host_split_ms is the hotcold host prepass the serving "
+                 "pipeline overlaps (benchmarks/README.md methodology "
+                 "rev 2)"),
         "per_model": {m: {
             "auto_impl": results[m]["auto"]["impl"],
             "auto_ms": round(results[m]["auto"]["latency_ms"], 3),
             "xla_ms": round(results[m]["xla"]["latency_ms"], 3),
             "auto_vs_xla": round(results[m]["auto_vs_xla"], 3),
             "hot_coverage": results[m]["auto"]["hot_coverage"],
+            **({"host_split_ms": host[m]["host_split_ms"]}
+               if m in host else {}),
         } for m in ZIPF_MODELS},
     }
     dst = Path(__file__).parent.parent / f"ZIPF_r{round_no:02d}.json"
@@ -2633,6 +2821,21 @@ JOBS = [
     # is not an rm1 artifact.
     ("train_quality:rm3", lambda: job_train_quality("rm3")),
     ("train_quality_serve:rm3", lambda: job_train_quality_serve("rm3")),
+    # Round 5 (VERDICT r4 asks):
+    # #6 third/fourth training-to-quality families — the stacked-attention
+    # (din) and scanned-GRU (dien) gradient paths at production scale
+    # (din at table_scale=2 like train:din — 5.9 GB f32 + accumulators
+    # is over budget on one chip).
+    ("train_quality:din", lambda: job_train_quality("din", table_scale=2)),
+    ("train_quality_serve:din", lambda: job_train_quality_serve("din")),
+    ("train_quality:dien", lambda: job_train_quality("dien")),
+    ("train_quality_serve:dien", lambda: job_train_quality_serve("dien")),
+    # #4 host-prepass bound for the zipf artifact (host-only, no TPU).
+    ("splitter_host:b512", lambda: job_splitter_host_cost()),
+    # #8 does the capped refresh scan show in serving p95/p99?
+    ("refresh_scan_impact:rm2", lambda: job_refresh_scan_impact("rm2")),
+    # #4/#3a round-stamped zipf artifact with the host column.
+    ("zipf_r5:snapshot", lambda: job_zipf_snapshot(5)),
 ]
 
 
