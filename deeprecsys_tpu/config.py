@@ -116,10 +116,36 @@ class ModelConfig:
     table_pack: int = 0
     # Divide all table sizes by this factor (testing / memory-constrained runs).
     table_scale: int = 1
+    # Output head for the relu-scored families (ncf/din/dien — their
+    # reference graphs end in FC+ReLU with no sigmoid, din.py create_mlp):
+    #   "reference" — relu scores, bit-parity with the reference graph.
+    #   "logits"    — the final FC's PRE-activation. The head has no
+    #                 parameters, so checkpoints serve either head.
+    # Training REQUIRES the logits head (Trainer switches automatically):
+    # gradient descent on bce-logits pushes negative samples' pre-
+    # activations negative, relu zeroes them AND their gradients, and the
+    # model collapses to constant-0 scores with loss frozen at log 2 —
+    # measured on din at full scale (train_quality:din round 5) and
+    # reproduced at tiny scale in test_train.py. Serving a TRAINED model
+    # should also use "logits": relu ties every below-zero score at 0,
+    # destroying the learned ranking among negatives. Sigmoid-headed
+    # families (dlrm/wnd/mtwnd) reject "logits" — their sigmoid is
+    # monotone (rankings unaffected) and their training runs in
+    # probability space.
+    output_head: str = "reference"
 
     def __post_init__(self):
         if self.model_type not in MODEL_TYPES:
             raise ValueError(f"unknown model_type {self.model_type!r}; expected one of {MODEL_TYPES}")
+        if self.output_head not in ("reference", "logits"):
+            raise ValueError(f"unknown output_head {self.output_head!r} "
+                             "(valid: 'reference', 'logits')")
+        if self.output_head == "logits" and self.model_type in (
+                "dlrm", "wnd", "mtwnd"):
+            raise ValueError(
+                f"output_head='logits' applies to the relu-scored families "
+                f"(ncf/din/dien); {self.model_type} ends in a sigmoid whose "
+                f"monotone scores need no logit head")
         if self.interaction_op not in ("dot", "cat"):
             raise ValueError(f"unknown interaction_op {self.interaction_op!r}")
         if self.model_type == "ncf":

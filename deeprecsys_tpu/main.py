@@ -89,6 +89,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table_quant", type=str, default="none",
                    choices=["none", "int8", "int8_rowwise"],
                    help="embedding-table quantization (see config.py)")
+    p.add_argument("--output_head", type=str, default="reference",
+                   choices=["reference", "logits"],
+                   help="relu-family (ncf/din/dien) score head: "
+                        "'reference' = FC+relu (graph parity); 'logits' "
+                        "= the final FC's pre-activation — REQUIRED to "
+                        "rank a TRAINED model sanely (relu ties every "
+                        "below-zero score; config.py output_head). The "
+                        "head has no parameters: checkpoints serve "
+                        "either")
     p.add_argument("--compute_dtype", type=str, default=None)
 
     # Standalone characterization (reference: inferenceEngine standalone mode)
@@ -192,6 +201,8 @@ def _model_overrides(args) -> dict:
         overrides["hotcold_min_table_mb"] = args.hotcold_min_table_mb
     if args.table_quant != "none":
         overrides["table_quant"] = args.table_quant
+    if args.output_head != "reference":
+        overrides["output_head"] = args.output_head
     overrides["table_pack"] = args.table_pack
     if args.compute_dtype:
         overrides["compute_dtype"] = args.compute_dtype

@@ -74,7 +74,10 @@ def apply_from_pooled(params: dict, emb: jax.Array, batch: Batch, cfg: ModelConf
                              seq_lengths=seq_lengths)  # (B, H)
 
     z = jnp.concatenate([last, profile, ad, ctx], axis=1)  # (B, H + 3m)
-    return mlp_apply(params["top"], z)  # all-ReLU
+    # Reference head = all-ReLU; "logits" exposes the final FC's
+    # pre-activation for training/ranking (config.py output_head).
+    return mlp_apply(params["top"], z,
+                     final_relu=cfg.output_head != "logits")
 
 
 def apply(params: dict, batch: Batch, cfg: ModelConfig,

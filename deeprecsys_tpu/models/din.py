@@ -66,7 +66,11 @@ def apply_from_pooled(params: dict, emb: jax.Array, batch: Batch, cfg: ModelConf
     attention = att_out.sum(axis=1)
 
     z = jnp.concatenate([profile, attention, ad, ctx], axis=1)  # (B, 4m)
-    return mlp_apply(params["top"], z)  # all-ReLU (DIN create_mlp has no sigmoid)
+    # Reference head = all-ReLU (DIN create_mlp has no sigmoid); the
+    # "logits" head exposes the final FC's pre-activation for
+    # training/ranking (config.py output_head).
+    return mlp_apply(params["top"], z,
+                     final_relu=cfg.output_head != "logits")
 
 
 def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:

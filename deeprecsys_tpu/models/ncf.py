@@ -38,7 +38,10 @@ def apply_from_pooled(params: dict, emb: jax.Array, batch: Batch, cfg: ModelConf
     zmlp = jnp.concatenate([emb[:, 2, :], emb[:, 3, :]], axis=1)
     mlp_out = mlp_apply(params["mlp"], zmlp)
     r = jnp.concatenate([zmf, mlp_out], axis=1)
-    return mlp_apply(params["final"], r)
+    # Reference head = FC+ReLU; "logits" exposes the pre-activation for
+    # training/ranking (config.py output_head).
+    return mlp_apply(params["final"], r,
+                     final_relu=cfg.output_head != "logits")
 
 
 def apply(params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:

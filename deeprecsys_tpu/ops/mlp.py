@@ -30,20 +30,31 @@ def mlp_init(key: jax.Array, dims, dtype=jnp.float32) -> list[dict]:
     return params
 
 
-def mlp_apply(params, x: jax.Array, sigmoid_layer: int = -1) -> jax.Array:
+def mlp_apply(params, x: jax.Array, sigmoid_layer: int = -1,
+              final_relu: bool = True) -> jax.Array:
     """Run the MLP.
 
     ``sigmoid_layer`` uses the reference's 1-based layer indexing
     (``create_mlp``'s ``i == sigmoid_layer``; ``sigmoid_top = ln.size - 1``
     selects the final layer). -1 means all-ReLU.
+
+    ``final_relu=False`` leaves the LAST layer's pre-activation exposed
+    (the ``output_head="logits"`` head of the relu-scored families —
+    config.py output_head has the training/ranking rationale). Hidden
+    layers keep their relu; a ``sigmoid_layer`` hit on the last layer
+    takes precedence.
     """
     out_dtype = x.dtype
+    n = len(params)
     for i, layer in enumerate(params, start=1):
         # MXU accumulation in f32 regardless of storage dtype; downcast at
         # the layer boundary (standard bf16 practice — keeps ranking
         # fidelity, costs nothing: XLA fuses the epilogue).
         y = jnp.dot(x, layer["w"], preferred_element_type=jnp.float32)
         y = y + layer["b"].astype(jnp.float32)
-        y = jax.nn.sigmoid(y) if i == sigmoid_layer else jax.nn.relu(y)
+        if i == sigmoid_layer:
+            y = jax.nn.sigmoid(y)
+        elif i < n or final_relu:
+            y = jax.nn.relu(y)
         x = y.astype(out_dtype)
     return x

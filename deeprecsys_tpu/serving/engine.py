@@ -1447,6 +1447,15 @@ class SimEngine(threading.Thread):
                     total_sub_batches=request.total_sub_batches,
                     exp_packet=request.exp_packet, error_code=ERR_DEADLINE))
                 continue
+            # Serial sleep of the FULL per-request latency — tested
+            # deliberately (round 5): a pipeline-decomposed variant
+            # (sleep only max(compute, transfer), stamp the dispatch
+            # floor onto completion without serializing it) collapsed the
+            # sim's queueing entirely (rm1 p50 27 ms vs the real run's
+            # 580 ms) — the relay's dispatch round-trip does NOT overlap
+            # device execution, so the serial model IS the faithful one
+            # (qps within 3.5% of real; benchmarks/README.md sim-tail
+            # section).
             eval_ms = self.latency_model.predict_ms(request.batch_size)
             time.sleep(eval_ms / 1000.0)
             now = time.time()

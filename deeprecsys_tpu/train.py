@@ -304,6 +304,15 @@ class Trainer:
             # untrainable. Train unpacked — export_serving_params /
             # the serving config re-pack for deployment.
             cfg = cfg.replace(table_pack=1)
+        if not sigmoid_output(cfg) and cfg.output_head != "logits":
+            # Training the relu-scored families THROUGH the reference's
+            # final relu is gradient-dead: bce-logits pushes negative
+            # samples' pre-activations negative, relu zeroes them and
+            # their gradients, and the model collapses to constant-0
+            # scores with loss frozen at log 2 (measured on din at full
+            # scale, round 5). The head has no parameters, so the trained
+            # checkpoint serves either head (config.py output_head).
+            cfg = cfg.replace(output_head="logits")
         self.cfg = cfg
         self.mesh = mesh
         self.sparse_tables = sparse_tables

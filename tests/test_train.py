@@ -392,3 +392,89 @@ def test_criteo_holdout_eval_learns_signal(tmp_path, capsys):
           "--batch_size", "100", "--lr", "0.05"])
     out = capsys.readouterr().out
     assert "holdout AUC" in out and "logloss" in out
+
+
+def test_relu_headed_families_train_through_logits_head():
+    """Round-5 found bug (train_quality:din stalled at loss == log 2):
+    training the relu-scored families THROUGH the reference's final relu
+    is gradient-dead — bce-logits drives negative samples' pre-
+    activations negative, relu zeroes them AND their gradients, and the
+    model collapses to constant-0 scores forever. The Trainer must
+    switch to the parameterless logits head (config.output_head), under
+    which scores move off the collapse point and training makes
+    progress. The planted-signal stream reproduces the original stall
+    in ~20 steps when the head is forced back to 'reference'."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprecsys_tpu.experiments.train_quality import (
+        planted_labels,
+        planted_weights,
+        zipf_batch,
+    )
+    from deeprecsys_tpu.models.base import Batch
+
+    cfg = zoo.get_config("din", table_scale=4000)
+    tr = Trainer(cfg, sparse_tables=True, optimizer="adagrad",
+                 learning_rate=0.03, table_learning_rate=1e-2, loss="bce")
+    assert tr.cfg.output_head == "logits"  # the automatic switch
+
+    w = planted_weights(cfg)
+    rng = np.random.default_rng(0)
+    lrng = np.random.default_rng(1)
+    idx0 = None
+    for i in range(25):
+        idx = zipf_batch(cfg, 32, rng)
+        if idx0 is None:
+            idx0 = idx
+        _, y = planted_labels(cfg, idx, w, lrng)
+        b = Batch(dense=None, indices=jnp.asarray(idx))
+        t = jnp.asarray(np.broadcast_to(y[:, None], (32, cfg.out_dim)).copy())
+        tr.params, tr.opt_state, loss = tr._step(tr.params, tr.opt_state, b, t)
+    # The collapse signature was scores identically zero; through the
+    # logits head they move and spread.
+    s = np.asarray(tr.model.apply(
+        tr.params, Batch(dense=None, indices=jnp.asarray(idx0))), np.float32)
+    assert not np.allclose(s, 0.0)
+    assert np.std(s[:, 0]) > 1e-3
+
+    # Control — the SAME trained params through the reference head give
+    # relu(logits): head is parameterless, checkpoints serve either.
+    from deeprecsys_tpu.models import get_model
+
+    ref = get_model(tr.cfg.replace(output_head="reference"))
+    s_ref = np.asarray(ref.apply(
+        tr.params, Batch(dense=None, indices=jnp.asarray(idx0))), np.float32)
+    np.testing.assert_allclose(s_ref, np.maximum(s, 0.0), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_output_head_validation_and_parity():
+    """output_head='logits' is defined for the relu-scored families only
+    (sigmoid heads are monotone — rankings unaffected) and must relu-
+    compose exactly with the reference head on every relu family."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprecsys_tpu.data import RecDataGenerator
+    from deeprecsys_tpu.models import get_model
+
+    with pytest.raises(ValueError, match="relu-scored"):
+        zoo.get_config("rm1", table_scale=5000).replace(output_head="logits")
+    with pytest.raises(ValueError, match="output_head"):
+        zoo.get_config("ncf", table_scale=2000).replace(output_head="relu6")
+
+    for name in ("ncf", "din", "dien"):
+        cfg = zoo.get_config(name, table_scale=2000)
+        model = get_model(cfg)
+        params = model.init(jax.random.PRNGKey(1))
+        batch = RecDataGenerator(cfg, seed=2).generate_batch(8)
+        ref = np.asarray(model.apply(params, batch), np.float32)
+        logits = np.asarray(
+            get_model(cfg.replace(output_head="logits")).apply(params, batch),
+            np.float32)
+        # relu-composition must be exact; negative-logit exposure after
+        # training is asserted by the trainer test above (at random init
+        # the pre-activations can legitimately be all-positive).
+        np.testing.assert_allclose(ref, np.maximum(logits, 0.0),
+                                   rtol=1e-5, atol=1e-6)

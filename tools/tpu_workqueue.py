@@ -2072,7 +2072,7 @@ _TRAIN_QUALITY_DIR = Path.home() / ".cache" / "deeprecsys_tpu" / "train_quality"
 
 
 def job_train_quality(model="rm1", steps=1200, batch=512, eval_every=100,
-                      table_scale=1, table_lr=1e-3):
+                      table_scale=1, table_lr=1e-3, lr=0.01):
     """Training-to-quality at FULL production scale (VERDICT r3 #1): the
     sparse touched-rows trainer on a zipf(1.2) stream with a PLANTED
     per-row signal (experiments/train_quality.py) to convergence — the
@@ -2096,7 +2096,7 @@ def job_train_quality(model="rm1", steps=1200, batch=512, eval_every=100,
     with jax.default_device(dev):
         tr, report = train_planted(cfg, steps=steps, batch=batch,
                                    eval_every=eval_every,
-                                   table_lr=table_lr, log=log)
+                                   table_lr=table_lr, lr=lr, log=log)
     _TRAIN_QUALITY_DIR.mkdir(parents=True, exist_ok=True)
     ck = str(_TRAIN_QUALITY_DIR / f"{model}_f32")
     save_params(ck, tr.params)
@@ -2148,10 +2148,19 @@ def job_train_quality_serve(model="rm1", n_batches=8, batch=512):
     rec = _json.loads(tq.read_text())
     trained = rec[model]
     ck_q = trained["serving_checkpoint"]
+    from deeprecsys_tpu.models import sigmoid_output
+
     scfg = zoo.get_config(model, table_scale=trained.get("table_scale", 1),
                           param_dtype="bfloat16",
                           compute_dtype="bfloat16",
                           table_quant="int8_rowwise")
+    if not sigmoid_output(scfg):
+        # Serve the TRAINED relu-family model through the logits head:
+        # the reference relu head ties every below-zero score at 0,
+        # destroying the learned ranking among negatives (and this job's
+        # served-AUC == trained-AUC assertion with it). The head has no
+        # parameters — same checkpoint (config.py output_head).
+        scfg = scfg.replace(output_head="logits")
     w = planted_weights(scfg)
     holdout = make_holdout(scfg, w, n_batches=n_batches, batch=batch)
 
@@ -2825,10 +2834,18 @@ JOBS = [
     # #6 third/fourth training-to-quality families — the stacked-attention
     # (din) and scanned-GRU (dien) gradient paths at production scale
     # (din at table_scale=2 like train:din — 5.9 GB f32 + accumulators
-    # is over budget on one chip).
-    ("train_quality:din", lambda: job_train_quality("din", table_scale=2)),
+    # is over budget on one chip). First attempt found a REAL bug: the
+    # reference relu head is gradient-dead under bce-logits (collapse to
+    # constant-0 scores, loss frozen at log 2) — fixed via the
+    # parameterless output_head="logits" (config.py); hyperparameters
+    # tuned at tiny scale (the behavior tables' signal reaches the loss
+    # only through the attention MLPs / GRU scan, so these families need
+    # hotter rates + more steps than rm1/rm3's direct pooling).
+    ("train_quality:din", lambda: job_train_quality(
+        "din", table_scale=2, steps=3000, table_lr=1e-2, lr=0.03)),
     ("train_quality_serve:din", lambda: job_train_quality_serve("din")),
-    ("train_quality:dien", lambda: job_train_quality("dien")),
+    ("train_quality:dien", lambda: job_train_quality(
+        "dien", steps=3000, table_lr=1e-2, lr=0.03)),
     ("train_quality_serve:dien", lambda: job_train_quality_serve("dien")),
     # #4 host-prepass bound for the zipf artifact (host-only, no TPU).
     ("splitter_host:b512", lambda: job_splitter_host_cost()),
