@@ -76,7 +76,7 @@ def make_tablewise_model(model: ModelFns, mesh: Mesh,
             # table after the all-gather + inverse permutation.
             pooled_q = tablewise_embedding_bag(
                 tw_params["tables_tw"], batch.indices, placement, mesh,
-                compute_dtype=jnp.int32)
+                compute_dtype=jnp.int32, mask=batch.mask)
             pooled = (pooled_q.astype(jnp.float32)
                       * tw_params["table_scale"][None, :, None]).astype(cdt)
         elif quant == "int8_rowwise":
@@ -86,17 +86,22 @@ def make_tablewise_model(model: ModelFns, mesh: Mesh,
             # bag sum — matching the single-device rowwise path.
             pooled = tablewise_embedding_bag(
                 tw_params["tables_tw"], batch.indices, placement, mesh,
-                compute_dtype=None, row_transform=dequant_packed_rows
-            ).astype(cdt)
+                compute_dtype=None, row_transform=dequant_packed_rows,
+                mask=batch.mask).astype(cdt)
         else:
             pooled = tablewise_embedding_bag(
                 tw_params["tables_tw"], batch.indices, placement, mesh,
-                compute_dtype=cdt)
+                compute_dtype=cdt, mask=batch.mask)
         return model.apply_from_pooled(rest, pooled, batch)
 
     batch_sh = Batch(
         dense=NamedSharding(mesh, P("data", None)) if cfg.dense_dim else None,
         indices=NamedSharding(mesh, P("data", None, None)),
+        # Ragged slot mask shards exactly like the indices it masks; an
+        # unmasked batch's None is an empty subtree the sharding
+        # broadcasts over (same pattern as parallel.sharding
+        # batch_shardings).
+        mask=NamedSharding(mesh, P("data", None, None)),
     )
     jitted = jax.jit(
         apply,

@@ -316,6 +316,7 @@ def tablewise_embedding_bag(
     *,
     compute_dtype=None,
     row_transform=None,
+    mask: "jax.Array | None" = None,
 ) -> jax.Array:
     """Pooled lookup with TABLE-WISE sharding.
 
@@ -330,6 +331,9 @@ def tablewise_embedding_bag(
       shard_tables: (M, rows_per_shard, d), sharded P("model", None, None).
       indices: (B, T, L) per-table-local ids in ORIGINAL table order.
       placement: TablePlacement from plan_tablewise_placement.
+      mask: optional (B, T, L) ragged slot mask in ORIGINAL table order
+        (slot contributes iff true — Batch.mask semantics). Permuted with
+        the indices; virtual pad tables mask all-false.
 
     Returns (B, T, d) pooled embeddings in original table order,
     sharded over "data".
@@ -347,10 +351,15 @@ def tablewise_embedding_bag(
         B, _, L = indices.shape
         pad = jnp.zeros((B, len(perm) - n_real, L), indices.dtype)
         indices = jnp.concatenate([indices, pad], axis=1)
+        if mask is not None:
+            mask = jnp.concatenate(
+                [mask, jnp.zeros((B, len(perm) - n_real, L), mask.dtype)],
+                axis=1)
     idx_perm = indices[:, perm, :]
+    mask_perm = None if mask is None else mask[:, perm, :]
     local_off_arr = jnp.asarray(local_off)
 
-    def local_fn(tbl, offs, idx):
+    def local_fn(tbl, offs, idx, *m):
         # tbl: (1, rows_per_shard, d); offs: (1, cap); idx: (B_loc, cap, L)
         B, C, L = idx.shape
         flat = (idx + offs[0][None, :, None]).reshape(-1)
@@ -361,18 +370,29 @@ def tablewise_embedding_bag(
             rows = row_transform(rows)
         if compute_dtype is not None:
             rows = rows.astype(compute_dtype)
+        if m:
+            # Ragged: an invalid slot contributes NOTHING to its bag —
+            # zero the row before the L-pool (same point in the pipeline
+            # as every other bag variant: after dequant, before the sum).
+            rows = jnp.where(m[0].reshape(-1)[:, None], rows,
+                             jnp.zeros((), rows.dtype))
         pooled = rows.reshape(B, C, L, -1).sum(axis=2)  # (B_loc, cap, d)
         return jax.lax.all_gather(pooled, "model", axis=1, tiled=True)
 
+    specs = [P("model", None, None), P("model", None), P("data", "model", None)]
+    args = [shard_tables, local_off_arr, idx_perm]
+    if mask_perm is not None:
+        specs.append(P("data", "model", None))
+        args.append(mask_perm)
     out_perm = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P("model", None, None), P("model", None), P("data", "model", None)),
+        in_specs=tuple(specs),
         out_specs=P("data", None, None),
         # all_gather(tiled) replicates the table axis across "model"; the
         # static replication checker can't infer that, so it is disabled.
         check_vma=False,
-    )(shard_tables, local_off_arr, idx_perm)
+    )(*args)
     inv = jnp.asarray(np.asarray(placement.inv_perm[: placement.num_real_tables]))
     return out_perm[:, inv, :]
 

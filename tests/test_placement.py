@@ -129,3 +129,54 @@ def test_tablewise_quantized_matches_single_device(quant):
                       indices=jnp.asarray(batch.indices))
     got = np.asarray(tw.apply(tw_params, dev_batch))
     np.testing.assert_allclose(got, single, rtol=2e-4, atol=2e-5)
+
+
+def test_tablewise_masked_matches_masked_single_device():
+    """Ragged x table-wise placement (the last bag variant without a
+    mask): masked tablewise pooling — mask permuted with its indices,
+    virtual pad tables all-false, rows zeroed pre-pool — equals the
+    single-device masked bag, and the full tablewise model equals the
+    masked direct forward."""
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.models.base import Batch
+    from deeprecsys_tpu.ops.embedding import embedding_bag
+    from deeprecsys_tpu.parallel.api import make_tablewise_model
+
+    rng = np.random.default_rng(5)
+    rows, L, d = [64, 32, 48, 16, 40, 24, 56, 8], 4, 16
+    cfg = _cfg(rows, L=L, d=d)
+    mesh = make_mesh(data=2, model=4)
+    pl = plan_tablewise_placement(cfg, 4)
+    fused = init_fused_tables(jax.random.PRNGKey(0), cfg.scaled_rows, d)
+    batch = RecDataGenerator(cfg, seed=1).generate_batch(8)
+    idx = jnp.asarray(batch.indices)
+    T = cfg.num_tables
+    lengths = rng.integers(0, L + 1, size=(8, T))  # includes empty groups
+    mask = jnp.asarray(np.arange(L)[None, None, :] < lengths[:, :, None])
+
+    expected = embedding_bag(fused, jnp.asarray(cfg.table_offsets), idx,
+                             mask=mask)
+    got = tablewise_embedding_bag(build_tablewise_tables(fused, cfg, pl),
+                                  idx, pl, mesh, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+    # Full model path: masked tablewise apply == masked direct apply
+    # (rm1-style dlrm over the same mesh; jit with the mask sharding).
+    mcfg = zoo.get_config("rm1", table_scale=2000)
+    model = get_model(mcfg)
+    params = model.init(jax.random.PRNGKey(0))
+    host = RecDataGenerator(mcfg, seed=3).generate_batch(8)
+    Tm, Lm = mcfg.num_tables, mcfg.num_indices_per_lookup
+    lengths = rng.integers(0, Lm + 1, size=(8, Tm))
+    m2 = np.arange(Lm)[None, None, :] < lengths[:, :, None]
+    masked = Batch(dense=jnp.asarray(host.dense),
+                   indices=jnp.asarray(host.indices), mask=jnp.asarray(m2))
+    want = np.asarray(model.apply(params, masked))
+    tw = make_tablewise_model(model, make_mesh(data=4, model=2))
+    tw_params = tw.convert_params(params)
+    # Unmasked first (mask=None broadcasts over the empty subtree), then
+    # masked — both through the SAME jitted apply.
+    tw.apply(tw_params, masked._replace(mask=None))
+    got2 = np.asarray(tw.apply(tw_params, masked))
+    np.testing.assert_allclose(got2, want, rtol=2e-4, atol=2e-5)
