@@ -457,6 +457,16 @@ class ServingConfig:
     # head frequencies (a 2M-lookup sample resolves a 64k-row hot set's
     # zipf head to well under the refresh margin).
     hotcold_scan_budget: int = 2_000_000
+    # Run the candidate scan on a WORKER thread (round 5): even capped,
+    # the scan measured ~0.9 s on the dispatch thread per window at
+    # rm2's shape end-to-end — trigger-request mean 1322 ms vs 408 ms
+    # for the rest, p99 1763 vs 1259 with tracking off
+    # (benchmarks/refresh_scan_impact.json). Async, the dispatch thread
+    # only submits the buffer snapshot and polls a one-slot result queue
+    # per tracked request; install/disable decisions stay on the serve
+    # thread. False = round-4 inline scan (deterministic refresh timing
+    # for comparisons; pays the stall).
+    hotcold_scan_async: bool = True
 
     # Accept RAGGED real-inference requests (the reference's
     # lengths+indices CSR form, dlrm_s_caffe2.py lengths queues): engines
@@ -465,8 +475,9 @@ class ServingConfig:
     # "values"). Off by default: all 8 shipped configs are fixed-length
     # (num_indices_per_lookup_fixed: true) and the masked twin would be
     # dead compile weight. Compute backends (tpu/cpu/cpu-mp — the blob
-    # arena slots size up for the mask bytes); the hot/cold splitter
-    # carries no mask, so auto resolves to the direct gather.
+    # arena slots size up for the mask bytes). Composes with EVERY
+    # embedding_impl (round 5): the hot/cold splitter consumes the slot
+    # mask on the host, mesh engines shard it over "data".
     accept_ragged: bool = False
 
     # cpu-mp payload transport capacity: BlobArena slots (one per

@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "scan reads from the buffered window (<= 0 = "
                         "unlimited; the uncapped scan measured 6.1 s of "
                         "dispatch-thread stall at rm2's window)")
+    p.add_argument("--hotcold_scan_sync", action="store_true",
+                   help="run the candidate scan INLINE on the dispatch "
+                        "thread (round-4 behavior: deterministic refresh "
+                        "timing, but ~0.9 s serving stall per window at "
+                        "rm2's shape — benchmarks/refresh_scan_impact."
+                        "json); default is the async worker")
     p.add_argument("--hotcold_min_table_mb", type=float, default=128.0,
                    help="embedding_impl=auto considers the hot/cold "
                         "split only for fused tables at least this big "
@@ -263,6 +269,7 @@ def serving_config_from_args(args) -> ServingConfig:
         hotcold_refresh_margin=args.hotcold_refresh_margin,
         hotcold_refresh_window=args.hotcold_refresh_window,
         hotcold_scan_budget=args.hotcold_scan_budget,
+        hotcold_scan_async=not args.hotcold_scan_sync,
         accept_ragged=args.accept_ragged,
         payload_arena_slots=args.payload_arena_slots,
         seed=args.numpy_rand_seed,

@@ -174,6 +174,18 @@ class ComputeEngine(threading.Thread):
         self._direct_fn = None
         self._upgrade_backoff = 0  # doubling skip count after failed scans
         self._upgrade_wait = 0
+        # Async scan worker (round 5): the candidate derivation measured
+        # a ~0.9 s dispatch-thread stall per window at rm2's shape even
+        # with the 2M scan budget (benchmarks/refresh_scan_impact.json:
+        # trigger-request mean 1322 ms vs 408 ms for the rest — p99
+        # 1763 vs 1259 with tracking off). The dispatch thread now only
+        # SUBMITS scan tasks and polls the one-slot result queue per
+        # tracked request; install/disable decisions stay on the serve
+        # thread (it remains the only writer of _hotcold/params).
+        self._scan_thread = None
+        self._scan_req: "queue.Queue" = queue.Queue(maxsize=1)
+        self._scan_res: "queue.Queue" = queue.Queue(maxsize=1)
+        self._scan_inflight = False  # serve-thread-local (single writer)
         self._reload: ReloadHandle | None = None  # pending checkpoint swap
         self._reload_lock = threading.Lock()
         self._stopped = False  # set (under the lock) when the engine exits
@@ -679,6 +691,13 @@ class ComputeEngine(threading.Thread):
             self._sink_requests()
         self._pending.put(_SENTINEL)
         completer.join()
+        if self._scan_thread is not None:
+            # Best-effort worker stop; a full task slot means the daemon
+            # worker finishes its scan and then dies with the process.
+            try:
+                self._scan_req.put_nowait(None)
+            except queue.Full:
+                pass
         self._stop_and_release_reload(
             "engine shut down before applying the reload")
         self.response_q.put(_SENTINEL)
@@ -820,9 +839,13 @@ class ComputeEngine(threading.Thread):
             self._refresh_buf = collections.deque(
                 maxlen=max(cfg.hotcold_refresh_window, 1))
         self._refresh_buf.append(self._buffered(host, real_rows))
+        # A completed worker scan applies on the NEXT tracked request
+        # (cheap nonblocking poll — the swap lands ~1 request after the
+        # worker finishes, not an interval later).
+        changed = self._apply_scan_result()
         self._tracked_since_check += 1
         if self._tracked_since_check < cfg.hotcold_refresh_interval:
-            return False
+            return changed
         cov = self._live_hot / max(self._live_total, 1)
         self.live_hot_coverage = cov
         self._tracked_since_check = 0
@@ -837,29 +860,114 @@ class ComputeEngine(threading.Thread):
             # meaningfully more, install it. Skipped once the current
             # set is already serving well.
             if ref >= self.model_cfg.hotcold_min_hit:
-                return False
+                return changed
             if self._upgrade_wait > 0:
                 # Back-off after failed scans: a STEADY mediocre stream
                 # has nothing to upgrade to, and the candidate derivation
                 # (two select_hot_ids passes over the window) is real
-                # dispatch-thread cost — don't pay it every interval
-                # forever.
+                # host cost (worker-thread CPU that contends with the
+                # splitter) — don't pay it every interval forever.
                 self._upgrade_wait -= 1
-                return False
-            new_hot, cand = self._candidate_hot_ids()
-            if (new_hot is None or cand is None
-                    or cand < max(ref, cov) + cfg.hotcold_refresh_margin):
-                self._upgrade_backoff = min(max(self._upgrade_backoff, 1) * 2,
-                                            64)
-                self._upgrade_wait = self._upgrade_backoff
-                return False
-            self._upgrade_backoff = self._upgrade_wait = 0
-            self._install_hot_ids(new_hot, cand)
-            print(f"[deeprecsys_tpu] engine {self.engine_id}: hot-set "
-                  f"UPGRADE #{self.hot_refreshes} (live coverage "
-                  f"{cov:.1%} -> candidate {cand:.1%})", flush=True)
-            return True
-        return self._refresh_hot_set(cov)
+                return changed
+            res = self._scan("upgrade", cov)
+            if res is not None:  # sync mode: decided inline
+                changed = self._apply_upgrade(res, cov) or changed
+            return changed
+        res = self._scan("refresh", cov)
+        if res is not None:
+            changed = self._apply_refresh(res, cov) or changed
+        return changed
+
+    # -- async scan machinery (round 5) --------------------------------
+    #
+    # The candidate derivation (buffer concatenate + budget-gated
+    # sort-unique selection + holdout coverage) measured ~0.9 s of
+    # dispatch-thread stall per window at rm2's shape
+    # (benchmarks/refresh_scan_impact.json) — a p99 spike the serving
+    # path must not pay. The dispatch thread SUBMITS a scan task (buffer
+    # snapshot + decision context) and polls the one-slot result queue on
+    # every tracked request; the worker only computes — every
+    # install/disable/backoff decision still runs on the serve thread,
+    # which stays the only writer of _hotcold/params.
+    # ``hotcold_scan_async=False`` restores the inline scan (exact
+    # round-4 timing, used by determinism-sensitive comparisons).
+
+    def _scan(self, kind: str, cov):
+        """Request a candidate scan. Sync mode: compute inline and return
+        (new_hot, est_cov). Async mode: snapshot the buffer, hand it to
+        the worker (one in flight at a time), return None — the result
+        applies via ``_apply_scan_result`` on a later tracked request."""
+        if not self.serving_cfg.hotcold_scan_async:
+            return self._candidate_hot_ids()
+        if not self._scan_inflight:
+            old_hot = (None if self._hotcold is None
+                       else np.asarray(self._hotcold.hot_ids))
+            k = 0 if old_hot is None else len(old_hot)
+            if self._scan_thread is None:
+                self._scan_thread = threading.Thread(
+                    target=self._scan_worker_loop, daemon=True,
+                    name=f"engine-{self.engine_id}-scan")
+                self._scan_thread.start()
+            self._scan_inflight = True
+            self._scan_req.put((kind, cov, list(self._refresh_buf), k,
+                                old_hot))
+        return None
+
+    def _scan_worker_loop(self):
+        while True:
+            task = self._scan_req.get()
+            if task is None:
+                return
+            kind, cov, batches, k, old_hot = task
+            try:
+                res = self._candidate_hot_ids_from(batches, k, old_hot)
+            except Exception as e:  # never kill the worker silently
+                print(f"[deeprecsys_tpu] WARNING: engine {self.engine_id} "
+                      f"scan worker failed ({e!r}); scan dropped",
+                      flush=True)
+                res = (None, None)
+            self._scan_res.put((kind, cov, res))
+
+    def _apply_scan_result(self) -> bool:
+        """Consume a completed worker scan (serve thread only). Returns
+        True when the dispatch state changed (caller's split is stale)."""
+        try:
+            kind, cov, res = self._scan_res.get_nowait()
+        except queue.Empty:
+            return False
+        self._scan_inflight = False
+        if kind == "upgrade":
+            changed = self._apply_upgrade(res, cov)
+        elif kind == "refresh":
+            changed = self._apply_refresh(res, cov)
+        else:
+            changed = self._apply_reenable(res)
+        if changed:
+            # The async swap lands mid-window: requests dispatched against
+            # the OLD set before this poll would pollute the new set's
+            # coverage window and could re-trigger a refresh that changes
+            # nothing. Restart the window at the swap, exactly as the
+            # sync path's at-check install did.
+            self._live_hot = self._live_total = 0
+            self._tracked_since_check = 0
+        return changed
+
+    def _apply_upgrade(self, res, cov: float) -> bool:
+        new_hot, cand = res
+        cfg = self.serving_cfg
+        ref = self.hot_coverage if self.hot_coverage is not None else 0.0
+        if (new_hot is None or cand is None
+                or cand < max(ref, cov) + cfg.hotcold_refresh_margin):
+            self._upgrade_backoff = min(max(self._upgrade_backoff, 1) * 2,
+                                        64)
+            self._upgrade_wait = self._upgrade_backoff
+            return False
+        self._upgrade_backoff = self._upgrade_wait = 0
+        self._install_hot_ids(new_hot, cand)
+        print(f"[deeprecsys_tpu] engine {self.engine_id}: hot-set "
+              f"UPGRADE #{self.hot_refreshes} (live coverage "
+              f"{cov:.1%} -> candidate {cand:.1%})", flush=True)
+        return True
 
     @staticmethod
     def _buffered(host, real_rows: int):
@@ -887,19 +995,26 @@ class ComputeEngine(threading.Thread):
         half-window selection — systematically mis-states the installed
         set's reference coverage, skewing every later drop-rule
         comparison against the re-baselined ``hot_coverage``. One
-        select_hot_ids pass (the scan is dispatch-thread cost — see
-        benchmarks/README.md refresh-scan numbers). Returns (None, None)
-        when the buffer is too small to estimate (< 2 batches — config
-        validation keeps the window >= 2 whenever tracking is on)."""
+        select_hot_ids pass (host cost — on the scan WORKER thread by
+        default, see benchmarks/README.md refresh-scan numbers). Returns
+        (None, None) when the buffer is too small to estimate (< 2
+        batches — config validation keeps the window >= 2 whenever
+        tracking is on)."""
+        return self._candidate_hot_ids_from(
+            list(self._refresh_buf), len(self._hotcold.hot_ids),
+            np.asarray(self._hotcold.hot_ids))
+
+    def _candidate_hot_ids_from(self, batches, k: int, old_hot):
+        """Pure scan body (thread-safe: reads only its arguments and
+        immutable config) — shared by the sync inline path and the async
+        worker (``_scan_worker_loop``)."""
         from deeprecsys_tpu.ops.embedding import (
             hot_coverage_of,
             select_hot_ids,
         )
 
-        batches = list(self._refresh_buf)
         if len(batches) < 2:
             return None, None
-        k = len(self._hotcold.hot_ids)
         offsets = np.asarray(self.model_cfg.table_offsets)
         n_hold = max(1, len(batches) // 4)
         from deeprecsys_tpu.ops.embedding import scan_budget_subsample
@@ -932,26 +1047,25 @@ class ComputeEngine(threading.Thread):
             hold_mask = scan_budget_subsample(hold_mask, budget)
         new_hot = select_hot_ids(select, offsets, k, mask=sel_mask)
         if len(new_hot) < k:
-            extra = np.setdiff1d(self._hotcold.hot_ids, new_hot)
+            extra = np.setdiff1d(old_hot, new_hot)
             new_hot = np.sort(np.concatenate(
                 [new_hot, extra[:k - len(new_hot)]]))
         return new_hot, hot_coverage_of(holdout, offsets, new_hot,
                                         mask=hold_mask)
 
-    def _refresh_hot_set(self, live_cov: float) -> bool:
-        """Live coverage collapsed: re-derive the hot set from the
-        buffered recent stream. If the buffer still HAS a popular head,
-        swap it in WITHOUT recompiling (same-shape hot-table param; the
-        jittable apply never depends on the id list —
-        models/hotcold.py::with_hot_ids). If it does NOT (candidate
-        coverage < hotcold_min_hit), DISABLE the split and serve the
-        plain fused gather: a headless split is slower than direct
-        (measured 2.1x worse, drift:rm1). Returns True when the dispatch
-        state changed (caller's split is stale). Mesh engines swap
-        through the pre-compiled sharded hot-table rebuild
+    def _apply_refresh(self, res, live_cov: float) -> bool:
+        """Live coverage collapsed at scan-submit time: if the buffered
+        stream still HAS a popular head, swap it in WITHOUT recompiling
+        (same-shape hot-table param; the jittable apply never depends on
+        the id list — models/hotcold.py::with_hot_ids). If it does NOT
+        (candidate coverage < hotcold_min_hit), DISABLE the split and
+        serve the plain fused gather: a headless split is slower than
+        direct (measured 2.1x worse, drift:rm1). Returns True when the
+        dispatch state changed (caller's split is stale). Mesh engines
+        swap through the pre-compiled sharded hot-table rebuild
         (``_build_mesh_hot_rebuild``) — same zero-serve-loop-compile
         contract as the single-device path."""
-        new_hot, new_cov = self._candidate_hot_ids()
+        new_hot, new_cov = res
         if new_cov is None:
             return False  # buffer too small to estimate — no change
         if new_cov < self.model_cfg.hotcold_min_hit:
@@ -1035,11 +1149,17 @@ class ComputeEngine(threading.Thread):
         host math — no device work) and re-enable the split when a
         popular head returns."""
         self._refresh_buf.append(self._buffered(host, real_rows))
+        self._apply_scan_result()
         self._tracked_since_check += 1
         if self._tracked_since_check < self.serving_cfg.hotcold_refresh_interval:
             return
         self._tracked_since_check = 0
-        new_hot, cov = self._candidate_hot_ids()
+        res = self._scan("reenable", None)
+        if res is not None:  # sync mode
+            self._apply_reenable(res)
+
+    def _apply_reenable(self, res) -> bool:
+        new_hot, cov = res
         if cov is not None:
             self.live_hot_coverage = cov
         # Hysteresis: re-enable needs min_hit + margin, while the disable
@@ -1049,13 +1169,14 @@ class ComputeEngine(threading.Thread):
         # hot-table rebuild per flip.
         if cov is None or cov < (self.model_cfg.hotcold_min_hit
                                  + self.serving_cfg.hotcold_refresh_margin):
-            return
+            return False
         self._install_hot_ids(new_hot, cov)
         self._hotcold_active = True
         self._live_hot = self._live_total = 0
         print(f"[deeprecsys_tpu] engine {self.engine_id}: hot/cold split "
               f"RE-ENABLED (candidate coverage {cov:.1%}, refresh "
               f"#{self.hot_refreshes})", flush=True)
+        return True
 
     def _poll_control(self):
         """Drain the cpu-mp reload side channel: reassemble ReloadFragment

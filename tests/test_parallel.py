@@ -675,9 +675,13 @@ def test_mesh_hotcold_adaptive_refresh_recovers_from_drift(axes):
             return np.asarray(r.scores, np.float32)
 
         bid = 0
-        for i in range(4):  # interval=4: the 4th request triggers
+        # interval=4: the 4th request submits the worker scan; the swap
+        # applies on the next tracked request's poll (async default).
+        for i in range(8):
             predict(drift_batch(i), bid)
             bid += 1
+            if eng.hot_refreshes:
+                break
         assert eng.hot_refreshes == 1, "mesh refresh never fired"
         assert eng.hot_coverage > 0.9  # re-baselined on the drifted head
         # Zero serve-loop compiles: the rebuild and apply programs were

@@ -779,11 +779,17 @@ def test_hotcold_adaptive_refresh_recovers_from_drift():
             return np.stack([rng.choice(pools[t], size=(8, L))
                              for t in range(T)], axis=1).astype(np.int32)
 
-        for i in range(4):  # interval=4: the 4th request triggers
+        # interval=4: the 4th request submits the scan to the worker;
+        # the swap applies on the next tracked request's poll
+        # (hotcold_scan_async default — the scan no longer stalls the
+        # dispatch thread, benchmarks/refresh_scan_impact.json).
+        for i in range(8):
             server.predict(drift_batch(i))
+            if eng.hot_refreshes:
+                break
         assert eng.hot_refreshes == 1
         assert eng.hot_coverage > 0.9  # re-baselined on the buffered stream
-        for i in range(4, 8):  # next window: the drifted head is now hot
+        for i in range(8, 12):  # next window: the drifted head is now hot
             server.predict(drift_batch(i))
         assert eng.live_hot_coverage > 0.9
         assert eng.hot_refreshes == 1  # recovered coverage: no re-trigger

@@ -1,8 +1,11 @@
 """Measure the adaptive-refresh candidate-scan cost (VERDICT r3 #7).
 
-The refresh/upgrade scan (engine._candidate_hot_ids) runs on the DISPATCH
-thread: one select_hot_ids (sort-unique, O(N log N) in scanned lookups)
-over the buffered window + one holdout coverage pass. This records, per
+The refresh/upgrade scan (engine._candidate_hot_ids_from) — one
+select_hot_ids (sort-unique, O(N log N) in scanned lookups) over the
+buffered window + one holdout coverage pass — ran on the DISPATCH thread
+until round 5 moved it to a worker (hotcold_scan_async; the numbers here
+are the per-scan HOST cost either way, and still bound the worker's CPU
+contention with the splitter). This records, per
 gather-bound model at the engine-shaped window (hotcold_refresh_window=16
 batches x 512 rows):
 

@@ -2284,7 +2284,7 @@ def job_splitter_host_cost(batch=512, repeats=24):
 
 
 def job_refresh_scan_impact(model="rm2", n_per=48, interval=8, window=16,
-                            batch=512):
+                            batch=512, out_name="refresh_scan_impact.json"):
     """Serving-latency impact of the CAPPED refresh scan (VERDICT r4 weak
     #7): the budget-gated candidate derivation measured ~258 ms at rm2's
     window (benchmarks/refresh_scan_cost.json) and runs on the DISPATCH
@@ -2381,8 +2381,7 @@ def job_refresh_scan_impact(model="rm2", n_per=48, interval=8, window=16,
            "window": window,
            "scan_budget": ServingConfig.hotcold_scan_budget,
            "scan_on": scan_on, "scan_off": scan_off}
-    path = (Path(__file__).parent.parent / "benchmarks"
-            / "refresh_scan_impact.json")
+    path = Path(__file__).parent.parent / "benchmarks" / out_name
     path.write_text(_json.dumps(out, indent=2))
     log(f"refresh_scan_impact {model}: ON p95 {scan_on['p95_ms']} / "
         f"p99 {scan_on['p99_ms']} / max {scan_on['max_ms']} ms "
@@ -2853,6 +2852,12 @@ JOBS = [
     ("refresh_scan_impact:rm2", lambda: job_refresh_scan_impact("rm2")),
     # #4/#3a round-stamped zipf artifact with the host column.
     ("zipf_r5:snapshot", lambda: job_zipf_snapshot(5)),
+    # #8 follow-up: the stall SHOWED (trigger-request mean 1322 ms vs
+    # 408 ms), so the scan moved to a worker thread
+    # (hotcold_scan_async, engine._scan/_apply_scan_result). Re-measure
+    # end-to-end: trigger requests should now cost like the rest.
+    ("refresh_scan_impact2:rm2", lambda: job_refresh_scan_impact(
+        "rm2", out_name="refresh_scan_impact2.json")),
 ]
 
 
