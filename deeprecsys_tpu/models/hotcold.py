@@ -82,7 +82,7 @@ class HotColdModel(NamedTuple):
 
 
 def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
-                       mesh=None) -> HotColdModel:
+                       mesh=None, hot_index=None) -> HotColdModel:
     """With ``mesh``, the variant runs row-sharded: tables over the
     "model" axis (M shards), the host partitions the cold stream by
     owning shard so each chip's gather descriptors divide by M, hot hits
@@ -94,6 +94,23 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
     the batch shards over "data"."""
     cfg = model.cfg
     offsets_np = np.asarray(cfg.table_offsets, dtype=np.int64)
+    # Persistent native hash index over the hot set: probed by every split
+    # (~1 cache miss per lookup vs the binary search's ~log2(K)). Accepted
+    # prebuilt (the engine's scan WORKER builds it off the dispatch thread
+    # so a refresh swap costs the serve loop nothing); built here otherwise
+    # — engine setup and the sync-scan mode, neither on the hot path.
+    # Closure-held, so an in-flight prepare keeps it alive across a swap.
+    if hot_index is not None and hot_index.K != len(hot_ids):
+        raise ValueError(
+            f"prebuilt hot_index covers {hot_index.K} ids, hot set has "
+            f"{len(hot_ids)}")
+    if hot_index is None:
+        try:
+            from deeprecsys_tpu.runtime.native import HotIndex
+
+            hot_index = HotIndex(hot_ids)
+        except RuntimeError:
+            pass  # native runtime unavailable: splitter degrades (numpy)
     if mesh is not None:
         n_data = mesh.shape.get("data", 1)
         n_shards = mesh.shape["model"]
@@ -163,16 +180,18 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
             return split_hot_cold_hybrid(idx, offsets_np, hot_ids, n_data,
                                          n_shards, rows_per_shard,
                                          cold_buckets=buckets,
-                                         slot_mask=smask)
+                                         slot_mask=smask,
+                                         hot_index=hot_index)
         if mesh is not None:
             from deeprecsys_tpu.ops.embedding import split_hot_cold_sharded
 
             return split_hot_cold_sharded(idx, offsets_np, hot_ids, n_shards,
                                           rows_per_shard,
                                           cold_buckets=buckets,
-                                          slot_mask=smask)
+                                          slot_mask=smask,
+                                          hot_index=hot_index)
         return split_hot_cold(idx, offsets_np, hot_ids, cold_buckets=buckets,
-                              slot_mask=smask)
+                              slot_mask=smask, hot_index=hot_index)
 
     def apply(params, batch: Batch, split: dict) -> jax.Array:
         from deeprecsys_tpu.models.base import compute_dtype_of
@@ -240,14 +259,17 @@ def make_hotcold_model(model: ModelFns, hot_ids: np.ndarray,
 
 
 def with_hot_ids(hc: HotColdModel, hot_ids: np.ndarray,
-                 mesh=None) -> HotColdModel:
+                 mesh=None, hot_index=None) -> HotColdModel:
     """The same model serving a NEW hot set, keeping the ORIGINAL
     ``apply`` callable. ``apply`` reads the hot table from params and
     never depends on the id list itself (only ``prepare``/
     ``convert_params`` do), so engines swap hot sets at runtime —
     adaptive refresh under distribution drift — without invalidating any
-    compiled executable keyed on the old apply's identity."""
-    fresh = make_hotcold_model(hc.base, np.asarray(hot_ids), mesh=mesh)
+    compiled executable keyed on the old apply's identity. ``hot_index``:
+    a HotIndex over ``hot_ids`` prebuilt off-thread (the engine's scan
+    worker), so the swap itself never pays the O(K) build."""
+    fresh = make_hotcold_model(hc.base, np.asarray(hot_ids), mesh=mesh,
+                               hot_index=hot_index)
     return fresh._replace(apply=hc.apply)
 
 

@@ -346,11 +346,14 @@ def embedding_bag_dedup(
 
 def _split_hot_cold_native(indices: np.ndarray, offsets: np.ndarray,
                            hot_ids: np.ndarray,
-                           slot_mask: "np.ndarray | None" = None):
+                           slot_mask: "np.ndarray | None" = None,
+                           hot_index=None):
     """Single-pass parallel C++ splitter (runtime/cpp/drs_runtime.cpp
-    drs_split_hot_cold_masked). Returns the same arrays as the numpy
+    drs_split_hot_cold_indexed). Returns the same arrays as the numpy
     path, unpadded. ``slot_mask`` (ragged pooling): invalid slots are
-    neither hot hits nor cold descriptors."""
+    neither hot hits nor cold descriptors. ``hot_index`` (a
+    runtime.native.HotIndex built over the SAME hot_ids) replaces the
+    per-lookup binary search with an O(1) hash probe."""
     import ctypes
 
     from deeprecsys_tpu.runtime.native import get_lib
@@ -370,11 +373,18 @@ def _split_hot_cold_native(indices: np.ndarray, offsets: np.ndarray,
     else:
         smask = np.ascontiguousarray(slot_mask, dtype=np.uint8)
         mask_ptr = smask.ctypes.data_as(ctypes.c_void_p)
-    n_cold = lib.drs_split_hot_cold_masked(
+    idx_ptr = None
+    if hot_index is not None and hot_index._ptr:
+        if hot_index.K != len(hot):
+            raise ValueError(
+                f"hot_index built over {hot_index.K} ids but split called "
+                f"with {len(hot)} — stale index (rebuild on hot-set swap)")
+        idx_ptr = ctypes.c_void_p(hot_index._ptr)
+    n_cold = lib.drs_split_hot_cold_indexed(
         idx.ctypes.data_as(ctypes.c_void_p), n,
         offs.ctypes.data_as(ctypes.c_void_p), T, L,
         hot.ctypes.data_as(ctypes.c_void_p), len(hot),
-        mask_ptr,
+        mask_ptr, idx_ptr,
         hot_sel.ctypes.data_as(ctypes.c_void_p),
         hot_mask.ctypes.data_as(ctypes.c_void_p),
         cold_ids.ctypes.data_as(ctypes.c_void_p),
@@ -386,7 +396,7 @@ def _split_hot_cold_native(indices: np.ndarray, offsets: np.ndarray,
 
 def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray,
                    cold_buckets=None, impl: str = "auto", pad: bool = True,
-                   slot_mask: "np.ndarray | None" = None):
+                   slot_mask: "np.ndarray | None" = None, hot_index=None):
     """Host-side split of a batch's lookups into hot-set hits and a
     COMPACTED cold stream (the refined dedup design, ROADMAP: general
     dedup is VMEM-bound; instead a STATIC hot set sized to VMEM serves
@@ -416,6 +426,12 @@ def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray
     dlrm_s_caffe2.py:179-211): an invalid slot contributes NOTHING —
     it is excluded from the hot mask (the hot-side mask-pool zeros it)
     and never enters the cold stream (no wasted HBM descriptor).
+
+    ``hot_index`` (runtime.native.HotIndex over the SAME hot_ids, or
+    None): persistent hash index replacing the native path's per-lookup
+    binary search (~log2 K dependent cache misses) with ~1 miss. Built
+    once per hot-set install; ignored on the numpy path. Outputs are
+    bit-identical with or without it.
     """
     B, T, L = indices.shape
 
@@ -427,7 +443,8 @@ def split_hot_cold(indices: np.ndarray, offsets: np.ndarray, hot_ids: np.ndarray
 
     if use_native:
         hot_sel, hot_mask, raw_cold_ids, raw_cold_seg, n_cold = _split_hot_cold_native(
-            indices, offsets, hot_ids, slot_mask=slot_mask
+            indices, offsets, hot_ids, slot_mask=slot_mask,
+            hot_index=hot_index,
         )
     else:
         flat = (indices.astype(np.int64)
@@ -633,7 +650,8 @@ def split_hot_cold_sharded(indices: np.ndarray, offsets: np.ndarray,
                            hot_ids: np.ndarray, n_shards: int,
                            rows_per_shard: int, cold_buckets=None,
                            impl: str = "auto",
-                           slot_mask: "np.ndarray | None" = None):
+                           slot_mask: "np.ndarray | None" = None,
+                           hot_index=None):
     """Hot/cold split with the cold stream PARTITIONED BY OWNING SHARD for
     row-sharded tables (chip k owns fused rows [k*rows_per_shard, ...)).
 
@@ -654,7 +672,8 @@ def split_hot_cold_sharded(indices: np.ndarray, offsets: np.ndarray,
     """
     h = split_hot_cold_hybrid(indices, offsets, hot_ids, 1, n_shards,
                               rows_per_shard, cold_buckets=cold_buckets,
-                              impl=impl, slot_mask=slot_mask)
+                              impl=impl, slot_mask=slot_mask,
+                              hot_index=hot_index)
     return {"hot_sel": h["hot_sel"], "hot_mask": h["hot_mask"],
             "cold_local": h["cold_local"][0], "cold_seg": h["cold_seg"][0],
             "n_cold": h["n_cold"]}
@@ -664,7 +683,8 @@ def split_hot_cold_hybrid(indices: np.ndarray, offsets: np.ndarray,
                           hot_ids: np.ndarray, n_data: int, n_model: int,
                           rows_per_shard: int, cold_buckets=None,
                           impl: str = "auto",
-                          slot_mask: "np.ndarray | None" = None):
+                          slot_mask: "np.ndarray | None" = None,
+                          hot_index=None):
     """Hot/cold split for the HYBRID (data x model) mesh: the cold stream
     is partitioned by (data shard of the query row, owning table shard),
     so each of the D*M chips gathers only the cold rows ITS table shard
@@ -679,7 +699,7 @@ def split_hot_cold_hybrid(indices: np.ndarray, offsets: np.ndarray,
       n_cold     int
     """
     base = split_hot_cold(indices, offsets, hot_ids, impl=impl, pad=False,
-                          slot_mask=slot_mask)
+                          slot_mask=slot_mask, hot_index=hot_index)
     B, T, L = indices.shape
     assert B % n_data == 0, (B, n_data)
     b_loc = B // n_data

@@ -288,15 +288,66 @@ class SplitPool {
 
 }  // namespace
 
+// Persistent hot-set hash index. The per-lookup membership probe is the
+// splitter's dominant cost: lower_bound over a K-entry sorted array costs
+// ~log2(K) dependent cache misses per lookup (K~1e6 => ~20 misses into a
+// multi-MB array). An open-addressing table sized 2K brings that to ~1
+// miss. The table is built ONCE per hot-set install (engine setup or a
+// refresh swap — both off the dispatch critical path) and probed by every
+// subsequent split; entries pack (key, sorted-position) in 16 bytes so a
+// probe usually touches one cache line.
+struct HotIndexEntry {
+  int64_t key;  // fused row id; -1 = empty (fused ids are >= 0)
+  int64_t val;  // position in the SORTED hot_ids array (the hot_sel value)
+};
+
+struct HotIndexImpl {
+  uint64_t mask = 0;                   // table size - 1 (power of two)
+  std::vector<HotIndexEntry> entries;  // mask + 1 slots
+};
+
+namespace {
+// splitmix64 finalizer: full-avalanche 64-bit mix.
+inline uint64_t drs_mix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ULL;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+  return x ^ (x >> 31);
+}
+}  // namespace
+
+extern "C" void* drs_hot_index_build(const int64_t* hot_ids, int64_t K) {
+  if (K <= 0) return nullptr;  // empty set: callers fall back (all-cold)
+  uint64_t size = 16;
+  while (size < (uint64_t)K * 2) size <<= 1;  // load factor <= 0.5
+  auto* idx = new HotIndexImpl();
+  idx->mask = size - 1;
+  idx->entries.assign(size, HotIndexEntry{-1, 0});
+  for (int64_t i = 0; i < K; ++i) {
+    uint64_t h = drs_mix64((uint64_t)hot_ids[i]) & idx->mask;
+    while (idx->entries[h].key != -1) h = (h + 1) & idx->mask;
+    idx->entries[h].key = hot_ids[i];
+    idx->entries[h].val = i;
+  }
+  return idx;
+}
+
+extern "C" void drs_hot_index_free(void* p) {
+  delete static_cast<HotIndexImpl*>(p);
+}
+
 // `slot_mask` (nullable, n bytes): ragged pooling — a 0 slot is a padded
 // (invalid) lookup that must contribute NOTHING: neither a hot hit nor a
 // cold descriptor (exact variable-length SparseLengthsSum semantics,
 // reference dlrm_s_caffe2.py:179-211 lengths queues).
-extern "C" int64_t drs_split_hot_cold_masked(
+// `hot_index` (nullable): prebuilt drs_hot_index_build table over the SAME
+// hot_ids array; when present the membership probe is O(1) expected
+// instead of the binary search. Outputs are bit-identical either way.
+extern "C" int64_t drs_split_hot_cold_indexed(
     const int32_t* indices, int64_t n, const int64_t* offsets, int64_t T,
     int64_t L, const int64_t* hot_ids, int64_t K, const uint8_t* slot_mask,
-    int32_t* hot_sel, uint8_t* hot_mask, int32_t* cold_ids,
-    int32_t* cold_seg, int32_t n_threads) {
+    const void* hot_index, int32_t* hot_sel, uint8_t* hot_mask,
+    int32_t* cold_ids, int32_t* cold_seg, int32_t n_threads) {
   if (n == 0) return 0;
   int nt = n_threads > 0 ? n_threads
                          : (int)std::min<int64_t>(
@@ -308,31 +359,100 @@ extern "C" int64_t drs_split_hot_cold_masked(
   if (groups_per_chunk == 0) groups_per_chunk = 1;
   int n_chunks = (int)((groups + groups_per_chunk - 1) / groups_per_chunk);
   std::vector<int64_t> chunk_cold(n_chunks, 0);
+  const auto* hidx = static_cast<const HotIndexImpl*>(hot_index);
 
+  // Indexed path: two-pass blocks. Pass 1 computes fused ids + hash slots
+  // for a block and issues software prefetches; pass 2 probes — by then
+  // most entry lines have arrived, so probes overlap instead of paying one
+  // serialized DRAM miss each. Group/table ids advance by counters (no
+  // per-lookup div/mod). The binary-search fallback keeps the simple loop.
   auto work = [&](int c) {
     int64_t g_lo = (int64_t)c * groups_per_chunk;
     int64_t g_hi = std::min(groups, g_lo + groups_per_chunk);
     int64_t lo = g_lo * L, hi = g_hi * L;
     int64_t w = lo;  // chunk-local cold write cursor (base = chunk start)
-    for (int64_t i = lo; i < hi; ++i) {
-      if (slot_mask && !slot_mask[i]) {
-        hot_sel[i] = 0;
-        hot_mask[i] = 0;  // contributes zero via the hot-side mask-pool
-        continue;         // and never enters the cold stream
+    if (hidx) {
+      constexpr int kBlk = 256;
+      constexpr uint64_t kInvalid = ~0ULL;  // > any table mask
+      int64_t fused_blk[kBlk];
+      uint64_t hash_blk[kBlk];
+      int32_t seg_blk[kBlk];
+      int64_t g = g_lo, r = 0, t = g_lo % T;
+      for (int64_t i = lo; i < hi;) {
+        int blk = (int)std::min<int64_t>(kBlk, hi - i);
+        for (int k = 0; k < blk; ++k) {
+          int64_t ii = i + k;
+          if (slot_mask && !slot_mask[ii]) {
+            hash_blk[k] = kInvalid;
+          } else {
+            int64_t fused = (int64_t)indices[ii] + offsets[t];
+            uint64_t h = drs_mix64((uint64_t)fused) & hidx->mask;
+            fused_blk[k] = fused;
+            hash_blk[k] = h;
+            seg_blk[k] = (int32_t)g;
+            __builtin_prefetch(&hidx->entries[h], 0, 1);
+          }
+          if (++r == L) {
+            r = 0;
+            ++g;
+            if (++t == T) t = 0;
+          }
+        }
+        for (int k = 0; k < blk; ++k) {
+          int64_t ii = i + k;
+          if (hash_blk[k] == kInvalid) {
+            hot_sel[ii] = 0;
+            hot_mask[ii] = 0;  // zero via the hot-side mask-pool,
+            continue;          // never enters the cold stream
+          }
+          uint64_t h = hash_blk[k];
+          int64_t fused = fused_blk[k];
+          int64_t pos = -1;
+          for (;;) {
+            const HotIndexEntry& e = hidx->entries[h];
+            if (e.key == fused) {
+              pos = e.val;
+              break;
+            }
+            if (e.key == -1) break;
+            h = (h + 1) & hidx->mask;
+          }
+          if (pos >= 0) {
+            hot_sel[ii] = (int32_t)pos;
+            hot_mask[ii] = 1;
+          } else {
+            hot_sel[ii] = 0;
+            hot_mask[ii] = 0;
+            cold_ids[w] = (int32_t)fused;
+            cold_seg[w] = seg_blk[k];
+            ++w;
+          }
+        }
+        i += blk;
       }
-      int64_t g = i / L;
-      int64_t t = g % T;
-      int64_t fused = (int64_t)indices[i] + offsets[t];
-      const int64_t* p = std::lower_bound(hot_ids, hot_ids + K, fused);
-      if (p != hot_ids + K && *p == fused) {
-        hot_sel[i] = (int32_t)(p - hot_ids);
-        hot_mask[i] = 1;
-      } else {
-        hot_sel[i] = 0;
-        hot_mask[i] = 0;
-        cold_ids[w] = (int32_t)fused;
-        cold_seg[w] = (int32_t)g;
-        ++w;
+    } else {
+      for (int64_t i = lo; i < hi; ++i) {
+        if (slot_mask && !slot_mask[i]) {
+          hot_sel[i] = 0;
+          hot_mask[i] = 0;  // contributes zero via the hot-side mask-pool
+          continue;         // and never enters the cold stream
+        }
+        int64_t g = i / L;
+        int64_t t = g % T;
+        int64_t fused = (int64_t)indices[i] + offsets[t];
+        int64_t pos = -1;
+        const int64_t* p = std::lower_bound(hot_ids, hot_ids + K, fused);
+        if (p != hot_ids + K && *p == fused) pos = p - hot_ids;
+        if (pos >= 0) {
+          hot_sel[i] = (int32_t)pos;
+          hot_mask[i] = 1;
+        } else {
+          hot_sel[i] = 0;
+          hot_mask[i] = 0;
+          cold_ids[w] = (int32_t)fused;
+          cold_seg[w] = (int32_t)g;
+          ++w;
+        }
       }
     }
     chunk_cold[c] = w - lo;
@@ -356,14 +476,24 @@ extern "C" int64_t drs_split_hot_cold_masked(
   return total;
 }
 
+extern "C" int64_t drs_split_hot_cold_masked(
+    const int32_t* indices, int64_t n, const int64_t* offsets, int64_t T,
+    int64_t L, const int64_t* hot_ids, int64_t K, const uint8_t* slot_mask,
+    int32_t* hot_sel, uint8_t* hot_mask, int32_t* cold_ids,
+    int32_t* cold_seg, int32_t n_threads) {
+  return drs_split_hot_cold_indexed(indices, n, offsets, T, L, hot_ids, K,
+                                    slot_mask, nullptr, hot_sel, hot_mask,
+                                    cold_ids, cold_seg, n_threads);
+}
+
 extern "C" int64_t drs_split_hot_cold(
     const int32_t* indices, int64_t n, const int64_t* offsets, int64_t T,
     int64_t L, const int64_t* hot_ids, int64_t K, int32_t* hot_sel,
     uint8_t* hot_mask, int32_t* cold_ids, int32_t* cold_seg,
     int32_t n_threads) {
-  return drs_split_hot_cold_masked(indices, n, offsets, T, L, hot_ids, K,
-                                   nullptr, hot_sel, hot_mask, cold_ids,
-                                   cold_seg, n_threads);
+  return drs_split_hot_cold_indexed(indices, n, offsets, T, L, hot_ids, K,
+                                    nullptr, nullptr, hot_sel, hot_mask,
+                                    cold_ids, cold_seg, n_threads);
 }
 
 // LRU stack-distance trace generator (native path of

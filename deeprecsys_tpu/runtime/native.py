@@ -103,6 +103,21 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p,  # cold_ids, cold_seg
         ctypes.c_int32,  # n_threads
     ]
+    lib.drs_split_hot_cold_indexed.restype = ctypes.c_int64
+    lib.drs_split_hot_cold_indexed.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,  # indices, n
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # offsets, T, L
+        ctypes.c_void_p, ctypes.c_int64,  # hot_ids, K
+        ctypes.c_void_p,  # slot_mask (ragged; NULL = all valid)
+        ctypes.c_void_p,  # hot_index (NULL = binary-search probe)
+        ctypes.c_void_p, ctypes.c_void_p,  # hot_sel, hot_mask
+        ctypes.c_void_p, ctypes.c_void_p,  # cold_ids, cold_seg
+        ctypes.c_int32,  # n_threads
+    ]
+    lib.drs_hot_index_build.restype = ctypes.c_void_p
+    lib.drs_hot_index_build.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.drs_hot_index_free.restype = None
+    lib.drs_hot_index_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -118,3 +133,39 @@ def native_available() -> bool:
 def precise_sleep_ns(total_ns: int, spin_ns: int = 200_000):
     """GIL-releasing precise sleep (nanosleep bulk + spin tail)."""
     get_lib().drs_precise_sleep_ns(total_ns, spin_ns)
+
+
+class HotIndex:
+    """Persistent native hash index over a SORTED hot-id set.
+
+    The hot/cold splitter's per-lookup membership probe dominates its
+    host cost: a binary search over a K~1e6 sorted array is ~log2(K)
+    dependent cache misses per lookup. This open-addressing table
+    (built once per hot-set install — engine setup or a refresh swap,
+    both off the serving dispatch path) brings the probe to ~1 miss.
+    Pass it to ``ops.embedding.split_hot_cold(hot_index=...)``; outputs
+    are bit-identical to the binary-search and numpy paths.
+
+    Owns the native table; freed when the Python object is collected.
+    The engine keeps the owning HotColdModel referenced for the
+    duration of every ``prepare`` call, so a refresh swap cannot free a
+    table that an in-flight split is probing.
+    """
+
+    def __init__(self, hot_ids):
+        import numpy as np
+
+        lib = get_lib()  # raises if the native runtime is unavailable
+        hot = np.ascontiguousarray(hot_ids, dtype=np.int64)
+        self.K = int(len(hot))
+        self._lib = lib
+        self._ptr = (
+            lib.drs_hot_index_build(
+                ctypes.c_void_p(hot.ctypes.data), self.K)
+            if self.K else None)
+
+    def __del__(self):
+        ptr = getattr(self, "_ptr", None)
+        if ptr:
+            self._lib.drs_hot_index_free(ptr)
+            self._ptr = None

@@ -926,22 +926,33 @@ class ComputeEngine(threading.Thread):
                       f"scan worker failed ({e!r}); scan dropped",
                       flush=True)
                 res = (None, None)
-            self._scan_res.put((kind, cov, res))
+            # Prebuild the splitter's hash index HERE (O(K) — the same
+            # off-dispatch-thread contract as the scan itself) so the
+            # serve thread's swap is param-rebuild only.
+            hot_index = None
+            if res[0] is not None:
+                try:
+                    from deeprecsys_tpu.runtime.native import HotIndex
+
+                    hot_index = HotIndex(res[0])
+                except RuntimeError:
+                    pass
+            self._scan_res.put((kind, cov, res, hot_index))
 
     def _apply_scan_result(self) -> bool:
         """Consume a completed worker scan (serve thread only). Returns
         True when the dispatch state changed (caller's split is stale)."""
         try:
-            kind, cov, res = self._scan_res.get_nowait()
+            kind, cov, res, hot_index = self._scan_res.get_nowait()
         except queue.Empty:
             return False
         self._scan_inflight = False
         if kind == "upgrade":
-            changed = self._apply_upgrade(res, cov)
+            changed = self._apply_upgrade(res, cov, hot_index=hot_index)
         elif kind == "refresh":
-            changed = self._apply_refresh(res, cov)
+            changed = self._apply_refresh(res, cov, hot_index=hot_index)
         else:
-            changed = self._apply_reenable(res)
+            changed = self._apply_reenable(res, hot_index=hot_index)
         if changed:
             # The async swap lands mid-window: requests dispatched against
             # the OLD set before this poll would pollute the new set's
@@ -952,7 +963,7 @@ class ComputeEngine(threading.Thread):
             self._tracked_since_check = 0
         return changed
 
-    def _apply_upgrade(self, res, cov: float) -> bool:
+    def _apply_upgrade(self, res, cov: float, hot_index=None) -> bool:
         new_hot, cand = res
         cfg = self.serving_cfg
         ref = self.hot_coverage if self.hot_coverage is not None else 0.0
@@ -963,7 +974,7 @@ class ComputeEngine(threading.Thread):
             self._upgrade_wait = self._upgrade_backoff
             return False
         self._upgrade_backoff = self._upgrade_wait = 0
-        self._install_hot_ids(new_hot, cand)
+        self._install_hot_ids(new_hot, cand, hot_index=hot_index)
         print(f"[deeprecsys_tpu] engine {self.engine_id}: hot-set "
               f"UPGRADE #{self.hot_refreshes} (live coverage "
               f"{cov:.1%} -> candidate {cand:.1%})", flush=True)
@@ -1053,7 +1064,7 @@ class ComputeEngine(threading.Thread):
         return new_hot, hot_coverage_of(holdout, offsets, new_hot,
                                         mask=hold_mask)
 
-    def _apply_refresh(self, res, live_cov: float) -> bool:
+    def _apply_refresh(self, res, live_cov: float, hot_index=None) -> bool:
         """Live coverage collapsed at scan-submit time: if the buffered
         stream still HAS a popular head, swap it in WITHOUT recompiling
         (same-shape hot-table param; the jittable apply never depends on
@@ -1071,24 +1082,27 @@ class ComputeEngine(threading.Thread):
         if new_cov < self.model_cfg.hotcold_min_hit:
             self._disable_hotcold(live_cov, new_cov)
             return True
-        self._install_hot_ids(new_hot, new_cov)
+        self._install_hot_ids(new_hot, new_cov, hot_index=hot_index)
         print(f"[deeprecsys_tpu] engine {self.engine_id}: hot-set refresh "
               f"#{self.hot_refreshes} (live coverage {live_cov:.1%} -> "
               f"buffered-stream coverage {new_cov:.1%}, "
               f"{len(new_hot)} rows)", flush=True)
         return True
 
-    def _install_hot_ids(self, new_hot, ref_cov: float):
+    def _install_hot_ids(self, new_hot, ref_cov: float, hot_index=None):
         """Swap the hot set + rebuild the hot table from the live params'
         full tables, preserving negotiated layouts (no recompile). On a
         mesh the replicated hot table is re-derived from the SHARDED
         tables by the rebuild program compiled at setup (the sharded
         apply reads the hot table from params and never depends on the
         id list, exactly like the single-device apply — only the host
-        splitter's ``prepare`` does)."""
+        splitter's ``prepare`` does). ``hot_index``: the splitter hash
+        index prebuilt by the scan worker; without it the swap builds one
+        inline (sync-scan mode, which stalls by design)."""
         from deeprecsys_tpu.models.hotcold import with_hot_ids
 
-        hc = with_hot_ids(self._hotcold, new_hot, mesh=self.mesh)
+        hc = with_hot_ids(self._hotcold, new_hot, mesh=self.mesh,
+                          hot_index=hot_index)
         if self.mesh is not None:
             new_table = self._mesh_hot_rebuild(
                 self.params["tables"], self._replicated_ids(new_hot))
@@ -1158,7 +1172,7 @@ class ComputeEngine(threading.Thread):
         if res is not None:  # sync mode
             self._apply_reenable(res)
 
-    def _apply_reenable(self, res) -> bool:
+    def _apply_reenable(self, res, hot_index=None) -> bool:
         new_hot, cov = res
         if cov is not None:
             self.live_hot_coverage = cov
@@ -1170,7 +1184,7 @@ class ComputeEngine(threading.Thread):
         if cov is None or cov < (self.model_cfg.hotcold_min_hit
                                  + self.serving_cfg.hotcold_refresh_margin):
             return False
-        self._install_hot_ids(new_hot, cov)
+        self._install_hot_ids(new_hot, cov, hot_index=hot_index)
         self._hotcold_active = True
         self._live_hot = self._live_total = 0
         print(f"[deeprecsys_tpu] engine {self.engine_id}: hot/cold split "

@@ -413,6 +413,54 @@ def test_split_hot_cold_masked_semantics_and_native_parity():
     assert sh["n_cold"] == s["n_cold"] == hy["n_cold"]
 
 
+def test_split_hot_cold_hash_index_parity():
+    """The persistent HotIndex (native open-addressing probe replacing
+    the per-lookup binary search) must be bit-identical to both the
+    binary-search native path and the numpy oracle — masked and
+    unmasked, plus the K=0 / K=1 / duplicate-heavy edges. Serving
+    builds it once per hot-set install (models/hotcold.py)."""
+    import pytest
+
+    from deeprecsys_tpu.ops.embedding import split_hot_cold
+    from deeprecsys_tpu.runtime.native import native_available
+
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+    from deeprecsys_tpu.runtime.native import HotIndex
+
+    rng = np.random.default_rng(7)
+    B, T, L = 24, 5, 7
+    offsets = np.arange(T, dtype=np.int64) * 1000
+    # Skewed stream: heavy duplicates (the zipf serving shape).
+    idx = (rng.zipf(1.5, size=(B, T, L)) % 1000).astype(np.int32)
+    hot = np.sort(rng.choice(T * 1000, 300, replace=False)).astype(np.int64)
+    hi = HotIndex(hot)
+    mask = rng.random((B, T, L)) < 0.8
+    for sm in (None, mask):
+        ref = split_hot_cold(idx, offsets, hot, impl="numpy", slot_mask=sm)
+        bin_ = split_hot_cold(idx, offsets, hot, impl="native", slot_mask=sm)
+        hsh = split_hot_cold(idx, offsets, hot, impl="native", slot_mask=sm,
+                             hot_index=hi)
+        for k in ref:
+            np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(bin_[k]))
+            np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(hsh[k]))
+
+    # K=0: everything valid goes cold; the empty index degrades cleanly.
+    empty = np.empty(0, np.int64)
+    e = split_hot_cold(idx, offsets, empty, impl="native",
+                       hot_index=HotIndex(empty))
+    assert e["n_cold"] == B * T * L
+    # K=1: exactly the rows matching the single hot id are hot.
+    one = np.array([int(idx[0, 0, 0])], dtype=np.int64)  # table 0 fused id
+    o_h = split_hot_cold(idx, offsets, one, impl="native", hot_index=HotIndex(one))
+    o_n = split_hot_cold(idx, offsets, one, impl="numpy")
+    np.testing.assert_array_equal(np.asarray(o_n["hot_mask"]),
+                                  np.asarray(o_h["hot_mask"]))
+    # A stale index (size mismatch vs hot_ids) fails loudly, not wrongly.
+    with pytest.raises(ValueError, match="stale index"):
+        split_hot_cold(idx, offsets, hot[:100], impl="native", hot_index=hi)
+
+
 def test_select_hot_ids_and_coverage_masked():
     """Ragged refresh scans: padded slots are excluded from hot-set
     selection (their index-0 filler would otherwise count as the hottest

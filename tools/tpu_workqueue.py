@@ -2848,10 +2848,16 @@ JOBS = [
     ("train_quality_serve:dien", lambda: job_train_quality_serve("dien")),
     # #4 host-prepass bound for the zipf artifact (host-only, no TPU).
     ("splitter_host:b512", lambda: job_splitter_host_cost()),
+    # Re-measured after the persistent HotIndex hash probe replaced the
+    # splitter's per-lookup binary search (runtime/cpp drs_hot_index_*).
+    ("splitter_host_idx:b512", lambda: job_splitter_host_cost()),
     # #8 does the capped refresh scan show in serving p95/p99?
     ("refresh_scan_impact:rm2", lambda: job_refresh_scan_impact("rm2")),
     # #4/#3a round-stamped zipf artifact with the host column.
     ("zipf_r5:snapshot", lambda: job_zipf_snapshot(5)),
+    # Snapshot again after splitter_host_idx re-measured the host prepass
+    # with the HotIndex hash probe (device times unchanged).
+    ("zipf_r5b:snapshot", lambda: job_zipf_snapshot(5)),
     # #8 follow-up: the stall SHOWED (trigger-request mean 1322 ms vs
     # 408 ms), so the scan moved to a worker thread
     # (hotcold_scan_async, engine._scan/_apply_scan_result). Re-measure
