@@ -53,26 +53,36 @@ def zipf_batch(cfg, batch: int, rng) -> np.ndarray:
 
 
 def planted_logits(cfg, idx: np.ndarray, w: np.ndarray,
-                   alpha: float = 3.0) -> np.ndarray:
-    """(B,) true logits for a (B, T, L) id batch under the planted rule."""
+                   alpha: float = 3.0, signal_tables=None) -> np.ndarray:
+    """(B,) true logits for a (B, T, L) id batch under the planted rule.
+
+    ``signal_tables`` (list of table indices, or None = all): restrict
+    the signal to a SUBSET of tables. Used by the dien recency control
+    (see ``train_planted``): planting the signal only on the last few
+    behavior tables makes it reachable exclusively through the GRU scan,
+    which isolates whether that path can learn at all."""
     offsets = np.asarray(cfg.table_offsets, dtype=np.int64)
     flat = idx.astype(np.int64) + offsets[None, :, None]
-    n = idx.shape[1] * idx.shape[2]
+    if signal_tables is not None:
+        flat = flat[:, np.asarray(signal_tables, dtype=np.int64), :]
+    n = flat.shape[1] * flat.shape[2]
     return alpha * w[flat].sum(axis=(1, 2)) / np.sqrt(n)
 
 
 def planted_labels(cfg, idx: np.ndarray, w: np.ndarray, rng,
-                   alpha: float = 3.0):
+                   alpha: float = 3.0, signal_tables=None):
     """(logits, labels): Bernoulli(sigmoid(logit)) draws — the label NOISE
     is what keeps the Bayes AUC below 1.0 and makes the ceiling honest."""
-    logits = planted_logits(cfg, idx, w, alpha=alpha)
+    logits = planted_logits(cfg, idx, w, alpha=alpha,
+                            signal_tables=signal_tables)
     p = 1.0 / (1.0 + np.exp(-logits))
     y = (rng.random(idx.shape[0]) < p).astype(np.float32)
     return logits, y
 
 
 def make_holdout(cfg, w: np.ndarray, n_batches: int = 8, batch: int = 512,
-                 seed: int = 91, alpha: float = 3.0, dense_seed: int = 92):
+                 seed: int = 91, alpha: float = 3.0, dense_seed: int = 92,
+                 signal_tables=None):
     """Fixed held-out evaluation set: list of (idx, dense, logits, labels).
     Deterministic in (cfg, seed) so the train and serve jobs regenerate
     the SAME holdout independently."""
@@ -83,7 +93,8 @@ def make_holdout(cfg, w: np.ndarray, n_batches: int = 8, batch: int = 512,
         idx = zipf_batch(cfg, batch, rng)
         dense = (drng.random((batch, cfg.dense_dim), dtype=np.float32)
                  if cfg.dense_dim else None)
-        logits, y = planted_labels(cfg, idx, w, rng, alpha=alpha)
+        logits, y = planted_labels(cfg, idx, w, rng, alpha=alpha,
+                                   signal_tables=signal_tables)
         out.append((idx, dense, logits, y))
     return out
 
@@ -118,7 +129,8 @@ def train_planted(cfg, steps: int = 600, batch: int = 512,
                   eval_every: int = 50, alpha: float = 3.0,
                   lr: float = 0.01, table_lr: float = 1e-3,
                   seed: int = 0, stream_seed: int = 7,
-                  holdout_batches: int = 8, log=print):
+                  holdout_batches: int = 8, log=print,
+                  signal_tables=None):
     """Train ``cfg`` with the sparse touched-rows trainer on the planted-
     signal zipf stream; returns (trainer, report dict).
 
@@ -141,7 +153,7 @@ def train_planted(cfg, steps: int = 600, batch: int = 512,
 
     w = planted_weights(cfg)
     holdout = make_holdout(cfg, w, n_batches=holdout_batches, batch=batch,
-                           alpha=alpha)
+                           alpha=alpha, signal_tables=signal_tables)
     ceiling = bayes_auc(holdout)
     tr = Trainer(cfg, sparse_tables=True, optimizer="adagrad",
                  learning_rate=lr, table_learning_rate=table_lr,
@@ -153,7 +165,8 @@ def train_planted(cfg, steps: int = 600, batch: int = 512,
     losses, curve = [], []
     for i in range(steps):
         idx = zipf_batch(cfg, batch, rng)
-        _, y = planted_labels(cfg, idx, w, lrng, alpha=alpha)
+        _, y = planted_labels(cfg, idx, w, lrng, alpha=alpha,
+                              signal_tables=signal_tables)
         dense = (drng.random((batch, cfg.dense_dim), dtype=np.float32)
                  if cfg.dense_dim else None)
         b = Batch(dense=None if dense is None else jnp.asarray(dense),

@@ -10,8 +10,16 @@ The input projection for ALL timesteps is hoisted out of the scan as one
 large MXU matmul ((T*B, in) @ (in, H)); only the small recurrent matmul
 stays inside the scan body.
 
-Init matches the reference's plain ``np.random.randn`` for RNN weights
-(``dien.py:320-328``).
+Init DEPARTS from the reference's plain ``np.random.randn`` for RNN
+weights (``dien.py:320-328``): with H=64, unit-variance recurrent weights
+give the pre-activation a std of ~sqrt(H)=8, so tanh is born saturated.
+The reference is inference-only (random weights are as good as any), but
+our training path has to LEARN through this op — and the saturated init
+measurably kills it: on the dien recency control (signal planted on the
+last 5 behavior steps, reachable only through the scan), randn init
+plateaus at holdout AUC 0.52 after 1200 steps while 1/sqrt(fan_in)
+weights + zero biases reach 0.911 of the 0.914 Bayes ceiling
+(tests/test_train_quality.py::test_dien_scan_path_learns_recency_signal).
 """
 
 from __future__ import annotations
@@ -21,12 +29,16 @@ import jax.numpy as jnp
 
 
 def basic_rnn_init(key: jax.Array, input_size: int, hidden_size: int, dtype=jnp.float32) -> dict:
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    """1/sqrt(fan_in)-scaled weights, zero biases (see module docstring
+    for why this intentionally departs from the reference's raw randn)."""
+    k1, k3 = jax.random.split(key, 2)
     return {
-        "i2h_w": jax.random.normal(k1, (input_size, hidden_size), dtype=jnp.float32).astype(dtype),
-        "i2h_b": jax.random.normal(k2, (hidden_size,), dtype=jnp.float32).astype(dtype),
-        "h2h_w": jax.random.normal(k3, (hidden_size, hidden_size), dtype=jnp.float32).astype(dtype),
-        "h2h_b": jax.random.normal(k4, (hidden_size,), dtype=jnp.float32).astype(dtype),
+        "i2h_w": (jax.random.normal(k1, (input_size, hidden_size), dtype=jnp.float32)
+                  / jnp.sqrt(float(input_size))).astype(dtype),
+        "i2h_b": jnp.zeros((hidden_size,), dtype=dtype),
+        "h2h_w": (jax.random.normal(k3, (hidden_size, hidden_size), dtype=jnp.float32)
+                  / jnp.sqrt(float(hidden_size))).astype(dtype),
+        "h2h_b": jnp.zeros((hidden_size,), dtype=dtype),
     }
 
 

@@ -2858,6 +2858,28 @@ JOBS = [
     # Snapshot again after splitter_host_idx re-measured the host prepass
     # with the HotIndex hash probe (device times unchanged).
     ("zipf_r5b:snapshot", lambda: job_zipf_snapshot(5)),
+    # din's 3000-step curve was still climbing linearly (+0.035 AUC /
+    # 1000 steps at step 3000) — run it to 12k steps for a converged-or-
+    # visibly-bending curve, then refresh the serve half. (dien is NOT
+    # re-run longer: its plateau at ~0.59 equals the direct-path oracle
+    # ceiling — mechanism documented in README "training to quality";
+    # recency-control experiment proves the scan path learns short-
+    # horizon signals.)
+    ("train_quality_long:din", lambda: job_train_quality(
+        "din", table_scale=2, steps=12000, table_lr=1e-2, lr=0.03)),
+    ("train_quality_serve_long:din",
+     lambda: job_train_quality_serve("din")),
+    # dien re-measured after the round-5 FOUND BUG: the BasicRNN's
+    # raw-randn init (faithful to the inference-only reference) was
+    # born tanh-saturated — the scan path learned NOTHING (plateau 0.58
+    # = the direct-path oracle ceiling; recency control 0.52). With the
+    # scaled ops/rnn.py init the tiny-scale control reaches 0.91/0.914
+    # and full-signal 0.90/0.915. The prior train_quality:dien record
+    # is DISCARDED as bug-tainted (README notes the discard).
+    ("train_quality_fixed:dien", lambda: job_train_quality(
+        "dien", steps=3000, table_lr=1e-2, lr=0.03)),
+    ("train_quality_serve_fixed:dien",
+     lambda: job_train_quality_serve("dien")),
     # #8 follow-up: the stall SHOWED (trigger-request mean 1322 ms vs
     # 408 ms), so the scan moved to a worker thread
     # (hotcold_scan_async, engine._scan/_apply_scan_result). Re-measure
