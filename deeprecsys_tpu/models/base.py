@@ -51,13 +51,25 @@ class ModelFns(NamedTuple):
     apply_from_pooled: Callable = None
 
 
-def stacked_mlp_init(key: jax.Array, num: int, dims, dtype=jnp.float32) -> list[dict]:
+def stacked_mlp_init(key: jax.Array, num: int, dims, dtype=jnp.float32,
+                     sum_fanin: int = 1) -> list[dict]:
     """Init ``num`` independent same-shape MLPs as stacked (num, ...) arrays.
 
     Used for DIN's per-behavior-table attention MLPs (the reference builds a
     separate Caffe2 FC chain per table, ``din.py:246-285``) and MT-WnD's task
     heads — stacking lets one einsum/vmap evaluate all of them on the MXU at
     once instead of hundreds of small ops.
+
+    ``sum_fanin`` > 1: the caller SUMS the ``num`` stacked outputs
+    downstream (DIN's final Sum over ~250 attention units, din.py:282-284)
+    — the last layer's init is divided by sqrt(sum_fanin) so the summed
+    feature enters the next MLP at O(1) variance. Without it the summed
+    pathway is ~sqrt(250)x hotter than its concat siblings at init
+    (measured: din's initial bce loss 4.5 vs log 2, and the planted-signal
+    holdout AUC reaches 0.75 by step 1200 scaled vs 0.60 unscaled — the
+    same inference-only-reference init trap as ops/rnn.py, DESIGN.md §8b).
+    The reference's own init can't see this: it never trains. MT-WnD's
+    heads are independent outputs (no sum), so it keeps sum_fanin=1.
     """
     params = []
     keys = jax.random.split(key, max(len(dims) - 1, 1))
@@ -66,6 +78,10 @@ def stacked_mlp_init(key: jax.Array, num: int, dims, dtype=jnp.float32) -> list[
         kw, kb = jax.random.split(keys[i - 1])
         w = jax.random.normal(kw, (num, n, m), dtype=jnp.float32) * jnp.sqrt(2.0 / (m + n))
         b = jax.random.normal(kb, (num, m), dtype=jnp.float32) * jnp.sqrt(1.0 / m)
+        if sum_fanin > 1 and i == len(dims) - 1:
+            scale = 1.0 / jnp.sqrt(float(sum_fanin))
+            w = w * scale
+            b = b * scale
         params.append({"w": w.astype(dtype), "b": b.astype(dtype)})
     return params
 

@@ -46,7 +46,10 @@ def init(key: jax.Array, cfg: ModelConfig) -> dict:
     k_emb, k_att, k_top = jax.random.split(key, 3)
     return {
         "tables": init_tables(k_emb, cfg),
-        "attention": stacked_mlp_init(k_att, num_behavior, _attention_dims(cfg), pdt),
+        # sum_fanin: the attention outputs are SUMMED (reference
+        # din.py:282-284); see stacked_mlp_init / DESIGN.md §8b.
+        "attention": stacked_mlp_init(k_att, num_behavior, _attention_dims(cfg), pdt,
+                                      sum_fanin=num_behavior),
         "top": mlp_init(k_top, cfg.ln_top, pdt),  # (4m,) + mlp_top
     }
 

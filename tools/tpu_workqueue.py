@@ -2858,13 +2858,11 @@ JOBS = [
     # Snapshot again after splitter_host_idx re-measured the host prepass
     # with the HotIndex hash probe (device times unchanged).
     ("zipf_r5b:snapshot", lambda: job_zipf_snapshot(5)),
-    # din's 3000-step curve was still climbing linearly (+0.035 AUC /
-    # 1000 steps at step 3000) — run it to 12k steps for a converged-or-
-    # visibly-bending curve, then refresh the serve half. (dien is NOT
-    # re-run longer: its plateau at ~0.59 equals the direct-path oracle
-    # ceiling — mechanism documented in README "training to quality";
-    # recency-control experiment proves the scan path learns short-
-    # horizon signals.)
+    # din re-run to 12k steps WITH the round-5 init fix (stacked
+    # attention last layer scaled 1/sqrt(num_behavior) — the summed
+    # pathway was ~16x hotter than its concat siblings at init; tiny
+    # scale: 0.75 vs 0.60 at step 1200). The prior 3000-step record
+    # (crawling +0.035 AUC/1000 steps) is DISCARDED as init-tainted.
     ("train_quality_long:din", lambda: job_train_quality(
         "din", table_scale=2, steps=12000, table_lr=1e-2, lr=0.03)),
     ("train_quality_serve_long:din",
