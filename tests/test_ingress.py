@@ -1154,3 +1154,61 @@ def test_cpu_mp_with_model_accel_canonical_topology(accel_kind):
         assert h["engines"] == 3 and h["live_engines"] == 3
     finally:
         ing.stop()
+
+
+def test_reload_reaches_parent_accel_on_cpu_mp(tmp_path):
+    """cpu-mp + real model_accel reload (round 5): the children receive
+    the path over their control rings, and the PARENT-side accel engine
+    reloads through its thread-engine slot — all three must apply, and
+    the accel engine must actually serve the new checkpoint's weights
+    (ingress.py _reload_mp accel_handles; without that branch the accel
+    path would silently keep stale weights after every reload)."""
+    import jax
+    import numpy as np
+
+    pytest.importorskip("deeprecsys_tpu.runtime.shm_queue")
+    from deeprecsys_tpu.runtime.native import native_available
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+
+    from deeprecsys_tpu.models import get_model
+    from deeprecsys_tpu.utils.checkpoint import save_params
+
+    model_cfg = zoo.get_config("ncf", table_scale=2000)
+    model = get_model(model_cfg)
+    ck_a = tmp_path / "ckpt.a"
+    ck_b = tmp_path / "ckpt.b"
+    params_a = model.init(jax.random.PRNGKey(42))
+    params_b = model.init(jax.random.PRNGKey(7))
+    save_params(ck_a, params_a)
+    save_params(ck_b, params_b)
+
+    cfg = ServingConfig(engine_backend="cpu-mp", inference_engines=2,
+                        sub_task_batch_size=16, max_mini_batch_size=64,
+                        batch_buckets=(16, 64),
+                        model_accel=True, accel_request_size_thres=48)
+    server = ServingServer(model_cfg, cfg, checkpoint_path=str(ck_a))
+    server.start(timeout=600)
+    accel = server.engines[0]  # parent-side ComputeEngine
+    ing = HttpIngress(server, reload_root=str(tmp_path))
+    ing.start()
+    base = "http://%s:%s" % ing.address
+    try:
+        status, out = _post(f"{base}/v1/reload", {"path": str(ck_b)})
+        assert status == 200 and out["scheduled"] == 3  # 2 children + accel
+        for h in server._reload_handles:
+            assert h.event.wait(timeout=60)
+            assert h.error is None, f"reload failed: {h.error!r}"
+        _, st = _get(f"{base}/v1/reload")
+        assert st["applied"] == 3 and st["failed"] == 0
+        # The accel engine's live params are checkpoint B, not A.
+        for got, want in zip(jax.tree_util.tree_leaves(accel.params),
+                             jax.tree_util.tree_leaves(params_b)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-6)
+        # And a big query still routes to it post-swap.
+        status, big = _post(f"{base}/v1/infer", {"batch_size": 50})
+        assert status == 200 and big["accel"] and big["engines"] == [2]
+    finally:
+        ing.stop()

@@ -2884,6 +2884,15 @@ JOBS = [
     # end-to-end: trigger requests should now cost like the rest.
     ("refresh_scan_impact2:rm2", lambda: job_refresh_scan_impact(
         "rm2", out_name="refresh_scan_impact2.json")),
+    # Round-5 final: din to 24k steps — the 12k curve was still climbing
+    # (+0.005 AUC/2k steps, 0.7726 of the 0.9274 ceiling at 12k); double
+    # the horizon to pin where the stacked-attention credit-assignment
+    # path actually lands. Supersedes the 12k record in
+    # train_quality.json (longer curve, same hyperparameters).
+    ("train_quality_xl:din", lambda: job_train_quality(
+        "din", table_scale=2, steps=24000, table_lr=1e-2, lr=0.03)),
+    ("train_quality_serve_xl:din",
+     lambda: job_train_quality_serve("din")),
 ]
 
 
