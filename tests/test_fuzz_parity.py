@@ -98,6 +98,91 @@ def test_partitioned_splitters_fuzz(native):
             assert got == cold, (trial, D, M)
 
 
+@pytest.mark.parametrize("native", [False, True])
+def test_masked_indexed_splitter_fuzz(native):
+    """Round-5 splitter surfaces under fuzz: random slot masks (ragged
+    pooling — invalid slots are neither hot hits nor cold descriptors)
+    and, on the native path, the persistent hot-set hash index, whose
+    outputs must be bit-identical to the binary-search probe. Sharded and
+    hybrid partitions must carry the same masked cold set as the base
+    split."""
+    if native:
+        from deeprecsys_tpu.runtime.native import native_available
+
+        if not native_available():
+            pytest.skip("native runtime not built")
+    impl = "native" if native else "numpy"
+    rng = np.random.default_rng(23)
+    for trial in range(20):
+        B, T, L, idx, offsets, hot = _rand_case(rng)
+        mask = rng.random((B, T, L)) < rng.uniform(0.15, 1.0)
+        s = split_hot_cold(idx, offsets, hot, impl=impl, slot_mask=mask)
+        flat = (idx.astype(np.int64) + offsets[None, :, None]).reshape(-1)
+        valid = mask.reshape(-1)
+        in_hot = np.isin(flat, hot) & valid
+        np.testing.assert_array_equal(s["hot_mask"].reshape(-1).astype(bool),
+                                      in_hot)
+        sel = s["hot_sel"].reshape(-1)
+        if in_hot.any():
+            np.testing.assert_array_equal(hot[sel[in_hot]], flat[in_hot])
+        is_cold = valid & ~in_hot
+        n = s["n_cold"]
+        assert n == int(is_cold.sum())
+        groups = np.arange(B * T * L) // L
+        np.testing.assert_array_equal(s["cold_ids"][:n], flat[is_cold])
+        np.testing.assert_array_equal(s["cold_seg"][:n], groups[is_cold])
+        assert (s["cold_seg"][n:] == B * T).all()
+
+        if native:
+            # Hash-index probe: bit-identical to the binary search, with
+            # and without the mask.
+            from deeprecsys_tpu.runtime.native import HotIndex
+
+            hidx = HotIndex(hot)
+            for sm in (mask, None):
+                a = split_hot_cold(idx, offsets, hot, impl=impl,
+                                   slot_mask=sm)
+                b = split_hot_cold(idx, offsets, hot, impl=impl,
+                                   slot_mask=sm, hot_index=hidx)
+                assert a["n_cold"] == b["n_cold"]
+                for key in ("hot_sel", "hot_mask", "cold_ids", "cold_seg"):
+                    np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+
+        # Masked partitioned splitters reproduce the same cold set.
+        cold = set(zip(s["cold_ids"][:n].tolist(),
+                       s["cold_seg"][:n].tolist()))
+        total = int(offsets[-1]) + int(
+            (idx[:, -1, :].max() if T else 0)) + 1
+        M = 2
+        rps = -(-max(total, 1) // M)
+        sh = split_hot_cold_sharded(idx, offsets, hot, n_shards=M,
+                                    rows_per_shard=rps, impl=impl,
+                                    slot_mask=mask)
+        np.testing.assert_array_equal(sh["hot_mask"].reshape(-1).astype(bool),
+                                      in_hot)
+        got = set()
+        for m in range(M):
+            real = sh["cold_seg"][m] < B * T
+            for lid, seg in zip(sh["cold_local"][m][real].tolist(),
+                                sh["cold_seg"][m][real].tolist()):
+                got.add((lid + m * rps, seg))
+        assert got == cold, (trial, "sharded")
+        if B % 2 == 0:
+            D = 2
+            hy = split_hot_cold_hybrid(idx, offsets, hot, n_data=D,
+                                       n_model=M, rows_per_shard=rps,
+                                       impl=impl, slot_mask=mask)
+            b_loc = B // D
+            got = set()
+            for dd in range(D):
+                for m in range(M):
+                    real = hy["cold_seg"][dd, m] < b_loc * T
+                    for lid, seg in zip(hy["cold_local"][dd, m][real].tolist(),
+                                        hy["cold_seg"][dd, m][real].tolist()):
+                        got.add((lid + m * rps, seg + dd * b_loc * T))
+            assert got == cold, (trial, "hybrid")
+
+
 def test_lookup_variant_fuzz_vs_embedding_bag():
     """Random shapes through packed / int8 / rowwise lookups vs the plain
     float gather (int8 variants compared on the shared int8 grid)."""
