@@ -723,7 +723,8 @@ def test_hotcold_upgrade_scan_backs_off_on_steady_mediocre_stream():
         server.stop()
 
 
-def test_hotcold_adaptive_refresh_recovers_from_drift():
+@pytest.mark.parametrize("scan_async", [True, False])
+def test_hotcold_adaptive_refresh_recovers_from_drift(scan_async):
     """Adaptive hot-set refresh (hotcold_refresh_interval): a hot set
     frozen at warm-up decays when the popular head of the id stream
     MOVES. The engine tracks the live hit rate from the splitter's cold
@@ -731,7 +732,11 @@ def test_hotcold_adaptive_refresh_recovers_from_drift():
     re-derives the hot set from the buffered recent stream and swaps it
     in WITHOUT recompiling (the hot table is a same-shape param). Scores
     stay exactly equal to the direct model through the swap. The
-    reference has no analog (its data distribution is fixed per run)."""
+    reference has no analog (its data distribution is fixed per run).
+
+    Parametrized over BOTH scan modes (round 5): the async worker
+    default and the ``hotcold_scan_sync`` inline fallback must both
+    drive the full refresh -> disable -> re-enable cycle."""
     import jax
     import numpy as np
 
@@ -754,7 +759,8 @@ def test_hotcold_adaptive_refresh_recovers_from_drift():
                         # (ncf per-row lookups = 4, so 64 buffered rows
                         # exceed 200/4) — the drift recovery must survive
                         # the capped scan (benchmarks/refresh_scan_cost).
-                        hotcold_scan_budget=200)
+                        hotcold_scan_budget=200,
+                        hotcold_scan_async=scan_async)
     server = ServingServer(model_cfg, cfg)
     server.start()
     try:
