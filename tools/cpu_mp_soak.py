@@ -10,7 +10,7 @@ count = exhaustion; both now also visible on /v1/healthz). CPU-only by
 construction (first-line platform pin), so it can run beside TPU jobs.
 
 Usage: python tools/cpu_mp_soak.py [--minutes 30] [--rate 8]
-Writes benchmarks/cpu_mp_soak.json.
+Writes benchmarks/cpu_mp_soak.json (cpu_mp_soak_accel.json with --accel).
 """
 
 import jax
@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--minutes", type=float, default=30.0)
     ap.add_argument("--rate", type=float, default=8.0, help="per-client QPS")
     ap.add_argument("--model", default="ncf")
+    ap.add_argument("--accel", action="store_true",
+                    help="reference's canonical topology (round 5): a "
+                         "REAL parent-side accel engine beside the "
+                         "children, plus an /v1/infer client whose big "
+                         "queries ride the accel router — soaks the "
+                         "dual-router rejoin under sustained load")
     args = ap.parse_args()
 
     from deeprecsys_tpu import zoo
@@ -46,9 +52,13 @@ def main():
     from deeprecsys_tpu.serving.ingress import HttpIngress, ServingServer
 
     model_cfg = zoo.get_config(args.model, table_scale=2000)
+    accel_kw = ({"model_accel": True, "accel_request_size_thres": 12}
+                if args.accel else {})
     cfg = ServingConfig(engine_backend="cpu-mp", inference_engines=2,
                         batch_buckets=(8, 16), max_mini_batch_size=16,
-                        sub_task_batch_size=8, accept_ragged=True)
+                        sub_task_batch_size=8, accept_ragged=True,
+                        **accel_kw)
+    out_name = "cpu_mp_soak_accel.json" if args.accel else "cpu_mp_soak.json"
     server = ServingServer(model_cfg, cfg)
     server.start(timeout=600)
     ing = HttpIngress(server)
@@ -147,8 +157,40 @@ def main():
         print(f"[cpu_mp_soak] exhaustion cycle: {outcome}", flush=True)
         return outcome
 
+    infer_ok = [0, 0]  # [accel-routed, child-routed]
+
+    def infer_client(seed):
+        """/v1/infer load traffic straddling the accel threshold: big
+        queries ride the parent-side accel engine + its router, small
+        ones partition over the children — both rejoin paths stay under
+        sustained concurrent load."""
+        import urllib.request
+
+        rng = np.random.default_rng(seed)
+        while not stop.is_set():
+            big = bool(rng.integers(0, 2))
+            body = json.dumps(
+                {"batch_size": int(rng.integers(13, 17)) if big
+                 else int(rng.integers(2, 12))}).encode()
+            try:
+                req = urllib.request.Request(
+                    base + "/v1/infer", data=body,
+                    headers={"Content-Type": "application/json"})
+                out = json.loads(urllib.request.urlopen(
+                    req, timeout=120).read())
+                assert out["accel"] == big, (out, big)
+                infer_ok[0 if big else 1] += 1
+            except Exception as e:
+                errors.append(repr(e))
+                if len(errors) > 50:
+                    return
+            stop.wait(rng.exponential(1.0 / args.rate))
+
     threads = [threading.Thread(target=client, daemon=True, args=(s,))
                for s in range(3)]
+    if args.accel:
+        threads.append(threading.Thread(target=infer_client, daemon=True,
+                                        args=(97,)))
     for t in threads:
         t.start()
     exhaustions = []
@@ -175,7 +217,7 @@ def main():
             print(f"[cpu_mp_soak] {samples[-1]}", flush=True)
             # Incremental artifact: a kill between samples still leaves
             # the evidence on disk (status flips to "done" at the end).
-            out = Path(__file__).parent.parent / "benchmarks" / "cpu_mp_soak.json"
+            out = Path(__file__).parent.parent / "benchmarks" / out_name
             out.write_text(json.dumps({
                 "status": "running", "model": args.model,
                 "minutes": args.minutes, "predict_ok": ok[0],
@@ -200,6 +242,8 @@ def main():
         "engines": cfg.inference_engines, "clients": len(threads),
         "predict_ok": ok[0], "n_errors": len(errors),
         "errors": errors[:10],
+        "model_accel": args.accel,
+        "infer_accel_ok": infer_ok[0], "infer_child_ok": infer_ok[1],
         "client_503s": backpressured[0],
         "exhaustion_cycles": exhaustions,
         "slots_leaked_at_quiesce": leaked,
@@ -209,7 +253,7 @@ def main():
         "rss_second_half_mb": round(float(np.mean(rss[half:])), 1),
         "samples": samples,
     }
-    out = Path(__file__).parent.parent / "benchmarks" / "cpu_mp_soak.json"
+    out = Path(__file__).parent.parent / "benchmarks" / out_name
     out.write_text(json.dumps(rec, indent=2))
     print(f"[cpu_mp_soak] DONE: {ok[0]} predicts, {len(errors)} errors, "
           f"{leaked} slots leaked, RSS {rec['rss_first_half_mb']} -> "
